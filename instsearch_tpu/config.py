@@ -1,0 +1,155 @@
+"""Frozen configuration dataclasses with JSON round-trip.
+
+Reference analog: notebook cell constants (SURVEY.md §5 "Config / flag
+system"). Every BASELINE.json workload config maps onto a committed preset
+under ``configs/``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+def _asdict(obj) -> dict[str, Any]:
+    return dataclasses.asdict(obj)
+
+
+class _JsonMixin:
+    def to_json(self) -> str:
+        return json.dumps(_asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str):
+        return cls.from_dict(json.loads(s))
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]):
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
+                v = f.type.from_dict(v)  # pragma: no cover - nested configs
+            if isinstance(v, list):
+                v = tuple(v)
+            kwargs[f.name] = v
+        return cls(**kwargs)
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class ExtractConfig(_JsonMixin):
+    """Descriptor-extraction pipeline configuration (SURVEY.md §3.1)."""
+
+    backbone: str = "resnet50"          # resnet50 | resnet101 | vgg16
+    pooling: str = "gem"                # avg | mac | gem | rmac
+    gem_p: float = 3.0
+    rmac_levels: int = 3                # R-MAC scale levels L (arXiv:1511.05879 §3)
+    image_size: int = 224               # shorter-side resize target
+    center_crop: bool = False           # square center crop after resize
+    scales: tuple[float, ...] = (1.0,)  # multi-scale factors (arXiv:1711.02512)
+    whiten: bool = False                # apply PCA-whitening after pooling
+    whiten_dim: int = 0                 # 0 = keep full dimensionality
+    dtype: str = "bfloat16"             # on-device compute dtype
+    batch_size: int = 64
+
+    @property
+    def descriptor_dim(self) -> int:
+        base = {"resnet50": 2048, "resnet101": 2048, "vgg16": 512}[self.backbone]
+        if self.whiten and self.whiten_dim:
+            return self.whiten_dim
+        return base
+
+
+@dataclass(frozen=True)
+class IndexConfig(_JsonMixin):
+    """HBM-resident sharded index configuration (SURVEY.md §2.2, N7)."""
+
+    num_shards: int = 1                 # row shards across the device mesh
+    row_tile: int = 1024                # Pallas row-tile per top-k matmul step
+    dtype: str = "bfloat16"             # stored descriptor dtype
+    capacity: int = 0                   # 0 = size to the dataset, padded to tile
+
+
+@dataclass(frozen=True)
+class SearchConfig(_JsonMixin):
+    """Query-time configuration (SURVEY.md §3.2)."""
+
+    k: int = 10
+    use_pallas: bool = True             # fused top-k matmul kernel vs jnp oracle
+    # alpha query expansion (arXiv:1711.02512 §5)
+    qe_enabled: bool = False
+    qe_n: int = 10                      # number of expansion neighbours
+    qe_alpha: float = 3.0
+    # regional re-ranking (arXiv:1511.05879 §4)
+    rerank_enabled: bool = False
+    rerank_depth: int = 100
+
+
+@dataclass(frozen=True)
+class EvalConfig(_JsonMixin):
+    dataset: str = "roxford5k"          # oxford5k|paris6k|roxford5k|rparis6k|mini
+    protocol: str = "medium"            # easy | medium | hard (revisited only)
+    data_root: str = "data"
+
+
+@dataclass(frozen=True)
+class TrainConfig(_JsonMixin):
+    """Contrastive fine-tuning (arXiv:1711.02512; SURVEY.md C17)."""
+
+    backbone: str = "resnet50"
+    pooling: str = "gem"
+    loss: str = "contrastive"           # contrastive | triplet
+    margin: float = 0.7
+    lr: float = 1e-4
+    weight_decay: float = 1e-4
+    batch_size: int = 8                 # tuples per step
+    num_negatives: int = 5
+    image_size: int = 224
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class PipelineConfig(_JsonMixin):
+    """Top-level bundle; what a `configs/*.json` preset stores."""
+
+    extract: ExtractConfig = field(default_factory=ExtractConfig)
+    index: IndexConfig = field(default_factory=IndexConfig)
+    search: SearchConfig = field(default_factory=SearchConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "extract": _asdict(self.extract),
+                "index": _asdict(self.index),
+                "search": _asdict(self.search),
+                "eval": _asdict(self.eval),
+            },
+            indent=2,
+            sort_keys=True,
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "PipelineConfig":
+        d = json.loads(s)
+        return cls(
+            extract=ExtractConfig.from_dict(d.get("extract", {})),
+            index=IndexConfig.from_dict(d.get("index", {})),
+            search=SearchConfig.from_dict(d.get("search", {})),
+            eval=EvalConfig.from_dict(d.get("eval", {})),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "PipelineConfig":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())

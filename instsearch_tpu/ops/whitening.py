@@ -1,0 +1,54 @@
+"""PCA-whitening of descriptors (SURVEY.md C9; Jégou & Chum ECCV'12,
+arXiv:1711.02512 §3.4).
+
+Fit runs on device (jnp.linalg.eigh on the DxD covariance — D <= 2048, tiny
+for the MXU); apply is a single fused matmul ``P @ (x - mu)`` + re-L2.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .pooling import l2_normalize
+
+
+class WhiteningParams(NamedTuple):
+    """Pytree of fitted whitening: ``apply(x) = P @ (x - mu)``."""
+
+    P: jax.Array    # [dim_out, D] projection (rows scaled by lambda^-1/2)
+    mu: jax.Array   # [D] mean
+
+
+def fit_whitening(X: jax.Array, dim: int | None = None,
+                  shrinkage: float = 0.0, eps: float = 1e-9) -> WhiteningParams:
+    """Fit PCA-whitening on held-out descriptors ``X: [N, D]``.
+
+    ``dim`` truncates to the leading components (dimensionality reduction as
+    in the reference pipelines); ``shrinkage`` blends the covariance toward
+    the identity for stability on small fit sets.
+    """
+    X = X.astype(jnp.float32)
+    n, d = X.shape
+    dim = d if dim in (None, 0) else min(dim, d)
+    mu = jnp.mean(X, axis=0)
+    Xc = X - mu
+    cov = (Xc.T @ Xc) / jnp.maximum(n - 1, 1)
+    if shrinkage > 0.0:
+        cov = (1.0 - shrinkage) * cov + shrinkage * jnp.eye(d) * jnp.trace(cov) / d
+    # eigh returns ascending eigenvalues; take the top `dim`.
+    evals, evecs = jnp.linalg.eigh(cov)
+    evals = evals[::-1][:dim]
+    evecs = evecs[:, ::-1][:, :dim]
+    P = (evecs * jax.lax.rsqrt(jnp.maximum(evals, eps))).T   # [dim, D]
+    return WhiteningParams(P=P, mu=mu)
+
+
+def apply_whitening(x: jax.Array, params: WhiteningParams,
+                    renormalize: bool = True) -> jax.Array:
+    """Whiten descriptors ``x: [..., D] -> [..., dim]`` and re-L2 (C9+C10)."""
+    out = (x.astype(jnp.float32) - params.mu) @ params.P.T
+    if renormalize:
+        out = l2_normalize(out, axis=-1)
+    return out

@@ -1,0 +1,23 @@
+"""Test rig: force CPU backend with 8 virtual devices.
+
+Per SURVEY.md §4.4: only one physical TPU chip exists in this environment, so
+all distributed code paths (Mesh/shard_map/collectives) are exercised on an
+8-fake-device CPU backend. This conftest must run before jax is imported
+anywhere in the test process.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
