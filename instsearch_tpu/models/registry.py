@@ -1,0 +1,33 @@
+"""Backbone registry: name -> (flax module factory, feature dim, stride)."""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax.numpy as jnp
+
+from .resnet import resnet50, resnet101, resnet152
+from .vgg import vgg16
+from .torch_import import load_torch_resnet, load_torch_vgg
+
+
+class BackboneSpec(NamedTuple):
+    factory: Callable[..., Any]
+    feature_dim: int
+    stride: int
+    torch_loader: Callable[[dict], dict]
+
+
+BACKBONES: dict[str, BackboneSpec] = {
+    "resnet50": BackboneSpec(resnet50, 2048, 32, load_torch_resnet),
+    "resnet101": BackboneSpec(resnet101, 2048, 32, load_torch_resnet),
+    "resnet152": BackboneSpec(resnet152, 2048, 32, load_torch_resnet),
+    "vgg16": BackboneSpec(vgg16, 512, 16, load_torch_vgg),
+}
+
+
+def get_backbone(name: str, dtype=jnp.bfloat16):
+    try:
+        spec = BACKBONES[name]
+    except KeyError:
+        raise ValueError(f"unknown backbone {name!r}; expected one of {sorted(BACKBONES)}")
+    return spec.factory(dtype=dtype), spec

@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# The axon TPU plugin in this environment ignores the JAX_PLATFORMS env var;
+# the config update after import does take effect.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
