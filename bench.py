@@ -1,0 +1,34 @@
+#!/usr/bin/env python
+"""Driver bench entrypoint: prints ONE JSON line.
+
+Headline metric (BASELINE.json): feature-extraction images/sec/chip,
+target >= 10,000 on TPU v5e. ``vs_baseline`` is value/target.
+"""
+import json
+import sys
+
+
+def main() -> int:
+    from instsearch_tpu.bench import bench_extraction, bench_query
+
+    ext = bench_extraction()
+    try:
+        qry = bench_query()
+    except Exception:
+        qry = None
+    value = round(ext["images_per_sec"], 1)
+    line = {
+        "metric": "extraction_images_per_sec_per_chip",
+        "value": value,
+        "unit": "images/sec",
+        "vs_baseline": round(value / 10_000.0, 4),
+    }
+    if qry is not None:
+        line["query_p50_ms_1M"] = round(qry["p50_ms"], 3)
+        line["query_qps_1M"] = round(qry["qps"], 1)
+    print(json.dumps(line))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,120 @@
+"""Command-line interface (SURVEY.md N11).
+
+    python -m instsearch_tpu.cli build-index --images DIR --out IDX [--config F]
+    python -m instsearch_tpu.cli query --index IDX --image IMG [-k 10]
+    python -m instsearch_tpu.cli evaluate --dataset mini --data-root data [...]
+    python -m instsearch_tpu.cli bench [--what extraction|query|all]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+from .config import PipelineConfig
+
+
+def _load_cfg(args) -> PipelineConfig:
+    cfg = PipelineConfig.load(args.config) if args.config else PipelineConfig()
+    if getattr(args, "backbone", None):
+        cfg = PipelineConfig(extract=cfg.extract.replace(backbone=args.backbone),
+                             index=cfg.index, search=cfg.search, eval=cfg.eval)
+    return cfg
+
+
+def cmd_build_index(args) -> int:
+    from .index import Index
+    cfg = _load_cfg(args)
+    paths = sorted(glob.glob(os.path.join(args.images, "*.jpg"))) + \
+        sorted(glob.glob(os.path.join(args.images, "*.png")))
+    if not paths:
+        print(f"error: no images found under {args.images}", file=sys.stderr)
+        return 2
+    idx = Index.build(paths, cfg)
+    idx.save(args.out)
+    print(json.dumps({"indexed": idx.num_valid,
+                      "quarantined": len(getattr(idx, "quarantined", [])),
+                      "dim": idx.dim, "out": args.out}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .data import frontend
+    from .index import Index
+    import jax.numpy as jnp
+    idx = Index.load(args.index)
+    if idx.extractor is None:
+        from .extractor import Extractor
+        idx.extractor = Extractor(idx.cfg.extract.replace(whiten=False))
+    img = frontend.load_square(args.image, idx.cfg.extract.image_size)
+    if img is None:
+        print(f"error: cannot decode {args.image}", file=sys.stderr)
+        return 2
+    scfg = idx.cfg.search.replace(k=args.k)
+    scores, ids = idx.query_images(img[None], scfg)
+    results = [{"rank": r, "name": idx.names[i] if 0 <= i < len(idx.names) else None,
+                "id": int(i), "score": float(s)}
+               for r, (s, i) in enumerate(zip(scores[0], ids[0]))]
+    print(json.dumps({"query": args.image, "results": results}))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from .eval.datasets import load_dataset
+    from .eval.evaluate import build_index_for_dataset, evaluate_index
+    cfg = _load_cfg(args)
+    ds = load_dataset(args.dataset, args.data_root)
+    idx = build_index_for_dataset(ds, cfg)
+    res = evaluate_index(idx, ds, args.protocol)
+    res.pop("per_query_ap", None)
+    print(json.dumps(res))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from .bench import run_bench
+    print(json.dumps(run_bench(args.what)))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="instsearch")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-index", help="extract + index a directory of images")
+    b.add_argument("--images", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--config", default=None)
+    b.add_argument("--backbone", default=None)
+    b.set_defaults(fn=cmd_build_index)
+
+    q = sub.add_parser("query", help="query an index with an image")
+    q.add_argument("--index", required=True)
+    q.add_argument("--image", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.set_defaults(fn=cmd_query)
+
+    e = sub.add_parser("evaluate", help="protocol evaluation on a dataset")
+    e.add_argument("--dataset", default="mini")
+    e.add_argument("--data-root", default="data")
+    e.add_argument("--protocol", default="medium",
+                   choices=["easy", "medium", "hard", "classic"])
+    e.add_argument("--config", default=None)
+    e.add_argument("--backbone", default=None)
+    e.set_defaults(fn=cmd_evaluate)
+
+    be = sub.add_parser("bench", help="run benchmark harness")
+    be.add_argument("--what", default="all",
+                    choices=["extraction", "query", "all"])
+    be.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,84 @@
+"""Benchmark evaluation driver (SURVEY.md §3.3): dataset -> build/query ->
+protocol metrics. Handles the query bounding-box crop of the Oxford/Paris
+protocol (queries are cropped to the labeled region before extraction)."""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..config import PipelineConfig, SearchConfig
+from ..data import frontend
+from ..index import Index
+from .datasets import RetrievalDataset
+from .revisited import evaluate_ranks
+
+
+def load_query_batchable(path: str, bbx, size: int) -> np.ndarray | None:
+    """Decode, crop to the query bbox (x1,y1,x2,y2 in original pixels,
+    revisited-kit convention), then shorter-side resize + center crop."""
+    img = frontend.decode_image(path)
+    if img is None:
+        return None
+    if bbx is not None:
+        x1, y1, x2, y2 = (int(round(v)) for v in bbx)
+        h, w = img.shape[:2]
+        x1, y1 = max(0, x1), max(0, y1)
+        x2, y2 = min(w, max(x2, x1 + 1)), min(h, max(y2, y1 + 1))
+        img = img[y1:y2, x1:x2]
+    return frontend.center_crop(frontend.resize_shorter_side(img, size), size)
+
+
+def extract_queries(index: Index, dataset: RetrievalDataset,
+                    crop_bbx: bool = True) -> np.ndarray:
+    """Extract query descriptors with per-query bbox cropping."""
+    ex = index.extractor
+    assert ex is not None, "index has no extractor attached"
+    size, batch = ex.cfg.image_size, ex.cfg.batch_size
+    imgs = []
+    for qname, entry in zip(dataset.qimlist, dataset.gnd):
+        img = load_query_batchable(dataset.image_path(qname),
+                                   entry.get("bbx") if crop_bbx else None, size)
+        if img is None:
+            raise FileNotFoundError(dataset.image_path(qname))
+        imgs.append(img)
+    out = []
+    import jax.numpy as jnp
+    for i in range(0, len(imgs), batch):
+        chunk = imgs[i:i + batch]
+        pad = batch - len(chunk)
+        arr = np.stack(chunk + [chunk[-1]] * pad)
+        d = np.asarray(ex(jnp.asarray(arr)))
+        if ex.whitening is not None:
+            pass  # extractor applies whitening internally
+        out.append(d[:len(chunk)])
+    return np.concatenate(out)
+
+
+def evaluate_index(index: Index, dataset: RetrievalDataset,
+                   protocol: str = "medium",
+                   search_cfg: Optional[SearchConfig] = None,
+                   crop_bbx: bool = True) -> dict:
+    """Full protocol evaluation: returns mAP / mP@k for the given protocol.
+
+    Uses the complete ranking (AP needs it); αQE from ``search_cfg`` is
+    honored by expanding queries before the final ranking.
+    """
+    queries = extract_queries(index, dataset, crop_bbx)
+    scfg = search_cfg or index.cfg.search
+    import jax.numpy as jnp
+    q = jnp.asarray(queries)
+    if scfg.qe_enabled:
+        from ..search.qe import alpha_query_expansion
+        q = alpha_query_expansion(index.descriptors, index.ids, q,
+                                  n=scfg.qe_n, alpha=scfg.qe_alpha)
+    ranks = index.full_ranking(q)
+    res = evaluate_ranks(ranks, dataset.gnd, protocol)
+    res["dataset"] = dataset.name
+    res["protocol"] = protocol
+    return res
+
+
+def build_index_for_dataset(dataset: RetrievalDataset, cfg: PipelineConfig,
+                            variables: dict | None = None, seed: int = 0) -> Index:
+    return Index.build(dataset.db_paths, cfg, variables=variables, seed=seed)

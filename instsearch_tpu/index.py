@@ -1,0 +1,180 @@
+"""The Index: HBM-resident descriptor matrix + query/evaluate API.
+
+Replaces the reference's notebook workflow (SURVEY.md C16) with
+``Index.build() / index.query() / index.evaluate()`` (SURVEY.md §1.2).
+
+Storage layout is TPU-first: rows padded to a multiple of
+``num_shards * row_tile`` so the same code path serves the single-chip case
+and the shard_map'd multi-chip case (parallel/sharded_index.py); padding
+rows carry id -1 and are masked to -inf at query time so they can never
+enter a top-k.
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ExtractConfig, IndexConfig, PipelineConfig, SearchConfig
+from .extractor import Extractor
+from .ops.whitening import WhiteningParams, fit_whitening
+from .search import bruteforce
+
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
+
+
+def _pad_rows(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+class Index:
+    """Brute-force cosine index over L2-normalized descriptors."""
+
+    def __init__(self, descriptors: jax.Array, ids: jax.Array,
+                 names: list[str], cfg: PipelineConfig,
+                 extractor: Optional[Extractor] = None,
+                 regional: "jax.Array | None" = None):
+        self.descriptors = descriptors      # [N_pad, D], index dtype
+        self.ids = ids                      # [N_pad] int32, -1 = padding
+        self.names = names                  # len = num_valid
+        self.cfg = cfg
+        self.extractor = extractor
+        self.regional = regional            # [N_pad, R, D] for re-ranking, optional
+
+    # ------------------------------------------------------------------
+    @property
+    def num_valid(self) -> int:
+        return len(self.names)
+
+    @property
+    def dim(self) -> int:
+        return self.descriptors.shape[1]
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_descriptors(cls, descriptors: np.ndarray, names: Sequence[str],
+                         cfg: PipelineConfig,
+                         extractor: Optional[Extractor] = None,
+                         original_ids: np.ndarray | None = None) -> "Index":
+        """``original_ids`` maps descriptor rows back to dataset positions
+        (differs from arange when images were quarantined during build)."""
+        n, d = descriptors.shape
+        dtype = _DTYPES[cfg.index.dtype]
+        tile = max(cfg.index.row_tile, 8) * max(cfg.index.num_shards, 1)
+        n_pad = max(_pad_rows(n, tile), tile)
+        padded = np.zeros((n_pad, d), np.float32)
+        padded[:n] = descriptors
+        ids = np.full((n_pad,), -1, np.int32)
+        ids[:n] = (np.arange(n, dtype=np.int32) if original_ids is None
+                   else np.asarray(original_ids, np.int32))
+        return cls(jnp.asarray(padded, dtype), jnp.asarray(ids),
+                   list(names), cfg, extractor)
+
+    @classmethod
+    def build(cls, paths: Sequence[str], cfg: PipelineConfig,
+              variables: dict | None = None,
+              whitening_paths: Sequence[str] | None = None,
+              seed: int = 0) -> "Index":
+        """Offline indexing (SURVEY.md §3.1): extract -> (fit whitening) ->
+        store. ``whitening_paths`` defaults to the indexed set itself (the
+        common self-whitening setup when no held-out set is given)."""
+        ex = Extractor(cfg.extract.replace(whiten=False), variables, seed=seed)
+        quarantine: list[str] = []
+        descs, kept = ex.extract_paths(paths, quarantine)
+        names = [os.path.splitext(os.path.basename(paths[i]))[0] for i in kept]
+
+        if cfg.extract.whiten:
+            if whitening_paths is not None:
+                wdescs, _ = ex.extract_paths(whitening_paths)
+            else:
+                wdescs = descs
+            ex.whitening = fit_whitening(
+                jnp.asarray(wdescs), dim=cfg.extract.whiten_dim or None)
+            from .ops.whitening import apply_whitening
+            descs = np.asarray(apply_whitening(jnp.asarray(descs), ex.whitening))
+
+        idx = cls.from_descriptors(descs, names, cfg, extractor=ex,
+                                   original_ids=kept)
+        idx.quarantined = quarantine
+        return idx
+
+    # ------------------------------------------------------------------
+    def _masked_scores(self, queries: jax.Array) -> jax.Array:
+        scores = bruteforce.all_scores(self.descriptors, queries)
+        return jnp.where(self.ids[None, :] >= 0, scores, -jnp.inf)
+
+    def search(self, queries: np.ndarray | jax.Array,
+               search_cfg: Optional[SearchConfig] = None):
+        """Descriptor-space search: ``queries [Q, D]`` ->
+        ``(scores [Q,k], ids [Q,k])`` with αQE / re-ranking as configured."""
+        scfg = search_cfg or self.cfg.search
+        q = jnp.asarray(queries)
+        if q.ndim == 1:
+            q = q[None]
+        if scfg.qe_enabled:
+            from .search.qe import alpha_query_expansion
+            q = alpha_query_expansion(self.descriptors, self.ids, q,
+                                      n=scfg.qe_n, alpha=scfg.qe_alpha)
+        scores = self._masked_scores(q)
+        top_scores, top_pos = jax.lax.top_k(scores, scfg.k)
+        top_ids = jnp.take(self.ids, top_pos)
+        if scfg.rerank_enabled and self.regional is not None:
+            from .search.rerank import regional_rerank
+            top_scores, top_ids = regional_rerank(
+                self, q, scores, depth=scfg.rerank_depth, k=scfg.k)
+        return np.asarray(top_scores), np.asarray(top_ids)
+
+    def query_images(self, images, search_cfg: Optional[SearchConfig] = None):
+        """Image-space search: uint8 batch -> extract -> search."""
+        assert self.extractor is not None, "index has no extractor attached"
+        q = self.extractor(jnp.asarray(images))
+        return self.search(q, search_cfg)
+
+    def full_ranking(self, queries) -> np.ndarray:
+        """[Q, N] ranked original dataset ids best-first (valid rows only),
+        for protocol evaluation. Padding (-inf) sorts last and is cut."""
+        q = jnp.asarray(queries)
+        scores = self._masked_scores(q)
+        order = jnp.argsort(-scores, axis=1)
+        ranked_ids = np.asarray(jnp.take(self.ids, order))
+        return ranked_ids[:, :self.num_valid]
+
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        state = {
+            "descriptors": np.asarray(self.descriptors.astype(jnp.float32)),
+            "ids": np.asarray(self.ids),
+        }
+        if self.extractor is not None and self.extractor.whitening is not None:
+            state["whitening_P"] = np.asarray(self.extractor.whitening.P)
+            state["whitening_mu"] = np.asarray(self.extractor.whitening.mu)
+        if self.regional is not None:
+            state["regional"] = np.asarray(self.regional.astype(jnp.float32))
+        np.savez(os.path.join(path, "index.npz"), **state)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"names": self.names, "config": json.loads(self.cfg.to_json())}, f)
+
+    @classmethod
+    def load(cls, path: str, extractor: Optional[Extractor] = None) -> "Index":
+        data = np.load(os.path.join(path, "index.npz"))
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        cfg = PipelineConfig.from_json(json.dumps(meta["config"]))
+        dtype = _DTYPES[cfg.index.dtype]
+        if extractor is None and "whitening_P" in data:
+            extractor = Extractor(cfg.extract.replace(whiten=False))
+        if extractor is not None and "whitening_P" in data:
+            extractor.whitening = WhiteningParams(
+                P=jnp.asarray(data["whitening_P"]),
+                mu=jnp.asarray(data["whitening_mu"]))
+        regional = (jnp.asarray(data["regional"], dtype)
+                    if "regional" in data else None)
+        return cls(jnp.asarray(data["descriptors"], dtype),
+                   jnp.asarray(data["ids"]), list(meta["names"]), cfg,
+                   extractor, regional)

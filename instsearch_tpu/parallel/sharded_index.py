@@ -1,0 +1,73 @@
+"""Row-sharded distributed search (SURVEY.md N7, §3.2).
+
+The index matrix [N_pad, D] lives row-sharded across the 'shard' mesh axis
+(each chip holds N_pad/S rows in its HBM). A query is replicated; each chip
+computes scores against its shard and reduces them to a per-shard top-k;
+the only cross-chip traffic is one [Q, S*k] candidate all-gather over ICI,
+merged redundantly on every chip (k is tiny). This is the TPU-native
+replacement for the reference's single-matrix in-RAM scan.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .mesh import make_mesh, replicate, shard_rows
+
+
+def sharded_topk_fn(mesh: Mesh, k: int, axis: str = "shard"):
+    """Build the jitted sharded search: (descriptors, ids, queries) ->
+    (scores [Q,k], global_ids [Q,k]), all-replicated output."""
+
+    def per_shard(X, ids_s, q):
+        # X: [N/S, D] local shard; ids_s: [N/S]; q: [Q, D] replicated
+        scores = jnp.dot(q.astype(X.dtype), X.T,
+                         preferred_element_type=jnp.float32)       # [Q, N/S]
+        scores = jnp.where(ids_s[None, :] >= 0, scores, -jnp.inf)
+        s, pos = jax.lax.top_k(scores, k)                           # [Q, k]
+        gids = jnp.take(ids_s, pos)                                 # [Q, k]
+        # ---- ICI boundary: gather S*k candidates per query ----
+        s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)     # [Q, S*k]
+        g_all = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
+        s2, p2 = jax.lax.top_k(s_all, k)
+        return s2, jnp.take_along_axis(g_all, p2, axis=1)
+
+    mapped = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
+
+
+class ShardedIndex:
+    """Thin distribution layer over Index storage.
+
+    ``descriptors``/``ids`` are device_put with NamedSharding(P('shard'))
+    — on a 1-device mesh this is exactly the single-chip layout, same code
+    path (SURVEY.md §7 Phase 4).
+    """
+
+    def __init__(self, descriptors: jax.Array, ids: jax.Array,
+                 mesh: Mesh | None = None, k: int = 10):
+        self.mesh = mesh or make_mesh()
+        n = descriptors.shape[0]
+        s = self.mesh.devices.size
+        if n % s:
+            raise ValueError(f"padded rows {n} not divisible by {s} shards")
+        self.descriptors = shard_rows(self.mesh, descriptors)
+        self.ids = shard_rows(self.mesh, ids)
+        self._fns: dict[int, callable] = {}
+        self.default_k = k
+
+    def search(self, queries: jax.Array, k: int | None = None):
+        k = k or self.default_k
+        if k not in self._fns:
+            self._fns[k] = sharded_topk_fn(self.mesh, k)
+        q = replicate(self.mesh, jnp.asarray(queries))
+        return self._fns[k](self.descriptors, self.ids, q)

@@ -1,0 +1,3 @@
+from .trainer import TrainState, Trainer, contrastive_loss, triplet_loss
+
+__all__ = ["TrainState", "Trainer", "contrastive_loss", "triplet_loss"]

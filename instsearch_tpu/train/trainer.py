@@ -1,0 +1,130 @@
+"""Siamese/contrastive fine-tuning for retrieval (SURVEY.md C17,
+arXiv:1711.02512 §4): tuples of (anchor, positive, negatives...) pass
+through the backbone + GeM, and a contrastive (or triplet) loss pulls
+matching pairs together in descriptor space.
+
+TPU-native: the train step is one jitted SPMD program, data-parallel over
+the 'data' mesh axis via sharding annotations — XLA inserts the gradient
+all-reduce (SURVEY.md §2.2 DP row). BatchNorm runs in inference mode with
+frozen statistics, the standard retrieval fine-tuning setup (ibid.), which
+keeps the step functional (no mutable batch-stats collection).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import TrainConfig
+from ..models import get_backbone
+from ..ops import gem_pool, l2_normalize, mac_pool, avg_pool
+
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
+
+
+class TrainState(NamedTuple):
+    params: Any
+    frozen: Any            # batch_stats etc. (no gradients)
+    opt_state: Any
+    step: jax.Array
+
+
+def _descriptors(model, params, frozen, images, cfg: TrainConfig):
+    """images [B, S, S, 3] float -> [B, D] unit descriptors."""
+    variables = {"params": params, **frozen}
+    fmap = model.apply(variables, images)
+    if cfg.pooling == "gem":
+        d = gem_pool(fmap, cfg.gem_p if hasattr(cfg, "gem_p") else 3.0)
+    elif cfg.pooling == "mac":
+        d = mac_pool(fmap)
+    else:
+        d = avg_pool(fmap)
+    return l2_normalize(d.astype(jnp.float32), axis=-1)
+
+
+def contrastive_loss(desc: jax.Array, cfg: TrainConfig) -> jax.Array:
+    """desc: [B, T, D] with T = anchor, positive, negatives...
+    L = 0.5*||a-p||^2 + sum_n 0.5*max(0, margin - ||a-n||)^2  (ibid. eq. 1)."""
+    a, p, negs = desc[:, 0], desc[:, 1], desc[:, 2:]
+    pos = 0.5 * jnp.sum(jnp.square(a - p), axis=-1)
+    dneg = jnp.linalg.norm(a[:, None] - negs, axis=-1)          # [B, Nneg]
+    neg = 0.5 * jnp.sum(jnp.square(jnp.maximum(0.0, cfg.margin - dneg)), axis=-1)
+    return jnp.mean(pos + neg)
+
+
+def triplet_loss(desc: jax.Array, cfg: TrainConfig) -> jax.Array:
+    """max(0, ||a-p||^2 - ||a-n||^2 + margin), averaged over negatives."""
+    a, p, negs = desc[:, 0], desc[:, 1], desc[:, 2:]
+    dp = jnp.sum(jnp.square(a - p), axis=-1, keepdims=True)
+    dn = jnp.sum(jnp.square(a[:, None] - negs), axis=-1)
+    return jnp.mean(jnp.maximum(0.0, dp - dn + cfg.margin))
+
+
+class Trainer:
+    """Builds the jitted, mesh-sharded train step.
+
+    ``mesh`` is a 1-D ('data',) jax.sharding.Mesh (or None for single
+    device). Batches are [B, T, S, S, 3] uint8/float, sharded over B.
+    """
+
+    def __init__(self, cfg: TrainConfig, mesh=None, seed: int = 0,
+                 variables: dict | None = None):
+        self.cfg = cfg
+        dtype = _DTYPES[cfg.dtype]
+        self.model, self.spec = get_backbone(cfg.backbone, dtype=dtype)
+        if variables is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(seed),
+                np.zeros((1, cfg.image_size, cfg.image_size, 3), np.float32))
+        variables = dict(variables)
+        params = variables.pop("params")
+        self.tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+        self.state = TrainState(params=params, frozen=variables,
+                                opt_state=self.tx.init(params),
+                                step=jnp.zeros((), jnp.int32))
+        self.mesh = mesh
+        loss_fn = contrastive_loss if cfg.loss == "contrastive" else triplet_loss
+
+        def step_fn(state: TrainState, images):
+            def loss(params):
+                b, t = images.shape[:2]
+                flat = images.reshape((b * t,) + images.shape[2:])
+                flat = flat.astype(jnp.float32) / 255.0 if flat.dtype == jnp.uint8 else flat
+                desc = _descriptors(self.model, params, state.frozen, flat, cfg)
+                return loss_fn(desc.reshape(b, t, -1), cfg)
+
+            lval, grads = jax.value_and_grad(loss)(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(params, state.frozen, opt_state, state.step + 1)
+            return new_state, {"loss": lval}
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            state_sh = jax.tree_util.tree_map(lambda _: repl, self.state)
+            self.state = jax.device_put(self.state, repl)
+            self._step = jax.jit(step_fn,
+                                 in_shardings=(state_sh, data),
+                                 out_shardings=(state_sh, repl))
+        else:
+            self._step = jax.jit(step_fn)
+
+    def step(self, images) -> dict:
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            images = jax.device_put(
+                jnp.asarray(images), NamedSharding(self.mesh, P("data")))
+        else:
+            images = jnp.asarray(images)
+        self.state, metrics = self._step(self.state, images)
+        return {k: float(v) for k, v in metrics.items()}
+
+    @property
+    def variables(self) -> dict:
+        return {"params": self.state.params, **self.state.frozen}

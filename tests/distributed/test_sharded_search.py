@@ -1,0 +1,50 @@
+"""Distributed search on 8 fake CPU devices (SURVEY.md §4.4): the sharded
+result must equal the single-device oracle exactly."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instsearch_tpu.parallel import ShardedIndex, make_mesh
+from instsearch_tpu.search import search_topk
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((1024, 64)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    Q = rng.standard_normal((5, 64)).astype(np.float32)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    ids = np.arange(1024, dtype=np.int32)
+    return X, Q, ids
+
+
+@pytest.mark.parametrize("n_shards", [1, 2, 8])
+def test_sharded_equals_oracle(data, n_shards):
+    X, Q, ids = data
+    mesh = make_mesh(n_shards)
+    sidx = ShardedIndex(jnp.asarray(X), jnp.asarray(ids), mesh=mesh)
+    s_scores, s_ids = sidx.search(jnp.asarray(Q), k=10)
+    o_scores, o_ids = search_topk(jnp.asarray(X), jnp.asarray(Q), k=10)
+    np.testing.assert_array_equal(np.asarray(s_ids), np.asarray(o_ids))
+    np.testing.assert_allclose(np.asarray(s_scores), np.asarray(o_scores), rtol=1e-5)
+
+
+def test_sharded_masks_padding(data):
+    X, Q, ids = data
+    # mark the last 100 rows as padding: they must never appear
+    ids2 = ids.copy()
+    ids2[-100:] = -1
+    mesh = make_mesh(8)
+    sidx = ShardedIndex(jnp.asarray(X), jnp.asarray(ids2), mesh=mesh)
+    _, s_ids = sidx.search(jnp.asarray(Q), k=10)
+    assert np.asarray(s_ids).max() < 924
+    assert (np.asarray(s_ids) >= 0).all()
+
+
+def test_rejects_nondivisible_rows(data):
+    X, Q, ids = data
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError):
+        ShardedIndex(jnp.asarray(X[:900]), jnp.asarray(ids[:900]), mesh=mesh)

@@ -1,0 +1,63 @@
+"""Index build/query/save/load round-trip on the mini fixture."""
+import numpy as np
+import pytest
+
+from instsearch_tpu import PipelineConfig, ExtractConfig, SearchConfig
+from instsearch_tpu.eval import make_mini_dataset
+from instsearch_tpu.index import Index
+
+
+@pytest.fixture(scope="module")
+def mini(tmp_path_factory):
+    return make_mini_dataset(str(tmp_path_factory.mktemp("mini_idx")), seed=1)
+
+
+@pytest.fixture(scope="module")
+def built(mini):
+    cfg = PipelineConfig(
+        extract=ExtractConfig(backbone="vgg16", pooling="gem", image_size=64,
+                              batch_size=8, dtype="float32"),
+        search=SearchConfig(k=5))
+    return Index.build(mini.db_paths, cfg, seed=0)
+
+
+@pytest.mark.slow
+def test_build_and_query(built, mini):
+    assert built.num_valid == len(mini.imlist)
+    # query with the first db image itself -> self-match at rank 0
+    from instsearch_tpu.data import frontend
+    img = frontend.load_square(mini.db_paths[0], 64)
+    scores, ids = built.query_images(img[None])
+    assert ids[0, 0] == 0
+    assert scores[0, 0] > 0.99
+
+
+@pytest.mark.slow
+def test_save_load_roundtrip(built, tmp_path):
+    built.save(str(tmp_path / "idx"))
+    loaded = Index.load(str(tmp_path / "idx"))
+    assert loaded.num_valid == built.num_valid
+    assert loaded.names == built.names
+    np.testing.assert_allclose(
+        np.asarray(loaded.descriptors, dtype=np.float32),
+        np.asarray(built.descriptors, dtype=np.float32), atol=1e-2)
+    q = np.asarray(built.descriptors[:2], dtype=np.float32)
+    s1, i1 = built.search(q)
+    s2, i2 = loaded.search(q)
+    np.testing.assert_array_equal(i1, i2)
+
+
+@pytest.mark.slow
+def test_whitened_build(mini):
+    cfg = PipelineConfig(
+        extract=ExtractConfig(backbone="vgg16", pooling="mac", image_size=64,
+                              batch_size=8, dtype="float32", whiten=True,
+                              whiten_dim=32))
+    idx = Index.build(mini.db_paths, cfg, seed=0)
+    assert idx.dim == 32
+    assert idx.extractor.whitening is not None
+    # queries must go through the same whitening: self-match still holds
+    from instsearch_tpu.data import frontend
+    img = frontend.load_square(mini.db_paths[3], 64)
+    _, ids = idx.query_images(img[None])
+    assert ids[0, 0] == 3
