@@ -5,10 +5,13 @@ Headline metric (BASELINE.json): feature-extraction images/sec/chip,
 target >= 10,000 on TPU v5e. ``vs_baseline`` is value/target.
 """
 import json
+import os
 import sys
 
 
 def main() -> int:
+    # NOTE: do NOT enable jax_compilation_cache_dir here — the axon TPU
+    # backend hangs when the persistent compilation cache is active.
     from instsearch_tpu.bench import bench_extraction, bench_query
 
     ext = bench_extraction()

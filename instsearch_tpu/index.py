@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -30,6 +31,31 @@ _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
 
 def _pad_rows(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
+
+
+@partial(jax.jit, static_argnames=("k", "use_pallas"))
+def _topk_jit(descriptors, ids, queries, num_valid, *, k: int, use_pallas: bool):
+    queries = jnp.asarray(queries)
+    if use_pallas:
+        from .kernels import topk_matmul
+        scores, pos = topk_matmul(descriptors, queries, k=k,
+                                  num_valid=num_valid)
+    else:
+        raw = jnp.dot(queries.astype(descriptors.dtype), descriptors.T,
+                      preferred_element_type=jnp.float32)
+        raw = jnp.where(ids[None, :] >= 0, raw, -jnp.inf)
+        scores, pos = jax.lax.top_k(raw, k)
+    out_ids = jnp.where(pos >= 0, jnp.take(ids, jnp.maximum(pos, 0)), -1)
+    return scores, out_ids
+
+
+@jax.jit
+def _full_ranking_jit(descriptors, ids, queries):
+    scores = jnp.dot(queries.astype(descriptors.dtype), descriptors.T,
+                     preferred_element_type=jnp.float32)
+    scores = jnp.where(ids[None, :] >= 0, scores, -jnp.inf)
+    order = jnp.argsort(-scores, axis=1)
+    return jnp.take(ids, order)
 
 
 class Index:
@@ -108,6 +134,16 @@ class Index:
         scores = bruteforce.all_scores(self.descriptors, queries)
         return jnp.where(self.ids[None, :] >= 0, scores, -jnp.inf)
 
+    def _topk(self, queries: jax.Array, k: int):
+        """Top-k positions -> original ids; fused Pallas kernel on TPU,
+        XLA oracle elsewhere (SURVEY.md N5). One jitted program — eager op
+        dispatch is extremely slow through the axon tunnel."""
+        use_pallas = (self.cfg.search.use_pallas
+                      and jax.devices()[0].platform == "tpu")
+        return _topk_jit(self.descriptors, self.ids, queries,
+                         jnp.asarray(self.num_valid, jnp.int32),
+                         k=k, use_pallas=use_pallas)
+
     def search(self, queries: np.ndarray | jax.Array,
                search_cfg: Optional[SearchConfig] = None):
         """Descriptor-space search: ``queries [Q, D]`` ->
@@ -120,13 +156,13 @@ class Index:
             from .search.qe import alpha_query_expansion
             q = alpha_query_expansion(self.descriptors, self.ids, q,
                                       n=scfg.qe_n, alpha=scfg.qe_alpha)
-        scores = self._masked_scores(q)
-        top_scores, top_pos = jax.lax.top_k(scores, scfg.k)
-        top_ids = jnp.take(self.ids, top_pos)
         if scfg.rerank_enabled and self.regional is not None:
             from .search.rerank import regional_rerank
+            scores = self._masked_scores(q)
             top_scores, top_ids = regional_rerank(
                 self, q, scores, depth=scfg.rerank_depth, k=scfg.k)
+        else:
+            top_scores, top_ids = self._topk(q, scfg.k)
         return np.asarray(top_scores), np.asarray(top_ids)
 
     def query_images(self, images, search_cfg: Optional[SearchConfig] = None):
@@ -138,11 +174,9 @@ class Index:
     def full_ranking(self, queries) -> np.ndarray:
         """[Q, N] ranked original dataset ids best-first (valid rows only),
         for protocol evaluation. Padding (-inf) sorts last and is cut."""
-        q = jnp.asarray(queries)
-        scores = self._masked_scores(q)
-        order = jnp.argsort(-scores, axis=1)
-        ranked_ids = np.asarray(jnp.take(self.ids, order))
-        return ranked_ids[:, :self.num_valid]
+        ranked_ids = _full_ranking_jit(self.descriptors, self.ids,
+                                       jnp.asarray(queries))
+        return np.asarray(ranked_ids)[:, :self.num_valid]
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:

@@ -1,0 +1,158 @@
+"""Fused matmul + running top-k Pallas kernel (SURVEY.md N5 — THE native
+component, replacing the reference's BLAS matmul + host argsort).
+
+Design (SURVEY.md §3.2, §7 Phase 3): the index matrix X [N, D] streams from
+HBM through VMEM in row tiles (Pallas auto-double-buffers the grid); the
+query block q [B, D] stays VMEM-resident. Each grid step computes
+``q @ tile.T`` on the MXU and folds the tile's scores into a running top-k
+carried in VMEM scratch across the sequential TPU grid — the same
+online-reduction shape as flash-attention's running max (SURVEY.md §5
+long-context analog).
+
+Two tricks make it speed-of-light (HBM-bound):
+  * threshold skip — a tile only pays the O(k) merge when its max score
+    beats the current k-th best (rare after warm-up), so the steady-state
+    per-tile work is one matmul + one max-reduce;
+  * merge via k-round masked argmax (no sort support in Mosaic): each round
+    extracts one maximum with a one-hot select, O(k * (TILE_N + k)) VPU ops
+    only on the rare merging tiles.
+
+Padding rows (id < num_valid is false) are masked to -inf before the merge
+so they can never enter a top-k.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = np.float32(-np.inf)  # plain numpy: jnp scalars become captured tracers
+
+
+def _merge_topk(scores, ids, top_s, top_i, k: int):
+    """Fold [B, T] tile scores into the running [B, k] top-k (descending).
+
+    k rounds of masked argmax over the concatenation; returns new (top_s,
+    top_i). All shapes static; runs on the VPU.
+    """
+    comb_s = jnp.concatenate([top_s, scores], axis=1)          # [B, k+T]
+    comb_i = jnp.concatenate([top_i, ids], axis=1)
+    b, m = comb_s.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
+    new_s = []
+    new_i = []
+    for _ in range(k):
+        best = jnp.max(comb_s, axis=1, keepdims=True)           # [B, 1]
+        am = jnp.argmax(comb_s, axis=1).astype(jnp.int32)       # [B]
+        sel = col == am[:, None]                                # one-hot
+        best_i = jnp.sum(jnp.where(sel, comb_i, 0), axis=1, keepdims=True)
+        new_s.append(best)
+        new_i.append(best_i)
+        comb_s = jnp.where(sel, NEG_INF, comb_s)
+    return (jnp.concatenate(new_s, axis=1),
+            jnp.concatenate(new_i, axis=1).astype(jnp.int32))
+
+
+def _kernel(num_valid_ref, x_ref, q_ref, out_s_ref, out_i_ref,
+            top_s, top_i, *, k: int, tile_n: int):
+    step = pl.program_id(0)
+    num_steps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _init():
+        top_s[:] = jnp.full_like(top_s, NEG_INF)
+        top_i[:] = jnp.full_like(top_i, -1)
+
+    # [B, T] scores on the MXU, f32 accumulation
+    scores = jax.lax.dot_general(
+        q_ref[:], x_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    b = scores.shape[0]
+    base = step * tile_n
+    row_ids = base + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    valid = row_ids < num_valid_ref[0]
+    scores = jnp.where(valid, scores, NEG_INF)
+
+    # threshold skip: merge only if some score beats the current k-th best
+    tile_max = jnp.max(scores)
+    kth_best = jnp.min(top_s[:])
+
+    @pl.when(tile_max > kth_best)
+    def _merge():
+        new_s, new_i = _merge_topk(scores, row_ids, top_s[:], top_i[:], k)
+        top_s[:] = new_s
+        top_i[:] = new_i
+
+    @pl.when(step == num_steps - 1)
+    def _emit():
+        out_s_ref[:] = top_s[:]
+        out_i_ref[:] = top_i[:]
+
+
+def default_tile_n(n: int, d: int, dtype=jnp.bfloat16) -> int:
+    """Pick a row tile: big enough to amortize, small enough that the
+    double-buffered tile pair stays well under VMEM (~16 MB)."""
+    bytes_per = jnp.dtype(dtype).itemsize
+    for tile in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if n % tile == 0 and 2 * tile * d * bytes_per <= 8 * 1024 * 1024:
+            return tile
+    raise ValueError(f"no valid row tile for N={n}; pad rows to a multiple of 8")
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def topk_matmul(x: jax.Array, q: jax.Array, k: int = 10,
+                num_valid: "jax.Array | int | None" = None,
+                tile_n: int | None = None, interpret: bool = False):
+    """Fused brute-force top-k: ``x [N, D]``, ``q [B, D]`` ->
+    ``(scores [B, k] f32 desc-sorted, row_ids [B, k] int32)``.
+
+    ``num_valid`` masks padding rows (>= num_valid -> never returned);
+    rows with id -1 come back only when fewer than k valid rows exist.
+    """
+    n, d = x.shape
+    b = q.shape[0]
+    if tile_n is None:
+        tile_n = default_tile_n(n, d, x.dtype)
+    if n % tile_n:
+        raise ValueError(f"N={n} not a multiple of tile_n={tile_n}")
+    if k > tile_n:
+        raise ValueError(f"k={k} > tile_n={tile_n}")
+    nv = jnp.asarray([n if num_valid is None else num_valid], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, d), lambda i, nv_ref: (i, 0)),
+            pl.BlockSpec((b, d), lambda i, nv_ref: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, k), lambda i, nv_ref: (0, 0)),
+            pl.BlockSpec((b, k), lambda i, nv_ref: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(_kernel, k=k, tile_n=tile_n)
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d * x.dtype.itemsize + b * d * 4 + 2 * b * k * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(nv, x, q.astype(x.dtype))
+    return out_s, out_i

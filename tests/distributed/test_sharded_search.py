@@ -21,10 +21,12 @@ def data():
 
 
 @pytest.mark.parametrize("n_shards", [1, 2, 8])
-def test_sharded_equals_oracle(data, n_shards):
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_sharded_equals_oracle(data, n_shards, use_pallas):
     X, Q, ids = data
     mesh = make_mesh(n_shards)
-    sidx = ShardedIndex(jnp.asarray(X), jnp.asarray(ids), mesh=mesh)
+    sidx = ShardedIndex(jnp.asarray(X), jnp.asarray(ids), mesh=mesh,
+                        use_pallas=use_pallas, interpret=use_pallas)
     s_scores, s_ids = sidx.search(jnp.asarray(Q), k=10)
     o_scores, o_ids = search_topk(jnp.asarray(X), jnp.asarray(Q), k=10)
     np.testing.assert_array_equal(np.asarray(s_ids), np.asarray(o_ids))

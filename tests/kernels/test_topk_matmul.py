@@ -1,0 +1,98 @@
+"""Pallas topk_matmul vs lax.top_k oracle (SURVEY.md §4.3).
+
+CPU backend -> interpret mode; on real TPU the same tests compile via
+Mosaic (exercised in the verify drives / bench).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instsearch_tpu.kernels import default_tile_n, topk_matmul
+
+INTERP = dict(interpret=True)  # CPU test backend
+
+
+def _oracle(X, Q, k):
+    scores = (Q.astype(np.float32) @ X.astype(np.float32).T)
+    s, i = jax.lax.top_k(jnp.asarray(scores), k)
+    return np.asarray(s), np.asarray(i)
+
+
+@pytest.mark.parametrize("n,d,b,k,tile", [
+    (256, 64, 1, 10, 64),
+    (512, 128, 4, 10, 128),
+    (1024, 128, 3, 1, 256),      # k=1
+    (128, 256, 2, 128, 128),     # k == tile_n
+    (264, 128, 2, 5, 8),         # N multiple of 8 only
+])
+def test_matches_oracle(rng, n, d, b, k, tile):
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((b, d)).astype(np.float32)
+    s, i = topk_matmul(jnp.asarray(X), jnp.asarray(Q), k=k, tile_n=tile, **INTERP)
+    ws, wi = _oracle(X, Q, k)
+    np.testing.assert_array_equal(np.asarray(i), wi)
+    np.testing.assert_allclose(np.asarray(s), ws, rtol=1e-5, atol=1e-5)
+
+
+def test_ties_lowest_id_first(rng):
+    # duplicate rows -> equal scores; both kernel and lax.top_k must order
+    # ties by ascending id
+    base = rng.standard_normal((8, 64)).astype(np.float32)
+    X = np.concatenate([base] * 8)          # every row duplicated 8x
+    Q = rng.standard_normal((2, 64)).astype(np.float32)
+    s, i = topk_matmul(jnp.asarray(X), jnp.asarray(Q), k=16, tile_n=16, **INTERP)
+    ws, wi = _oracle(X, Q, 16)
+    np.testing.assert_allclose(np.asarray(s), ws, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), wi)
+
+
+def test_num_valid_masks_padding(rng):
+    X = rng.standard_normal((256, 64)).astype(np.float32)
+    X[200:] = 100.0   # poison padding region: must never be returned
+    Q = rng.standard_normal((2, 64)).astype(np.float32)
+    s, i = topk_matmul(jnp.asarray(X), jnp.asarray(Q), k=10, num_valid=200,
+                       tile_n=64, **INTERP)
+    assert np.asarray(i).max() < 200
+    ws, wi = _oracle(X[:200], Q, 10)
+    np.testing.assert_array_equal(np.asarray(i), wi)
+
+
+def test_fewer_valid_than_k(rng):
+    X = rng.standard_normal((64, 32)).astype(np.float32)
+    Q = rng.standard_normal((1, 32)).astype(np.float32)
+    s, i = topk_matmul(jnp.asarray(X), jnp.asarray(Q), k=10, num_valid=4,
+                       tile_n=32, **INTERP)
+    i = np.asarray(i)[0]
+    assert set(i[:4]) == {0, 1, 2, 3}
+    assert (i[4:] == -1).all()
+    assert (np.asarray(s)[0][4:] == -np.inf).all()
+
+
+def test_rejects_bad_shapes(rng):
+    X = jnp.asarray(rng.standard_normal((100, 32)).astype(np.float32))
+    Q = jnp.asarray(rng.standard_normal((1, 32)).astype(np.float32))
+    with pytest.raises(ValueError):
+        topk_matmul(X, Q, k=10, tile_n=64, **INTERP)   # 100 % 64 != 0
+    with pytest.raises(ValueError):
+        topk_matmul(X[:64], Q, k=128, tile_n=64, **INTERP)  # k > tile
+
+
+def test_default_tile_n():
+    assert default_tile_n(1_048_576, 512) == 2048
+    assert default_tile_n(1_048_576, 2048) == 1024   # VMEM cap
+    assert default_tile_n(264, 128) == 8
+    with pytest.raises(ValueError):
+        default_tile_n(999, 128)   # not a multiple of 8
+
+
+def test_bf16_index(rng):
+    X = rng.standard_normal((512, 128)).astype(np.float32)
+    Q = rng.standard_normal((2, 128)).astype(np.float32)
+    Xb = jnp.asarray(X, jnp.bfloat16)
+    s, i = topk_matmul(Xb, jnp.asarray(Q), k=5, tile_n=128, **INTERP)
+    # oracle in the same precision
+    sw, iw = jax.lax.top_k(
+        jnp.dot(jnp.asarray(Q, jnp.bfloat16), Xb.T,
+                preferred_element_type=jnp.float32), 5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(iw))
