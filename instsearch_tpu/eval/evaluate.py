@@ -73,6 +73,39 @@ def evaluate_index(index: Index, dataset: RetrievalDataset,
         q = alpha_query_expansion(index.descriptors, index.ids, q,
                                   n=scfg.qe_n, alpha=scfg.qe_alpha)
     ranks = index.full_ranking(q)
+
+    if scfg.rerank_enabled and index.regional is not None:
+        # re-order the top-`depth` of the full ranking; tail unchanged
+        ex = index.extractor
+        size, batch = ex.cfg.image_size, ex.cfg.batch_size
+        qreg = []
+        for qname, entry in zip(dataset.qimlist, dataset.gnd):
+            img = load_query_batchable(dataset.image_path(qname),
+                                       entry.get("bbx") if crop_bbx else None,
+                                       size)
+            qreg.append(img)
+        regs = []
+        for i in range(0, len(qreg), batch):
+            chunk = qreg[i:i + batch]
+            arr = np.stack(chunk + [chunk[-1]] * (batch - len(chunk)))
+            r = np.asarray(ex.extract_regional(jnp.asarray(arr)))
+            regs.append(r[:len(chunk)])
+        query_regional = np.concatenate(regs)
+        depth = min(scfg.rerank_depth, index.descriptors.shape[0])
+        from ..search.rerank import regional_rerank_scores
+        scores = index._masked_scores(q)
+        _, top_ids = regional_rerank_scores(
+            index.regional, index.ids, scores,
+            jnp.asarray(query_regional), depth=depth, k=depth)
+        top_ids = np.asarray(top_ids)                       # [Q, depth]
+        spliced = []
+        for qi in range(ranks.shape[0]):
+            head = top_ids[qi][top_ids[qi] >= 0]
+            head_set = set(head.tolist())
+            tail = [r for r in ranks[qi] if r not in head_set]
+            spliced.append(np.concatenate([head, np.asarray(tail, head.dtype)]))
+        ranks = np.stack(spliced)
+
     res = evaluate_ranks(ranks, dataset.gnd, protocol)
     res["dataset"] = dataset.name
     res["protocol"] = protocol

@@ -51,6 +51,27 @@ def build_extract_fn(cfg: ExtractConfig):
     return model, extract
 
 
+def build_regional_fn(cfg: ExtractConfig):
+    """Per-region R-MAC descriptors for the re-ranking store (SURVEY.md C13):
+    ``(variables, images, whitening) -> [N, R, D]`` unit-norm per region."""
+    from .ops.pooling import rmac_regional_descriptors
+
+    dtype = _DTYPES[cfg.dtype]
+    model, spec = get_backbone(cfg.backbone, dtype=dtype)
+
+    def extract_regional(variables, images,
+                         whitening: Optional[WhiteningParams] = None):
+        x = frontend.normalize(images, dtype=dtype)
+        fmap = model.apply(variables, x)
+        reg = rmac_regional_descriptors(fmap, cfg.rmac_levels)   # [N, R, C]
+        reg = l2_normalize(reg.astype(jnp.float32), axis=-1)
+        if whitening is not None:
+            reg = apply_whitening(reg, whitening)                # re-L2s
+        return reg
+
+    return model, extract_regional
+
+
 class Extractor:
     """Convenience stateful wrapper holding variables + jitted extract fn."""
 
@@ -67,9 +88,26 @@ class Extractor:
         self.variables = variables
         self.whitening = whitening
         self._jit = jax.jit(self._fn)
+        self._regional_jit = None
 
     def __call__(self, images) -> jax.Array:
         return self._jit(self.variables, images, self.whitening)
+
+    def extract_regional(self, images) -> jax.Array:
+        """[B, S, S, 3] -> [B, R, D] per-region descriptors (same weights,
+        same whitening as the global pipeline)."""
+        if self._regional_jit is None:
+            _, fn = build_regional_fn(self.cfg)
+            self._regional_jit = jax.jit(fn)
+        return self._regional_jit(self.variables, images, self.whitening)
+
+    def extract_paths_regional(self, paths) -> np.ndarray:
+        out = []
+        for batch, idxs in frontend.batch_paths(
+                paths, self.cfg.image_size, self.cfg.batch_size):
+            r = np.asarray(self.extract_regional(jnp.asarray(batch)))
+            out.append(r[idxs >= 0])
+        return np.concatenate(out) if out else np.zeros((0, 0, 0), np.float32)
 
     def extract_paths(self, paths, quarantine: list | None = None):
         """Host loop: decode/batch on host, extract on device.

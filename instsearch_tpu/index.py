@@ -127,6 +127,13 @@ class Index:
         idx = cls.from_descriptors(descs, names, cfg, extractor=ex,
                                    original_ids=kept)
         idx.quarantined = quarantine
+
+        if cfg.search.rerank_enabled:
+            reg = ex.extract_paths_regional([paths[i] for i in kept])
+            n_pad = idx.descriptors.shape[0]
+            reg_pad = np.zeros((n_pad,) + reg.shape[1:], np.float32)
+            reg_pad[:len(reg)] = reg
+            idx.regional = jnp.asarray(reg_pad, _DTYPES[cfg.index.dtype])
         return idx
 
     # ------------------------------------------------------------------
@@ -145,9 +152,12 @@ class Index:
                          k=k, use_pallas=use_pallas)
 
     def search(self, queries: np.ndarray | jax.Array,
-               search_cfg: Optional[SearchConfig] = None):
+               search_cfg: Optional[SearchConfig] = None,
+               query_regional: "np.ndarray | jax.Array | None" = None):
         """Descriptor-space search: ``queries [Q, D]`` ->
-        ``(scores [Q,k], ids [Q,k])`` with αQE / re-ranking as configured."""
+        ``(scores [Q,k], ids [Q,k])`` with αQE / re-ranking as configured.
+        ``query_regional [Q, Rq, D]`` enables the re-ranking stage (built
+        automatically by :meth:`query_images`)."""
         scfg = search_cfg or self.cfg.search
         q = jnp.asarray(queries)
         if q.ndim == 1:
@@ -156,20 +166,28 @@ class Index:
             from .search.qe import alpha_query_expansion
             q = alpha_query_expansion(self.descriptors, self.ids, q,
                                       n=scfg.qe_n, alpha=scfg.qe_alpha)
-        if scfg.rerank_enabled and self.regional is not None:
+        if scfg.rerank_enabled and self.regional is not None \
+                and query_regional is not None:
             from .search.rerank import regional_rerank
             scores = self._masked_scores(q)
             top_scores, top_ids = regional_rerank(
-                self, q, scores, depth=scfg.rerank_depth, k=scfg.k)
+                self, q, scores, query_regional=jnp.asarray(query_regional),
+                depth=scfg.rerank_depth, k=scfg.k)
         else:
             top_scores, top_ids = self._topk(q, scfg.k)
         return np.asarray(top_scores), np.asarray(top_ids)
 
     def query_images(self, images, search_cfg: Optional[SearchConfig] = None):
-        """Image-space search: uint8 batch -> extract -> search."""
+        """Image-space search: uint8 batch -> extract -> search (computes
+        regional query descriptors when re-ranking is enabled)."""
         assert self.extractor is not None, "index has no extractor attached"
-        q = self.extractor(jnp.asarray(images))
-        return self.search(q, search_cfg)
+        scfg = search_cfg or self.cfg.search
+        images = jnp.asarray(images)
+        q = self.extractor(images)
+        qreg = None
+        if scfg.rerank_enabled and self.regional is not None:
+            qreg = self.extractor.extract_regional(images)
+        return self.search(q, scfg, query_regional=qreg)
 
     def full_ranking(self, queries) -> np.ndarray:
         """[Q, N] ranked original dataset ids best-first (valid rows only),
