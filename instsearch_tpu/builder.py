@@ -1,0 +1,117 @@
+"""Resumable index building (SURVEY.md §5 failure detection / recovery).
+
+Descriptors are flushed per batch-group to ``out_dir/parts/`` with a
+manifest recording completed ranges; on restart, completed groups are
+skipped (at-least-once, idempotent by image position). Corrupt images are
+quarantined to a sidecar list, never fatal.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .config import PipelineConfig
+from .extractor import Extractor
+from .index import Index
+from .utils import COUNTERS, get_logger
+
+log = get_logger("instsearch.builder")
+
+
+class ResumableBuilder:
+    """Builds descriptors for ``paths`` with crash recovery.
+
+    Usage::
+
+        b = ResumableBuilder(paths, cfg, "out/")
+        b.run()                 # resumes automatically if interrupted
+        index = b.finalize()    # assemble + save the Index
+    """
+
+    def __init__(self, paths: Sequence[str], cfg: PipelineConfig,
+                 out_dir: str, group_size: int = 16,
+                 variables: dict | None = None, seed: int = 0):
+        self.paths = list(paths)
+        self.cfg = cfg
+        self.out_dir = out_dir
+        self.parts_dir = os.path.join(out_dir, "parts")
+        self.manifest_path = os.path.join(out_dir, "manifest.json")
+        os.makedirs(self.parts_dir, exist_ok=True)
+        self.group = group_size * cfg.extract.batch_size  # images per flush
+        self.extractor = Extractor(cfg.extract.replace(whiten=False),
+                                   variables, seed=seed)
+        self.manifest = self._load_manifest()
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                m = json.load(f)
+            if m.get("num_paths") != len(self.paths):
+                log.warning("manifest path count changed; restarting build")
+                m = None
+            if m is not None:
+                return m
+        return {"num_paths": len(self.paths), "completed": [],
+                "quarantined": []}
+
+    def _save_manifest(self) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f)
+        os.replace(tmp, self.manifest_path)   # atomic
+
+    def _part_path(self, start: int) -> str:
+        return os.path.join(self.parts_dir, f"part_{start:09d}.npz")
+
+    def run(self) -> None:
+        done = {tuple(r) for r in self.manifest["completed"]}
+        for start in range(0, len(self.paths), self.group):
+            end = min(start + self.group, len(self.paths))
+            if (start, end) in done:
+                continue
+            chunk = self.paths[start:end]
+            quarantine: list[str] = []
+            descs, kept = self.extractor.extract_paths(chunk, quarantine)
+            np.savez(self._part_path(start), descriptors=descs,
+                     kept=np.asarray(kept) + start)
+            COUNTERS.add("images_extracted", len(kept))
+            self.manifest["completed"].append([start, end])
+            self.manifest["quarantined"].extend(quarantine)
+            self._save_manifest()
+            log.info("group [%d, %d) done (%d imgs, %d quarantined)",
+                     start, end, len(kept), len(quarantine))
+
+    def finalize(self, fit_whitening_now: bool = True) -> Index:
+        """Assemble parts into an Index (fits whitening on the collected
+        descriptors when the config asks for it)."""
+        ranges = sorted(tuple(r) for r in self.manifest["completed"])
+        expected = [(s, min(s + self.group, len(self.paths)))
+                    for s in range(0, len(self.paths), self.group)]
+        if ranges != expected:
+            missing = set(expected) - set(ranges)
+            raise RuntimeError(f"build incomplete; missing groups {sorted(missing)[:5]}")
+        descs, kept = [], []
+        for s, _ in expected:
+            part = np.load(self._part_path(s))
+            descs.append(part["descriptors"])
+            kept.append(part["kept"])
+        descs = np.concatenate(descs) if descs else np.zeros((0, 1), np.float32)
+        kept = np.concatenate(kept) if kept else np.zeros((0,), np.int64)
+
+        ex = self.extractor
+        if self.cfg.extract.whiten and fit_whitening_now:
+            import jax.numpy as jnp
+            from .ops.whitening import apply_whitening, fit_whitening
+            ex.whitening = fit_whitening(
+                jnp.asarray(descs), dim=self.cfg.extract.whiten_dim or None)
+            descs = np.asarray(apply_whitening(jnp.asarray(descs), ex.whitening))
+
+        names = [os.path.splitext(os.path.basename(self.paths[i]))[0]
+                 for i in kept]
+        idx = Index.from_descriptors(descs, names, self.cfg, extractor=ex,
+                                     original_ids=kept)
+        idx.quarantined = list(self.manifest["quarantined"])
+        return idx

@@ -29,6 +29,9 @@ class RetrievalDataset:
     ext: str = ".jpg"
 
     def image_path(self, name: str) -> str:
+        # distractor entries (see with_distractors) carry their own path
+        if os.sep in name:
+            return name + self.ext
         return os.path.join(self.image_root, name + self.ext)
 
     @property
@@ -156,6 +159,23 @@ def make_mini_dataset(root: str, n_instances: int = 8, n_views: int = 4,
         imlist.append(name)
     return RetrievalDataset(name="mini", image_root=os.path.join(root, "jpg"),
                             imlist=imlist, qimlist=qimlist, gnd=gnd)
+
+
+def with_distractors(ds: RetrievalDataset, distractor_dir: str,
+                     limit: int | None = None) -> RetrievalDataset:
+    """Oxford105k-style: append distractor images (e.g. 100k Flickr) to the
+    database. Ground-truth indices are unaffected because distractors are
+    appended AFTER the base imlist (Philbin CVPR'07 §5)."""
+    extra = sorted(
+        os.path.splitext(os.path.basename(p))[0]
+        for p in glob.glob(os.path.join(distractor_dir, "*.jpg")))
+    if limit:
+        extra = extra[:limit]
+    return RetrievalDataset(
+        name=ds.name + f"+{len(extra)}distractors",
+        image_root=ds.image_root,   # distractor paths resolved separately
+        imlist=ds.imlist + [os.path.join(distractor_dir, e) for e in extra],
+        qimlist=ds.qimlist, gnd=ds.gnd, ext=ds.ext)
 
 
 def load_dataset(name: str, data_root: str) -> RetrievalDataset:
