@@ -34,7 +34,13 @@ def cmd_build_index(args) -> int:
     if not paths:
         print(f"error: no images found under {args.images}", file=sys.stderr)
         return 2
-    idx = Index.build(paths, cfg)
+    if args.resumable:
+        from .builder import ResumableBuilder
+        b = ResumableBuilder(paths, cfg, args.out + ".build")
+        b.run()
+        idx = b.finalize()
+    else:
+        idx = Index.build(paths, cfg)
     idx.save(args.out)
     print(json.dumps({"indexed": idx.num_valid,
                       "quarantined": len(getattr(idx, "quarantined", [])),
@@ -68,6 +74,9 @@ def cmd_evaluate(args) -> int:
     from .eval.evaluate import build_index_for_dataset, evaluate_index
     cfg = _load_cfg(args)
     ds = load_dataset(args.dataset, args.data_root)
+    if args.distractors:
+        from .eval.datasets import with_distractors
+        ds = with_distractors(ds, args.distractors)
     idx = build_index_for_dataset(ds, cfg)
     res = evaluate_index(idx, ds, args.protocol)
     res.pop("per_query_ap", None)
@@ -90,6 +99,8 @@ def main(argv=None) -> int:
     b.add_argument("--out", required=True)
     b.add_argument("--config", default=None)
     b.add_argument("--backbone", default=None)
+    b.add_argument("--resumable", action="store_true",
+                   help="flush per batch-group with a manifest; restart resumes")
     b.set_defaults(fn=cmd_build_index)
 
     q = sub.add_parser("query", help="query an index with an image")
@@ -105,6 +116,8 @@ def main(argv=None) -> int:
                    choices=["easy", "medium", "hard", "classic"])
     e.add_argument("--config", default=None)
     e.add_argument("--backbone", default=None)
+    e.add_argument("--distractors", default=None,
+                   help="directory of distractor images (Oxford105k-style)")
     e.set_defaults(fn=cmd_evaluate)
 
     be = sub.add_parser("bench", help="run benchmark harness")

@@ -197,6 +197,20 @@ class Index:
         return np.asarray(ranked_ids)[:, :self.num_valid]
 
     # ------------------------------------------------------------------
+    def to_sharded(self, mesh=None, use_pallas: bool | None = None):
+        """Distribute this index row-sharded over a device mesh
+        (SURVEY.md §2.2): returns a :class:`ShardedIndex` serving the same
+        ids. On a 1-device mesh this is the identical code path."""
+        from .parallel import ShardedIndex, make_mesh
+        if mesh is None:
+            mesh = make_mesh(max(self.cfg.index.num_shards, 1))
+        if use_pallas is None:
+            use_pallas = (self.cfg.search.use_pallas
+                          and jax.devices()[0].platform == "tpu")
+        return ShardedIndex(self.descriptors, self.ids, mesh=mesh,
+                            k=self.cfg.search.k, use_pallas=use_pallas)
+
+    # ------------------------------------------------------------------
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         state = {

@@ -1,0 +1,65 @@
+"""Bench smoke (SURVEY.md §4.6): hot paths must not recompile across
+batches — recompilation in the serving loop would wreck the throughput
+targets silently."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instsearch_tpu import ExtractConfig, PipelineConfig, SearchConfig
+from instsearch_tpu.extractor import Extractor
+from instsearch_tpu.index import Index
+
+
+def _count_compiles(fn_calls):
+    with jax.log_compiles(True):
+        import logging
+
+        class Grab(logging.Handler):
+            def __init__(self):
+                super().__init__()
+                self.n = 0
+
+            def emit(self, record):
+                if "Compiling" in record.getMessage():
+                    self.n += 1
+
+        grab = Grab()
+        logger = logging.getLogger("jax._src.dispatch")
+        logger.addHandler(grab)
+        logger.setLevel(logging.WARNING)
+        try:
+            fn_calls()
+        finally:
+            logger.removeHandler(grab)
+        return grab.n
+
+
+@pytest.mark.slow
+def test_extractor_no_recompile_across_batches(rng):
+    cfg = ExtractConfig(backbone="vgg16", pooling="gem", image_size=32,
+                        batch_size=4, dtype="float32")
+    ex = Extractor(cfg, seed=0)
+    batches = [(rng.random((4, 32, 32, 3)) * 255).astype(np.uint8)
+               for _ in range(4)]
+    ex(jnp.asarray(batches[0]))  # warm
+
+    def run():
+        for b in batches[1:]:
+            np.asarray(ex(jnp.asarray(b)))
+
+    assert _count_compiles(run) == 0
+
+
+@pytest.mark.slow
+def test_search_no_recompile_across_queries(rng):
+    X = rng.standard_normal((128, 32)).astype(np.float32)
+    cfg = PipelineConfig(search=SearchConfig(k=5, use_pallas=False))
+    idx = Index.from_descriptors(X, [str(i) for i in range(128)], cfg)
+    idx.search(X[:2])  # warm
+
+    def run():
+        for i in range(3):
+            idx.search(X[2 * i:2 * i + 2])
+
+    assert _count_compiles(run) == 0
