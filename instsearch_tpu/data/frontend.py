@@ -61,17 +61,37 @@ def load_square(path: str, size: int) -> np.ndarray | None:
     return center_crop(resize_shorter_side(img, size), size)
 
 
-def batch_paths(paths: Sequence[str], size: int, batch: int,
-                quarantine: list | None = None) -> Iterable[tuple[np.ndarray, np.ndarray]]:
-    """Yield (uint8 [B,S,S,3], global index [B]) batches; final batch padded
-    by repeating the last valid image (callers slice by the index array)."""
-    buf, idxs = [], []
+def _iter_images(paths: Sequence[str], size: int,
+                 quarantine: list | None) -> Iterable[tuple[np.ndarray, int]]:
+    """Stream (decoded uint8 [S,S,3], original index); prefers the native
+    C++ threaded loader (data/native_frontend.py), falls back to cv2."""
+    from . import native_frontend as nf
+    if nf.available():
+        chunk = 64
+        for start in range(0, len(paths), chunk):
+            sub = list(paths[start:start + chunk])
+            imgs, ok = nf.load_batch_native(sub, size)
+            for j, good in enumerate(ok):
+                if good:
+                    yield imgs[j], start + j
+                elif quarantine is not None:
+                    quarantine.append(sub[j])
+        return
     for i, p in enumerate(paths):
         img = load_square(p, size)
         if img is None:
             if quarantine is not None:
                 quarantine.append(p)
             continue
+        yield img, i
+
+
+def batch_paths(paths: Sequence[str], size: int, batch: int,
+                quarantine: list | None = None) -> Iterable[tuple[np.ndarray, np.ndarray]]:
+    """Yield (uint8 [B,S,S,3], global index [B]) batches; final batch padded
+    by repeating the last valid image (callers slice by the index array)."""
+    buf, idxs = [], []
+    for img, i in _iter_images(paths, size, quarantine):
         buf.append(img)
         idxs.append(i)
         if len(buf) == batch:
