@@ -104,6 +104,8 @@ class TrainConfig(_JsonMixin):
 
     backbone: str = "resnet50"
     pooling: str = "gem"
+    gem_p: float = 3.0
+    learn_gem_p: bool = False           # make p a trained parameter
     loss: str = "contrastive"           # contrastive | triplet
     margin: float = 0.7
     lr: float = 1e-4

@@ -45,6 +45,38 @@ def fit_whitening(X: jax.Array, dim: int | None = None,
     return WhiteningParams(P=P, mu=mu)
 
 
+def fit_lw_whitening(anchors: jax.Array, positives: jax.Array,
+                     dim: int | None = None,
+                     eps: float = 1e-9) -> WhiteningParams:
+    """Learned discriminative (Lw) whitening (arXiv:1711.02512 §3.4).
+
+    Whitens with the *intraclass* covariance of matching pairs and rotates
+    by the PCA of the projected data:
+
+        C_S = sum_i (a_i - p_i)(a_i - p_i)^T          (within-pair scatter)
+        P   = eig(C_S)^(-1/2),  then PCA rotation of P-projected anchors
+
+    ``anchors``/``positives``: [M, D] matched descriptor pairs.
+    """
+    a = anchors.astype(jnp.float32)
+    p = positives.astype(jnp.float32)
+    m, d = a.shape
+    dim = d if dim in (None, 0) else min(dim, d)
+    diff = a - p
+    cs = (diff.T @ diff) / jnp.maximum(m, 1)
+    s_evals, s_evecs = jnp.linalg.eigh(cs)
+    # C_S^(-1/2) with floor on tiny eigenvalues
+    inv_sqrt = s_evecs @ jnp.diag(
+        jax.lax.rsqrt(jnp.maximum(s_evals, eps))) @ s_evecs.T    # [D, D]
+    mu = jnp.mean(a, axis=0)
+    proj = (a - mu) @ inv_sqrt.T
+    cov = (proj.T @ proj) / jnp.maximum(m - 1, 1)
+    r_evals, r_evecs = jnp.linalg.eigh(cov)
+    rot = r_evecs[:, ::-1][:, :dim]                              # top-dim PCA
+    P = rot.T @ inv_sqrt                                         # [dim, D]
+    return WhiteningParams(P=P, mu=mu)
+
+
 def apply_whitening(x: jax.Array, params: WhiteningParams,
                     renormalize: bool = True) -> jax.Array:
     """Whiten descriptors ``x: [..., D] -> [..., dim]`` and re-L2 (C9+C10)."""

@@ -34,11 +34,16 @@ class TrainState(NamedTuple):
 
 
 def _descriptors(model, params, frozen, images, cfg: TrainConfig):
-    """images [B, S, S, 3] float -> [B, D] unit descriptors."""
-    variables = {"params": params, **frozen}
+    """images [B, S, S, 3] float -> [B, D] unit descriptors.
+
+    When ``cfg.learn_gem_p``, the GeM exponent lives in ``params['gem_p']``
+    and receives gradients (arXiv:1711.02512 learns p jointly)."""
+    backbone_params = {k: v for k, v in params.items() if k != "gem_p"}
+    variables = {"params": backbone_params, **frozen}
     fmap = model.apply(variables, images)
     if cfg.pooling == "gem":
-        d = gem_pool(fmap, cfg.gem_p if hasattr(cfg, "gem_p") else 3.0)
+        p = params["gem_p"] if cfg.learn_gem_p else cfg.gem_p
+        d = gem_pool(fmap, p)
     elif cfg.pooling == "mac":
         d = mac_pool(fmap)
     else:
@@ -81,7 +86,9 @@ class Trainer:
                 jax.random.PRNGKey(seed),
                 np.zeros((1, cfg.image_size, cfg.image_size, 3), np.float32))
         variables = dict(variables)
-        params = variables.pop("params")
+        params = dict(variables.pop("params"))
+        if cfg.learn_gem_p and cfg.pooling == "gem":
+            params["gem_p"] = jnp.asarray(cfg.gem_p, jnp.float32)
         self.tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
         self.state = TrainState(params=params, frozen=variables,
                                 opt_state=self.tx.init(params),
