@@ -62,6 +62,67 @@ def sharded_topk_fn(mesh: Mesh, k: int, axis: str = "shard",
     return jax.jit(mapped)
 
 
+def sharded_qe_topk_fn(mesh: Mesh, k: int, qe_n: int, alpha: float,
+                       axis: str = "shard", use_pallas: bool = False,
+                       interpret: bool = False):
+    """Distributed search with alpha query expansion (SURVEY.md C12 on the
+    sharded path), all inside ONE shard_map program:
+
+      round 1: per-shard top-qe_n + local row gather -> allgather of
+               (scores, ids, descriptors) candidates over ICI -> replicated
+               merge -> expanded query (arXiv:1711.02512 §5)
+      round 2: per-shard top-k with the expanded query -> allgather -> merge
+
+    The only cross-chip traffic is the two candidate allgathers
+    (S*qe_n*(D+2) and S*k*2 elements per query).
+    """
+
+    def _local_topk(X, ids_s, q, nv, kk):
+        c = X.shape[0]
+        if use_pallas:
+            from ..kernels import topk_matmul
+            shard_i = jax.lax.axis_index(axis)
+            nv_local = jnp.clip(nv[0] - shard_i * c, 0, c)
+            s, pos = topk_matmul(X, q, k=kk, num_valid=nv_local,
+                                 interpret=interpret)
+        else:
+            scores = jnp.dot(q.astype(X.dtype), X.T,
+                             preferred_element_type=jnp.float32)
+            scores = jnp.where(ids_s[None, :] >= 0, scores, -jnp.inf)
+            s, pos = jax.lax.top_k(scores, kk)
+        gids = jnp.where(pos >= 0, jnp.take(ids_s, jnp.maximum(pos, 0)), -1)
+        return s, pos, gids
+
+    def per_shard(X, ids_s, q, nv):
+        # ---- round 1: expansion candidates ----
+        s, pos, gids = _local_topk(X, ids_s, q, nv, qe_n)
+        rows = jnp.take(X, jnp.maximum(pos, 0), axis=0).astype(jnp.float32)
+        rows = jnp.where((pos >= 0)[..., None], rows, 0.0)    # [Q, n, D]
+        s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)     # [Q, S*n]
+        r_all = jax.lax.all_gather(rows, axis, axis=1, tiled=True)  # [Q, S*n, D]
+        top_s, top_j = jax.lax.top_k(s_all, qe_n)
+        top_rows = jnp.take_along_axis(r_all, top_j[..., None], axis=1)
+        w = jnp.clip(top_s, 0.0, None) ** alpha
+        q_exp = q.astype(jnp.float32) + jnp.einsum("qn,qnd->qd", w, top_rows)
+        q_exp = q_exp / jnp.maximum(
+            jnp.linalg.norm(q_exp, axis=-1, keepdims=True), 1e-6)
+        q_exp = q_exp.astype(q.dtype)
+        # ---- round 2: final search with expanded query ----
+        s2, _, gids2 = _local_topk(X, ids_s, q_exp, nv, k)
+        s2_all = jax.lax.all_gather(s2, axis, axis=1, tiled=True)
+        g2_all = jax.lax.all_gather(gids2, axis, axis=1, tiled=True)
+        fs, fj = jax.lax.top_k(s2_all, k)
+        return fs, jnp.take_along_axis(g2_all, fj, axis=1)
+
+    mapped = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(None, None), P(None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
+
+
 class ShardedIndex:
     """Thin distribution layer over Index storage.
 
@@ -95,3 +156,17 @@ class ShardedIndex:
         q = replicate(self.mesh, jnp.asarray(queries))
         nv = replicate(self.mesh, jnp.asarray([self.num_valid], jnp.int32))
         return self._fns[k](self.descriptors, self.ids, q, nv)
+
+    def search_qe(self, queries: jax.Array, k: int | None = None,
+                  qe_n: int = 10, alpha: float = 3.0):
+        """Distributed search with alpha query expansion (one program,
+        two ICI allgathers)."""
+        k = k or self.default_k
+        key = ("qe", k, qe_n, alpha)
+        if key not in self._fns:
+            self._fns[key] = sharded_qe_topk_fn(
+                self.mesh, k, qe_n, alpha,
+                use_pallas=self.use_pallas, interpret=self.interpret)
+        q = replicate(self.mesh, jnp.asarray(queries))
+        nv = replicate(self.mesh, jnp.asarray([self.num_valid], jnp.int32))
+        return self._fns[key](self.descriptors, self.ids, q, nv)
