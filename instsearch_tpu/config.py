@@ -60,7 +60,8 @@ class ExtractConfig(_JsonMixin):
 
     @property
     def descriptor_dim(self) -> int:
-        base = {"resnet50": 2048, "resnet101": 2048, "vgg16": 512}[self.backbone]
+        from .models.registry import BACKBONES
+        base = BACKBONES[self.backbone].feature_dim
         if self.whiten and self.whiten_dim:
             return self.whiten_dim
         return base

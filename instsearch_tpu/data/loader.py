@@ -1,0 +1,82 @@
+"""Prefetching input pipeline (SURVEY.md N1): overlap host decode with
+device compute so the chip never starves (SURVEY.md §7 hard part 4).
+
+Two implementations behind one API:
+  * ``PrefetchLoader`` — a background-thread pipeline over
+    ``frontend.batch_paths`` (which itself uses the native C++ threaded
+    decoder): decode batch i+depth while the device runs batch i.
+  * ``grain_dataset`` — the same decode as a ``grain`` MapDataset for
+    integration with grain-based training loops (grain is the supported
+    JAX data stack).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from . import frontend
+
+
+class PrefetchLoader:
+    """Iterate (uint8 [B,S,S,3], indices [B]) with background prefetch."""
+
+    def __init__(self, paths: Sequence[str], size: int, batch: int,
+                 depth: int = 2, quarantine: list | None = None):
+        self.paths = paths
+        self.size = size
+        self.batch = batch
+        self.depth = depth
+        self.quarantine = quarantine
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        DONE = object()
+        err: list[BaseException] = []
+
+        def producer():
+            try:
+                for item in frontend.batch_paths(
+                        self.paths, self.size, self.batch, self.quarantine):
+                    q.put(item)
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(DONE)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is DONE:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
+
+
+def grain_dataset(paths: Sequence[str], size: int, batch: int,
+                  num_workers: int = 0):
+    """Build a ``grain`` MapDataset pipeline: decode -> batch.
+
+    Failed decodes yield zero images with index -1 (callers filter), since
+    grain map stages cannot drop elements.
+    """
+    import grain.python as grain
+
+    class Decode(grain.MapTransform):
+        def map(self, i: int):
+            img = frontend.load_square(paths[i], size)
+            if img is None:
+                return np.zeros((size, size, 3), np.uint8), np.int64(-1)
+            return img, np.int64(i)
+
+    ds = grain.MapDataset.range(len(paths)).map(Decode())
+    ds = ds.batch(batch_size=batch, drop_remainder=False)
+    if num_workers:
+        ds = ds.to_iter_dataset().mp_prefetch(
+            grain.multiprocessing.MultiprocessingOptions(num_workers=num_workers))
+    return ds

@@ -5,7 +5,7 @@ from typing import Any, Callable, NamedTuple
 
 import jax.numpy as jnp
 
-from .resnet import resnet50, resnet101, resnet152
+from .resnet import resnet18, resnet34, resnet50, resnet101, resnet152
 from .vgg import vgg16
 from .torch_import import load_torch_resnet, load_torch_vgg
 
@@ -18,6 +18,8 @@ class BackboneSpec(NamedTuple):
 
 
 BACKBONES: dict[str, BackboneSpec] = {
+    "resnet18": BackboneSpec(resnet18, 512, 32, load_torch_resnet),
+    "resnet34": BackboneSpec(resnet34, 512, 32, load_torch_resnet),
     "resnet50": BackboneSpec(resnet50, 2048, 32, load_torch_resnet),
     "resnet101": BackboneSpec(resnet101, 2048, 32, load_torch_resnet),
     "resnet152": BackboneSpec(resnet152, 2048, 32, load_torch_resnet),

@@ -19,6 +19,34 @@ import jax.numpy as jnp
 ModuleDef = Any
 
 
+class BasicBlock(nn.Module):
+    """3x3 -> 3x3 residual block (ResNet-18/34), expansion 1."""
+
+    features: int
+    strides: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        residual = x
+        y = conv(self.features, (3, 3), strides=(self.strides, self.strides),
+                 padding=[(1, 1), (1, 1)], name="conv1")(x)
+        y = nn.relu(norm(name="bn1")(y))
+        y = conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                 name="conv2")(y)
+        y = norm(name="bn2")(y)
+        if self.downsample:
+            residual = conv(self.features, (1, 1),
+                            strides=(self.strides, self.strides),
+                            name="downsample_conv")(x)
+            residual = norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3 -> 1x1 bottleneck block with expansion 4."""
 
@@ -53,14 +81,20 @@ class ResNetStage(nn.Module):
     num_blocks: int
     strides: int
     dtype: Any = jnp.bfloat16
+    block: Any = Bottleneck
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.num_blocks):
-            x = Bottleneck(
+            # torchvision: BasicBlock stages only downsample when the shape
+            # actually changes (stage 1 of resnet18/34 has identity skips)
+            needs_ds = (i == 0) and (
+                self.block is Bottleneck or self.strides != 1
+                or x.shape[-1] != self.features)
+            x = self.block(
                 self.features,
                 strides=self.strides if i == 0 else 1,
-                downsample=(i == 0),
+                downsample=needs_ds,
                 dtype=self.dtype,
                 name=str(i),
             )(x, train=train)
@@ -76,6 +110,7 @@ class ResNet(nn.Module):
 
     stage_sizes: Sequence[int]
     dtype: Any = jnp.bfloat16
+    block: Any = Bottleneck
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -89,8 +124,17 @@ class ResNet(nn.Module):
         for i, (feats, blocks) in enumerate(
                 zip((64, 128, 256, 512), self.stage_sizes)):
             x = ResNetStage(feats, blocks, strides=1 if i == 0 else 2,
-                            dtype=self.dtype, name=f"layer{i + 1}")(x, train=train)
+                            dtype=self.dtype, block=self.block,
+                            name=f"layer{i + 1}")(x, train=train)
         return x
+
+
+def resnet18(dtype=jnp.bfloat16) -> ResNet:
+    return ResNet(stage_sizes=(2, 2, 2, 2), dtype=dtype, block=BasicBlock)
+
+
+def resnet34(dtype=jnp.bfloat16) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype, block=BasicBlock)
 
 
 def resnet50(dtype=jnp.bfloat16) -> ResNet:

@@ -10,9 +10,12 @@ import pytest
 import torch
 
 from instsearch_tpu.models import (
-    load_torch_resnet, load_torch_vgg, resnet50, vgg16, validate_variables,
+    load_torch_resnet, load_torch_vgg, resnet18, resnet50, vgg16,
+    validate_variables,
 )
-from .torch_models import TruncatedResNet, TruncatedVGG16, randomize_bn_stats
+from .torch_models import (
+    BasicBlock, TruncatedResNet, TruncatedVGG16, randomize_bn_stats,
+)
 
 
 def _run_torch(model, x_nchw):
@@ -47,6 +50,18 @@ def test_vgg16_parity(image):
     got = np.asarray(model.apply(variables, jnp.asarray(image)))
     want = _run_torch(tm, image.transpose(0, 3, 1, 2))
     assert got.shape == want.shape == (2, 4, 4, 512)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_resnet18_parity(image):
+    tm = randomize_bn_stats(TruncatedResNet(layers=(2, 2, 2, 2),
+                                            block=BasicBlock))
+    variables = load_torch_resnet(tm.state_dict())
+    model = resnet18(dtype=jnp.float32)
+    validate_variables(model, variables, input_shape=(1, 64, 64, 3))
+    got = np.asarray(model.apply(variables, jnp.asarray(image)))
+    want = _run_torch(tm, image.transpose(0, 3, 1, 2))
+    assert got.shape == want.shape == (2, 2, 2, 512)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 

@@ -34,11 +34,33 @@ class Bottleneck(nn.Module):
         return self.relu(out + identity)
 
 
+class BasicBlock(nn.Module):
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
 class TruncatedResNet(nn.Module):
     """torchvision-style ResNet without avgpool/fc (feature-map output)."""
 
-    def __init__(self, layers=(3, 4, 6, 3)):
+    def __init__(self, layers=(3, 4, 6, 3), block=Bottleneck):
         super().__init__()
+        self.block = block
         self.inplanes = 64
         self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
@@ -50,13 +72,16 @@ class TruncatedResNet(nn.Module):
         self.layer4 = self._make_layer(512, layers[3], 2)
 
     def _make_layer(self, planes, blocks, stride):
-        downsample = nn.Sequential(
-            nn.Conv2d(self.inplanes, planes * 4, 1, stride=stride, bias=False),
-            nn.BatchNorm2d(planes * 4),
-        )
-        layers = [Bottleneck(self.inplanes, planes, stride, downsample)]
-        self.inplanes = planes * 4
-        layers += [Bottleneck(self.inplanes, planes) for _ in range(1, blocks)]
+        out_ch = planes * self.block.expansion
+        downsample = None
+        if stride != 1 or self.inplanes != out_ch:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, out_ch, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(out_ch),
+            )
+        layers = [self.block(self.inplanes, planes, stride, downsample)]
+        self.inplanes = out_ch
+        layers += [self.block(self.inplanes, planes) for _ in range(1, blocks)]
         return nn.Sequential(*layers)
 
     def forward(self, x):
