@@ -90,6 +90,13 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_workloads(args) -> int:
+    from .workloads import run_all
+    for res in run_all(args.data_root, args.dataset):
+        print(json.dumps(res))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="instsearch")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -124,6 +131,12 @@ def main(argv=None) -> int:
     be.add_argument("--what", default="all",
                     choices=["extraction", "query", "all"])
     be.set_defaults(fn=cmd_bench)
+
+    w = sub.add_parser("workloads",
+                       help="run all BASELINE workload presets end-to-end")
+    w.add_argument("--data-root", default="data")
+    w.add_argument("--dataset", default="mini")
+    w.set_defaults(fn=cmd_workloads)
 
     args = p.parse_args(argv)
     return args.fn(args)

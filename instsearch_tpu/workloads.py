@@ -1,0 +1,93 @@
+"""Run the five BASELINE.json workload configurations end-to-end
+(SURVEY.md §6): build -> (whiten) -> query/QE/re-rank -> protocol metrics.
+
+``scale_down`` shrinks image size / batch so the suite runs in CI and on
+the mini fixture; the config *structure* (backbone, pooling, whitening,
+QE, sharding, re-ranking) is exercised unchanged. The sharded workload
+routes through ``Index.to_sharded`` with as many shards as devices exist.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import numpy as np
+
+from .config import PipelineConfig
+from .eval.datasets import RetrievalDataset, load_dataset
+from .eval.evaluate import evaluate_index
+from .index import Index
+
+PRESET_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def list_presets() -> list[str]:
+    return sorted(
+        os.path.splitext(os.path.basename(p))[0]
+        for p in glob.glob(os.path.join(PRESET_DIR, "*.json")))
+
+
+def load_preset(name: str) -> PipelineConfig:
+    return PipelineConfig.load(os.path.join(PRESET_DIR, name + ".json"))
+
+
+def _scaled(cfg: PipelineConfig, image_size: int, batch: int) -> PipelineConfig:
+    return PipelineConfig(
+        extract=cfg.extract.replace(image_size=image_size, batch_size=batch),
+        index=cfg.index, search=cfg.search, eval=cfg.eval)
+
+
+def run_workload(name: str, dataset: RetrievalDataset,
+                 scale_down: bool = True, seed: int = 0) -> dict:
+    import jax
+
+    cfg = load_preset(name)
+    if scale_down:
+        cfg = _scaled(cfg, image_size=64, batch=8)
+    n_dev = len(jax.devices())
+    shards = min(cfg.index.num_shards, n_dev)
+    if shards != cfg.index.num_shards:
+        cfg = PipelineConfig(extract=cfg.extract,
+                             index=cfg.index.replace(num_shards=shards),
+                             search=cfg.search, eval=cfg.eval)
+
+    t0 = time.time()
+    idx = Index.build(dataset.db_paths, cfg, seed=seed)
+    build_s = time.time() - t0
+
+    protocol = cfg.eval.protocol if dataset.name != "mini" else "medium"
+    res = evaluate_index(idx, dataset, protocol)
+
+    out = {
+        "workload": name,
+        "backbone": cfg.extract.backbone,
+        "pooling": cfg.extract.pooling,
+        "whiten": cfg.extract.whiten,
+        "scales": list(cfg.extract.scales),
+        "qe": cfg.search.qe_enabled,
+        "rerank": cfg.search.rerank_enabled,
+        "num_shards": shards,
+        "num_images": idx.num_valid,
+        "descriptor_dim": idx.dim,
+        "build_sec": round(build_s, 2),
+        "mAP": round(res["mAP"], 2),
+    }
+    for key in ("mP@1", "mP@5", "mP@10"):
+        if key in res:
+            out[key] = round(res[key], 2)
+
+    if shards > 1 or cfg.index.num_shards >= 1:
+        sidx = idx.to_sharded()
+        q = np.asarray(idx.descriptors[:2], np.float32)
+        s, ids = sidx.search(q, k=min(5, idx.num_valid))
+        out["sharded_selfmatch"] = bool(
+            (np.asarray(ids)[:, 0] == np.asarray(idx.ids[:2])).all())
+    return out
+
+
+def run_all(data_root: str = "data", dataset_name: str = "mini",
+            scale_down: bool = True) -> list[dict]:
+    dataset = load_dataset(dataset_name, data_root)
+    return [run_workload(name, dataset, scale_down)
+            for name in list_presets()]

@@ -1,0 +1,28 @@
+"""All five BASELINE workload presets must run end-to-end (SURVEY.md §6)."""
+import numpy as np
+import pytest
+
+from instsearch_tpu.eval import make_mini_dataset
+from instsearch_tpu.workloads import list_presets, run_workload
+
+
+@pytest.fixture(scope="module")
+def mini(tmp_path_factory):
+    return make_mini_dataset(str(tmp_path_factory.mktemp("mini_wl")), seed=6)
+
+
+def test_all_presets_listed():
+    names = list_presets()
+    assert len(names) == 5
+    assert "oxford105k_sharded8" in names
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", list_presets())
+def test_preset_runs(mini, name):
+    res = run_workload(name, mini, scale_down=True)
+    assert np.isfinite(res["mAP"]) and 0 <= res["mAP"] <= 100
+    assert res["num_images"] == len(mini.imlist)
+    assert res["sharded_selfmatch"]
+    if name == "oxford105k_sharded8":
+        assert res["num_shards"] == 8   # CPU test rig has 8 virtual devices
