@@ -71,7 +71,8 @@ def evaluate_index(index: Index, dataset: RetrievalDataset,
     if scfg.qe_enabled:
         from ..search.qe import alpha_query_expansion
         q = alpha_query_expansion(index.descriptors, index.ids, q,
-                                  n=scfg.qe_n, alpha=scfg.qe_alpha)
+                                  n=scfg.qe_n, alpha=scfg.qe_alpha,
+                                  scales=index.scales)
     ranks = index.full_ranking(q)
 
     if scfg.rerank_enabled and index.regional is not None:

@@ -26,23 +26,39 @@ from .extractor import Extractor
 from .ops.whitening import WhiteningParams, fit_whitening
 from .search import bruteforce
 
-_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+           "int8": jnp.int8}
 
 
 def _pad_rows(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def _raw_scores(descriptors, queries, scales):
+    """[Q, N] f32 scores for float or int8-quantized storage."""
+    if descriptors.dtype == jnp.int8:
+        scores = jnp.dot(queries.astype(jnp.float32),
+                         descriptors.T.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        return scores * scales
+    return jnp.dot(queries.astype(descriptors.dtype), descriptors.T,
+                   preferred_element_type=jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("k", "use_pallas"))
-def _topk_jit(descriptors, ids, queries, num_valid, *, k: int, use_pallas: bool):
+def _topk_jit(descriptors, ids, queries, num_valid, scales,
+              *, k: int, use_pallas: bool):
     queries = jnp.asarray(queries)
-    if use_pallas:
+    if use_pallas and descriptors.dtype == jnp.int8:
+        from .kernels import topk_matmul_int8
+        scores, pos = topk_matmul_int8(descriptors, scales, queries, k=k,
+                                       num_valid=num_valid)
+    elif use_pallas:
         from .kernels import topk_matmul
         scores, pos = topk_matmul(descriptors, queries, k=k,
                                   num_valid=num_valid)
     else:
-        raw = jnp.dot(queries.astype(descriptors.dtype), descriptors.T,
-                      preferred_element_type=jnp.float32)
+        raw = _raw_scores(descriptors, queries, scales)
         raw = jnp.where(ids[None, :] >= 0, raw, -jnp.inf)
         scores, pos = jax.lax.top_k(raw, k)
     out_ids = jnp.where(pos >= 0, jnp.take(ids, jnp.maximum(pos, 0)), -1)
@@ -50,9 +66,14 @@ def _topk_jit(descriptors, ids, queries, num_valid, *, k: int, use_pallas: bool)
 
 
 @jax.jit
-def _full_ranking_jit(descriptors, ids, queries):
-    scores = jnp.dot(queries.astype(descriptors.dtype), descriptors.T,
-                     preferred_element_type=jnp.float32)
+def _all_scores_jit(descriptors, ids, queries, scales):
+    scores = _raw_scores(descriptors, queries, scales)
+    return jnp.where(ids[None, :] >= 0, scores, -jnp.inf)
+
+
+@jax.jit
+def _full_ranking_jit(descriptors, ids, queries, scales):
+    scores = _raw_scores(descriptors, queries, scales)
     scores = jnp.where(ids[None, :] >= 0, scores, -jnp.inf)
     order = jnp.argsort(-scores, axis=1)
     return jnp.take(ids, order)
@@ -64,13 +85,15 @@ class Index:
     def __init__(self, descriptors: jax.Array, ids: jax.Array,
                  names: list[str], cfg: PipelineConfig,
                  extractor: Optional[Extractor] = None,
-                 regional: "jax.Array | None" = None):
+                 regional: "jax.Array | None" = None,
+                 scales: "jax.Array | None" = None):
         self.descriptors = descriptors      # [N_pad, D], index dtype
         self.ids = ids                      # [N_pad] int32, -1 = padding
         self.names = names                  # len = num_valid
         self.cfg = cfg
         self.extractor = extractor
         self.regional = regional            # [N_pad, R, D] for re-ranking, optional
+        self.scales = scales                # [1, N_pad] f32 when dtype=int8
 
     # ------------------------------------------------------------------
     @property
@@ -98,6 +121,11 @@ class Index:
         ids = np.full((n_pad,), -1, np.int32)
         ids[:n] = (np.arange(n, dtype=np.int32) if original_ids is None
                    else np.asarray(original_ids, np.int32))
+        if dtype == jnp.int8:
+            from .ops.quantize import quantize_rows
+            qr = quantize_rows(jnp.asarray(padded))
+            return cls(qr.values, jnp.asarray(ids), list(names), cfg,
+                       extractor, scales=qr.scales)
         return cls(jnp.asarray(padded, dtype), jnp.asarray(ids),
                    list(names), cfg, extractor)
 
@@ -133,13 +161,16 @@ class Index:
             n_pad = idx.descriptors.shape[0]
             reg_pad = np.zeros((n_pad,) + reg.shape[1:], np.float32)
             reg_pad[:len(reg)] = reg
-            idx.regional = jnp.asarray(reg_pad, _DTYPES[cfg.index.dtype])
+            reg_dtype = (jnp.bfloat16 if cfg.index.dtype == "int8"
+                         else _DTYPES[cfg.index.dtype])
+            idx.regional = jnp.asarray(reg_pad, reg_dtype)
         return idx
 
     # ------------------------------------------------------------------
     def _masked_scores(self, queries: jax.Array) -> jax.Array:
-        scores = bruteforce.all_scores(self.descriptors, queries)
-        return jnp.where(self.ids[None, :] >= 0, scores, -jnp.inf)
+        scores = _all_scores_jit(self.descriptors, self.ids,
+                                 jnp.asarray(queries), self.scales)
+        return scores
 
     def _topk(self, queries: jax.Array, k: int):
         """Top-k positions -> original ids; fused Pallas kernel on TPU,
@@ -148,7 +179,7 @@ class Index:
         use_pallas = (self.cfg.search.use_pallas
                       and jax.devices()[0].platform == "tpu")
         return _topk_jit(self.descriptors, self.ids, queries,
-                         jnp.asarray(self.num_valid, jnp.int32),
+                         jnp.asarray(self.num_valid, jnp.int32), self.scales,
                          k=k, use_pallas=use_pallas)
 
     def search(self, queries: np.ndarray | jax.Array,
@@ -165,7 +196,8 @@ class Index:
         if scfg.qe_enabled:
             from .search.qe import alpha_query_expansion
             q = alpha_query_expansion(self.descriptors, self.ids, q,
-                                      n=scfg.qe_n, alpha=scfg.qe_alpha)
+                                      n=scfg.qe_n, alpha=scfg.qe_alpha,
+                                      scales=self.scales)
         if scfg.rerank_enabled and self.regional is not None \
                 and query_regional is not None:
             from .search.rerank import regional_rerank
@@ -193,30 +225,43 @@ class Index:
         """[Q, N] ranked original dataset ids best-first (valid rows only),
         for protocol evaluation. Padding (-inf) sorts last and is cut."""
         ranked_ids = _full_ranking_jit(self.descriptors, self.ids,
-                                       jnp.asarray(queries))
+                                       jnp.asarray(queries), self.scales)
         return np.asarray(ranked_ids)[:, :self.num_valid]
 
     # ------------------------------------------------------------------
     def to_sharded(self, mesh=None, use_pallas: bool | None = None):
         """Distribute this index row-sharded over a device mesh
         (SURVEY.md §2.2): returns a :class:`ShardedIndex` serving the same
-        ids. On a 1-device mesh this is the identical code path."""
+        ids. On a 1-device mesh this is the identical code path.
+        An int8-stored index is dequantized to bf16 for sharding (int8
+        sharded path is future work)."""
         from .parallel import ShardedIndex, make_mesh
         if mesh is None:
             mesh = make_mesh(max(self.cfg.index.num_shards, 1))
         if use_pallas is None:
             use_pallas = (self.cfg.search.use_pallas
                           and jax.devices()[0].platform == "tpu")
-        return ShardedIndex(self.descriptors, self.ids, mesh=mesh,
+        desc = self.descriptors
+        if desc.dtype == jnp.int8:
+            desc = (desc.astype(jnp.float32)
+                    * self.scales.reshape(-1, 1)).astype(jnp.bfloat16)
+        return ShardedIndex(desc, self.ids, mesh=mesh,
                             k=self.cfg.search.k, use_pallas=use_pallas)
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        state = {
-            "descriptors": np.asarray(self.descriptors.astype(jnp.float32)),
-            "ids": np.asarray(self.ids),
-        }
+        if self.descriptors.dtype == jnp.int8:
+            state = {
+                "descriptors_int8": np.asarray(self.descriptors),
+                "scales": np.asarray(self.scales),
+                "ids": np.asarray(self.ids),
+            }
+        else:
+            state = {
+                "descriptors": np.asarray(self.descriptors.astype(jnp.float32)),
+                "ids": np.asarray(self.ids),
+            }
         if self.extractor is not None and self.extractor.whitening is not None:
             state["whitening_P"] = np.asarray(self.extractor.whitening.P)
             state["whitening_mu"] = np.asarray(self.extractor.whitening.mu)
@@ -239,8 +284,14 @@ class Index:
             extractor.whitening = WhiteningParams(
                 P=jnp.asarray(data["whitening_P"]),
                 mu=jnp.asarray(data["whitening_mu"]))
-        regional = (jnp.asarray(data["regional"], dtype)
+        reg_dtype = jnp.bfloat16 if dtype == jnp.int8 else dtype
+        regional = (jnp.asarray(data["regional"], reg_dtype)
                     if "regional" in data else None)
+        if "descriptors_int8" in data:
+            return cls(jnp.asarray(data["descriptors_int8"]),
+                       jnp.asarray(data["ids"]), list(meta["names"]), cfg,
+                       extractor, regional,
+                       scales=jnp.asarray(data["scales"]))
         return cls(jnp.asarray(data["descriptors"], dtype),
                    jnp.asarray(data["ids"]), list(meta["names"]), cfg,
                    extractor, regional)

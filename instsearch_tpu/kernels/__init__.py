@@ -1,3 +1,3 @@
-from .topk_matmul import default_tile_n, topk_matmul
+from .topk_matmul import default_tile_n, topk_matmul, topk_matmul_int8
 
-__all__ = ["default_tile_n", "topk_matmul"]
+__all__ = ["default_tile_n", "topk_matmul", "topk_matmul_int8"]

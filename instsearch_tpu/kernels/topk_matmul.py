@@ -115,12 +115,130 @@ def _kernel(num_valid_ref, x_ref, q_ref, out_s_ref, out_i_ref,
         out_i_ref[:] = top_i[:]
 
 
+def _kernel_int8(num_valid_ref, x_ref, scales_ref, q_ref, qs_ref,
+                 out_s_ref, out_i_ref, top_s, top_i, *, k: int, tile_n: int):
+    """int8 variant: int8 x int8 -> int32 on the MXU, dequantized by
+    per-row and per-query scales before the (shared) top-k merge."""
+    step = pl.program_id(0)
+    num_steps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _init():
+        top_s[:] = jnp.full_like(top_s, NEG_INF)
+        top_i[:] = jnp.full_like(top_i, -1)
+
+    acc = jax.lax.dot_general(
+        q_ref[:], x_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                  # [B, T] int32
+    scores = acc.astype(jnp.float32) * qs_ref[:] * scales_ref[:]
+
+    b = scores.shape[0]
+    base = step * tile_n
+    row_ids = base + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    valid = row_ids < num_valid_ref[0]
+    scores = jnp.where(valid, scores, NEG_INF)
+
+    tau = jnp.min(top_s[:], axis=1, keepdims=True)
+    row_max = jnp.max(scores, axis=1, keepdims=True)
+    above = scores > tau
+    n_above = jnp.sum(above, axis=1)
+    cmax = jnp.max(n_above)
+
+    @pl.when(cmax == 1)
+    def _insert_one():
+        am = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+        sel = col == am[:, None]
+        cand_i = jnp.sum(jnp.where(sel, row_ids, 0), axis=1, keepdims=True)
+        has = n_above[:, None] > 0
+        cand_s = jnp.where(has, row_max, NEG_INF)
+        cand_i = jnp.where(has, cand_i, -1)
+        new_s, new_i = _merge_topk(cand_s, cand_i, top_s[:], top_i[:], k)
+        top_s[:] = new_s
+        top_i[:] = new_i
+
+    @pl.when(cmax > 1)
+    def _merge_full():
+        new_s, new_i = _merge_topk(scores, row_ids, top_s[:], top_i[:], k)
+        top_s[:] = new_s
+        top_i[:] = new_i
+
+    @pl.when(step == num_steps - 1)
+    def _emit():
+        out_s_ref[:] = top_s[:]
+        out_i_ref[:] = top_i[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def topk_matmul_int8(x_int8: jax.Array, scales: jax.Array, q: jax.Array,
+                     k: int = 10,
+                     num_valid: "jax.Array | int | None" = None,
+                     tile_n: int | None = None, interpret: bool = False):
+    """Fused top-k over a per-row int8-quantized index
+    (ops/quantize.quantize_rows): ``x_int8 [N, D]``, ``scales [1, N]``,
+    ``q [B, D]`` float -> ``(scores [B,k] f32, row_ids [B,k] i32)``.
+
+    The query block is quantized per-row on the fly; scoring is
+    int8 x int8 -> int32 on the MXU (2x the bf16 throughput) and the HBM
+    scan reads half the bytes of bf16.
+    """
+    n, d = x_int8.shape
+    b = q.shape[0]
+    if tile_n is None:
+        tile_n = default_tile_n(n, d, jnp.int8)
+    if n % tile_n:
+        raise ValueError(f"N={n} not a multiple of tile_n={tile_n}")
+    if k > tile_n:
+        raise ValueError(f"k={k} > tile_n={tile_n}")
+    nv = jnp.asarray([n if num_valid is None else num_valid], jnp.int32)
+
+    qf = q.astype(jnp.float32)
+    q_absmax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)       # [B, 1]
+    q_scale = jnp.maximum(q_absmax, 1e-12) / 127.0
+    q_int8 = jnp.clip(jnp.round(qf / q_scale), -127, 127).astype(jnp.int8)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, d), lambda i, nv_ref: (i, 0)),
+            pl.BlockSpec((1, tile_n), lambda i, nv_ref: (0, i)),
+            pl.BlockSpec((b, d), lambda i, nv_ref: (0, 0)),
+            pl.BlockSpec((b, 1), lambda i, nv_ref: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, k), lambda i, nv_ref: (0, 0)),
+            pl.BlockSpec((b, k), lambda i, nv_ref: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(_kernel_int8, k=k, tile_n=tile_n)
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d + n * 4 + b * d + 2 * b * k * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(nv, x_int8, scales, q_int8, q_scale)
+    return out_s, out_i
+
+
 def default_tile_n(n: int, d: int, dtype=jnp.bfloat16) -> int:
     """Pick a row tile: big enough to amortize, small enough that the
     double-buffered tile pair stays well under VMEM (~16 MB)."""
     bytes_per = jnp.dtype(dtype).itemsize
-    for tile in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
-        if n % tile == 0 and 2 * tile * d * bytes_per <= 8 * 1024 * 1024:
+    for tile in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if n % tile == 0 and 2 * tile * d * bytes_per <= 6 * 1024 * 1024:
             return tile
     raise ValueError(f"no valid row tile for N={n}; pad rows to a multiple of 8")
 

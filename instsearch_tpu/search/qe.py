@@ -18,15 +18,23 @@ import jax.numpy as jnp
 @partial(jax.jit, static_argnames=("n",))
 def alpha_query_expansion(descriptors: jax.Array, ids: jax.Array,
                           queries: jax.Array, n: int = 10,
-                          alpha: float = 3.0) -> jax.Array:
+                          alpha: float = 3.0,
+                          scales: "jax.Array | None" = None) -> jax.Array:
     """``descriptors [N_pad, D]`` (padded rows masked via ``ids < 0``),
-    ``queries [Q, D]`` -> expanded queries ``[Q, D]`` (f32, unit norm)."""
+    ``queries [Q, D]`` -> expanded queries ``[Q, D]`` (f32, unit norm).
+    ``scales [1, N_pad]`` dequantizes an int8-stored index."""
     q = jnp.asarray(queries, jnp.float32)
-    scores = jnp.dot(q.astype(descriptors.dtype), descriptors.T,
-                     preferred_element_type=jnp.float32)          # [Q, N]
+    if descriptors.dtype == jnp.int8:
+        scores = jnp.dot(q, descriptors.T.astype(jnp.float32),
+                         preferred_element_type=jnp.float32) * scales
+    else:
+        scores = jnp.dot(q.astype(descriptors.dtype), descriptors.T,
+                         preferred_element_type=jnp.float32)      # [Q, N]
     scores = jnp.where(ids[None, :] >= 0, scores, -jnp.inf)
     top_s, top_pos = jax.lax.top_k(scores, n)                     # [Q, n]
     neighbors = jnp.take(descriptors, top_pos, axis=0).astype(jnp.float32)
+    if descriptors.dtype == jnp.int8:
+        neighbors = neighbors * jnp.take(scales[0], top_pos)[..., None]
     w = jnp.clip(top_s, 0.0, None) ** alpha                       # [Q, n]
     expanded = q + jnp.einsum("qn,qnd->qd", w, neighbors)
     norm = jnp.linalg.norm(expanded, axis=-1, keepdims=True)

@@ -32,7 +32,8 @@ def test_matches_oracle(rng, n, d, b, k, tile):
     s, i = topk_matmul(jnp.asarray(X), jnp.asarray(Q), k=k, tile_n=tile, **INTERP)
     ws, wi = _oracle(X, Q, k)
     np.testing.assert_array_equal(np.asarray(i), wi)
-    np.testing.assert_allclose(np.asarray(s), ws, rtol=1e-5, atol=1e-5)
+    # f32 accumulation order differs between the kernel and the oracle
+    np.testing.assert_allclose(np.asarray(s), ws, rtol=1e-4, atol=1e-4)
 
 
 def test_ties_lowest_id_first(rng):
@@ -79,8 +80,10 @@ def test_rejects_bad_shapes(rng):
 
 
 def test_default_tile_n():
+    import jax.numpy as jnp
     assert default_tile_n(1_048_576, 512) == 2048
-    assert default_tile_n(1_048_576, 2048) == 1024   # VMEM cap
+    assert default_tile_n(1_048_576, 2048) == 512    # 6 MB VMEM cap
+    assert default_tile_n(1_048_576, 512, jnp.int8) == 4096  # int8: half bytes
     assert default_tile_n(264, 128) == 8
     with pytest.raises(ValueError):
         default_tile_n(999, 128)   # not a multiple of 8
