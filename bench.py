@@ -19,6 +19,10 @@ def main() -> int:
         qry = bench_query()
     except Exception:
         qry = None
+    try:
+        qry8 = bench_query(dtype="int8")
+    except Exception:
+        qry8 = None
     value = round(ext["images_per_sec"], 1)
     line = {
         "metric": "extraction_images_per_sec_per_chip",
@@ -29,6 +33,8 @@ def main() -> int:
     if qry is not None:
         line["query_p50_ms_1M"] = round(qry["p50_ms"], 3)
         line["query_qps_1M"] = round(qry["qps"], 1)
+    if qry8 is not None:
+        line["query_int8_p50_ms_1M"] = round(qry8["p50_ms"], 3)
     print(json.dumps(line))
     return 0
 

@@ -54,7 +54,7 @@ def marginal_time(make_chained, args, n: int = 11, reps: int = 5) -> float:
     return max((t - overhead) / n, 1e-9)
 
 
-def bench_extraction(batch: int = 64, image_size: int = 224,
+def bench_extraction(batch: int = 128, image_size: int = 224,
                      backbone: str = "resnet50", pooling: str = "gem",
                      scales: tuple = (1.0,)) -> dict:
     cfg = ExtractConfig(backbone=backbone, pooling=pooling,
@@ -87,8 +87,9 @@ def bench_extraction(batch: int = 64, image_size: int = 224,
 
 
 def bench_query(n: int = 1_048_576, d: int = 512, k: int = 10,
-                q_batch: int = 1, use_pallas: bool = True) -> dict:
-    """Brute-force top-k over an HBM-resident [N, D] bf16 index."""
+                q_batch: int = 1, use_pallas: bool = True,
+                dtype: str = "bfloat16") -> dict:
+    """Brute-force top-k over an HBM-resident [N, D] index (bf16 or int8)."""
     # generate the index ON DEVICE: pushing GBs through the tunnel takes
     # minutes, and the content doesn't matter for a scan benchmark
     @jax.jit
@@ -99,29 +100,42 @@ def bench_query(n: int = 1_048_576, d: int = 512, k: int = 10,
 
     Xd, q = make_index()
     Xd, q = jax.block_until_ready(Xd), jax.block_until_ready(q)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    item_bytes = 2
 
-    if use_pallas and jax.devices()[0].platform == "tpu":
+    if dtype == "int8":
+        from .ops.quantize import quantize_rows
+        qr = quantize_rows(Xd.astype(jnp.float32))
+        from .kernels.topk_matmul import topk_matmul_int8
+        values, scales = jax.block_until_ready(qr.values), qr.scales
+        op = lambda V, S, qq: topk_matmul_int8(V, S, qq, k=k)
+        args = (values, scales, q.astype(jnp.float32))
+        path = "pallas-int8"
+        item_bytes = 1
+    elif use_pallas and on_tpu:
         from .kernels.topk_matmul import topk_matmul
-        op = lambda X, q: topk_matmul(X, q, k=k)
+        op = lambda X, qq: topk_matmul(X, qq, k=k)
+        args = (Xd, q)
         path = "pallas"
     else:
         from .search.bruteforce import search_topk
-        op = lambda X, q: search_topk(X, q, k=k)
+        op = lambda X, qq: search_topk(X, qq, k=k)
+        args = (Xd, q)
         path = "xla"
 
     def make_chained(m):
         # unrolled, NOT lax.scan: compiling scan(pallas_call) takes minutes
         # in this environment while unrolled calls compile quickly
-        def run(Xd, q):
+        def run(*a):
             acc = jnp.zeros((), jnp.float32)
             for _ in range(m):
-                s, _ = op(Xd, q + acc * 1e-30)
+                s, _ = op(*a[:-1], a[-1] + acc * 1e-30)
                 acc = acc + s[0, 0]
             return acc
         return jax.jit(run)
 
-    per_call = marginal_time(make_chained, (Xd, q), n=11)
-    hbm_roofline_ms = n * d * Xd.dtype.itemsize / 819e9 * 1e3
+    per_call = marginal_time(make_chained, args, n=11)
+    hbm_roofline_ms = n * d * item_bytes / 819e9 * 1e3
     return {
         "p50_ms": per_call * 1e3,
         "qps": q_batch / per_call,
@@ -139,4 +153,5 @@ def run_bench(what: str = "all") -> dict:
     if what in ("query", "all"):
         out["query"] = bench_query()
         out["query_b64"] = bench_query(q_batch=64)
+        out["query_int8"] = bench_query(dtype="int8")
     return out
