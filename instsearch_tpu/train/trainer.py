@@ -134,4 +134,12 @@ class Trainer:
 
     @property
     def variables(self) -> dict:
-        return {"params": self.state.params, **self.state.frozen}
+        """Backbone variables ready for the extraction stack (the learned
+        GeM exponent, if any, is exposed via :attr:`gem_p` instead)."""
+        params = {k: v for k, v in self.state.params.items() if k != "gem_p"}
+        return {"params": params, **self.state.frozen}
+
+    @property
+    def gem_p(self) -> float:
+        p = self.state.params.get("gem_p")
+        return float(p) if p is not None else float(self.cfg.gem_p)
