@@ -123,6 +123,57 @@ def sharded_qe_topk_fn(mesh: Mesh, k: int, qe_n: int, alpha: float,
     return jax.jit(mapped)
 
 
+def sharded_rerank_fn(mesh: Mesh, k: int, depth: int, fuse_weight: float = 1.0,
+                      axis: str = "shard"):
+    """Distributed regional re-ranking (SURVEY.md C13 on the sharded path),
+    exact vs the single-device stage:
+
+      1. per-shard global-descriptor top-``depth`` -> allgather of
+         (score, id) candidates -> replicated global top-``depth`` set
+      2. each shard computes the regional-match score for its own top-depth
+         candidates, masking out those not in the global set
+      3. allgather of fused scores -> replicated top-k merge
+
+    The regional einsum runs in parallel across shards on disjoint
+    candidates; ICI carries only (S*depth) scalars per query per gather.
+    """
+
+    def per_shard(X, reg_s, ids_s, q, qreg, nv):
+        del nv
+        scores = jnp.dot(q.astype(X.dtype), X.T,
+                         preferred_element_type=jnp.float32)      # [Q, N/S]
+        scores = jnp.where(ids_s[None, :] >= 0, scores, -jnp.inf)
+        s, pos = jax.lax.top_k(scores, depth)                     # [Q, depth]
+        gids = jnp.where(s > -jnp.inf,
+                         jnp.take(ids_s, jnp.maximum(pos, 0)), -1)
+        # ---- global top-depth membership ----
+        s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)   # [Q, S*d]
+        g_all = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
+        glob_s, glob_j = jax.lax.top_k(s_all, depth)
+        glob_ids = jnp.take_along_axis(g_all, glob_j, axis=1)     # [Q, depth]
+        member = jnp.any(gids[:, :, None] == glob_ids[:, None, :], axis=2)
+        member &= gids >= 0
+        # ---- regional match for local candidates ----
+        cand = jnp.take(reg_s, jnp.maximum(pos, 0), axis=0)       # [Q, d, R, D]
+        sim = jnp.einsum("qrd,qcsd->qcrs", qreg.astype(jnp.float32),
+                         cand.astype(jnp.float32))
+        match = jnp.sum(jnp.max(sim, axis=-1), axis=-1) / qreg.shape[1]
+        fused = jnp.where(member, match + fuse_weight * s, -jnp.inf)
+        # ---- final merge ----
+        f_all = jax.lax.all_gather(fused, axis, axis=1, tiled=True)
+        fs, fj = jax.lax.top_k(f_all, k)
+        return fs, jnp.take_along_axis(g_all, fj, axis=1)
+
+    mapped = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None, None), P(axis),
+                  P(None, None), P(None, None, None), P(None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
+
+
 class ShardedIndex:
     """Thin distribution layer over Index storage.
 
@@ -133,7 +184,8 @@ class ShardedIndex:
 
     def __init__(self, descriptors: jax.Array, ids: jax.Array,
                  mesh: Mesh | None = None, k: int = 10,
-                 use_pallas: bool = False, interpret: bool = False):
+                 use_pallas: bool = False, interpret: bool = False,
+                 regional: "jax.Array | None" = None):
         self.mesh = mesh or make_mesh()
         n = descriptors.shape[0]
         s = self.mesh.devices.size
@@ -142,6 +194,8 @@ class ShardedIndex:
         self.num_valid = int((np.asarray(ids) >= 0).sum())
         self.descriptors = shard_rows(self.mesh, descriptors)
         self.ids = shard_rows(self.mesh, ids)
+        self.regional = (shard_rows(self.mesh, regional)
+                         if regional is not None else None)
         self._fns: dict[int, callable] = {}
         self.default_k = k
         self.use_pallas = use_pallas
@@ -156,6 +210,22 @@ class ShardedIndex:
         q = replicate(self.mesh, jnp.asarray(queries))
         nv = replicate(self.mesh, jnp.asarray([self.num_valid], jnp.int32))
         return self._fns[k](self.descriptors, self.ids, q, nv)
+
+    def search_rerank(self, queries: jax.Array, query_regional: jax.Array,
+                      k: int | None = None, depth: int = 100,
+                      fuse_weight: float = 1.0):
+        """Distributed regional re-ranking over the sharded regional store."""
+        assert self.regional is not None, "no regional store attached"
+        k = k or self.default_k
+        depth = min(depth, self.descriptors.shape[0] // self.mesh.devices.size)
+        key = ("rerank", k, depth, fuse_weight)
+        if key not in self._fns:
+            self._fns[key] = sharded_rerank_fn(self.mesh, k, depth, fuse_weight)
+        q = replicate(self.mesh, jnp.asarray(queries))
+        qreg = replicate(self.mesh, jnp.asarray(query_regional))
+        nv = replicate(self.mesh, jnp.asarray([self.num_valid], jnp.int32))
+        return self._fns[key](self.descriptors, self.regional, self.ids,
+                              q, qreg, nv)
 
     def search_qe(self, queries: jax.Array, k: int | None = None,
                   qe_n: int = 10, alpha: float = 3.0):
