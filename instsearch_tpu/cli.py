@@ -90,6 +90,39 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_finetune(args) -> int:
+    """Fine-tune a backbone on a labeled image tree: each subdirectory of
+    --images is one instance/class (C17)."""
+    import numpy as np
+    from .config import TrainConfig
+    from .train.finetune import finetune
+    from .utils import save_pytree
+
+    if not os.path.isdir(args.images):
+        print(f"error: {args.images} is not a directory", file=sys.stderr)
+        return 2
+    paths, labels = [], []
+    for li, sub in enumerate(sorted(os.listdir(args.images))):
+        d = os.path.join(args.images, sub)
+        if not os.path.isdir(d):
+            continue
+        for p in sorted(glob.glob(os.path.join(d, "*.jpg"))):
+            paths.append(p)
+            labels.append(li)
+    if not paths:
+        print(f"error: no class subdirectories with .jpg under {args.images}",
+              file=sys.stderr)
+        return 2
+    cfg = TrainConfig(backbone=args.backbone or "resnet50",
+                      image_size=args.image_size, learn_gem_p=args.learn_p)
+    out = finetune(paths, np.asarray(labels), cfg, epochs=args.epochs)
+    save_pytree(args.out, out["variables"])
+    print(json.dumps({"steps": len(out["losses"]),
+                      "final_loss": out["losses"][-1],
+                      "gem_p": out["gem_p"], "out": args.out}))
+    return 0
+
+
 def cmd_workloads(args) -> int:
     from .workloads import run_all
     for res in run_all(args.data_root, args.dataset):
@@ -131,6 +164,17 @@ def main(argv=None) -> int:
     be.add_argument("--what", default="all",
                     choices=["extraction", "query", "all"])
     be.set_defaults(fn=cmd_bench)
+
+    f = sub.add_parser("finetune",
+                       help="contrastive fine-tuning on a labeled image tree")
+    f.add_argument("--images", required=True,
+                   help="directory with one subdirectory per instance/class")
+    f.add_argument("--out", required=True, help="orbax checkpoint path")
+    f.add_argument("--backbone", default=None)
+    f.add_argument("--image-size", type=int, default=224)
+    f.add_argument("--epochs", type=int, default=1)
+    f.add_argument("--learn-p", action="store_true")
+    f.set_defaults(fn=cmd_finetune)
 
     w = sub.add_parser("workloads",
                        help="run all BASELINE workload presets end-to-end")

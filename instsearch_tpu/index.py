@@ -209,6 +209,23 @@ class Index:
             top_scores, top_ids = self._topk(q, scfg.k)
         return np.asarray(top_scores), np.asarray(top_ids)
 
+    def query(self, queries, search_cfg: Optional[SearchConfig] = None,
+              **kw):
+        """BASELINE.json surface: ``index.query()``. Accepts descriptor
+        arrays ([Q, D] / [D]) or uint8 image batches ([Q, S, S, 3])."""
+        q = np.asarray(queries)
+        if q.ndim >= 3 or q.dtype == np.uint8:
+            return self.query_images(q if q.ndim == 4 else q[None],
+                                     search_cfg)
+        return self.search(q, search_cfg, **kw)
+
+    def evaluate(self, dataset, protocol: str = "medium",
+                 search_cfg: Optional[SearchConfig] = None) -> dict:
+        """BASELINE.json surface: ``index.evaluate()`` — full protocol
+        metrics on a RetrievalDataset (eval/evaluate.py)."""
+        from .eval.evaluate import evaluate_index
+        return evaluate_index(self, dataset, protocol, search_cfg)
+
     def query_images(self, images, search_cfg: Optional[SearchConfig] = None):
         """Image-space search: uint8 batch -> extract -> search (computes
         regional query descriptors when re-ranking is enabled)."""
