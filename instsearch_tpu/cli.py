@@ -106,20 +106,37 @@ def cmd_finetune(args) -> int:
         d = os.path.join(args.images, sub)
         if not os.path.isdir(d):
             continue
-        for p in sorted(glob.glob(os.path.join(d, "*.jpg"))):
+        for p in (sorted(glob.glob(os.path.join(d, "*.jpg")))
+                  + sorted(glob.glob(os.path.join(d, "*.png")))):
             paths.append(p)
             labels.append(li)
-    if not paths:
-        print(f"error: no class subdirectories with .jpg under {args.images}",
-              file=sys.stderr)
+    n_classes = len(set(labels))
+    if not paths or n_classes < 2:
+        print(f"error: need >= 2 class subdirectories with images under "
+              f"{args.images} (found {n_classes})", file=sys.stderr)
         return 2
+    counts = np.bincount(np.asarray(labels))
+    num_neg = min(args.num_negatives, int((counts.sum() - counts.max())))
     cfg = TrainConfig(backbone=args.backbone or "resnet50",
-                      image_size=args.image_size, learn_gem_p=args.learn_p)
-    out = finetune(paths, np.asarray(labels), cfg, epochs=args.epochs)
+                      image_size=args.image_size, learn_gem_p=args.learn_p,
+                      batch_size=args.batch_size, num_negatives=max(1, num_neg),
+                      lr=args.lr)
+    try:
+        out = finetune(paths, np.asarray(labels), cfg, epochs=args.epochs)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     save_pytree(args.out, out["variables"])
+    # the learned GeM exponent is not a backbone variable: persist it in a
+    # sidecar so build-index can reproduce the tuned model
+    meta = {"gem_p": out["gem_p"], "backbone": cfg.backbone,
+            "pooling": cfg.pooling, "image_size": cfg.image_size}
+    with open(args.out + ".meta.json", "w") as fh:
+        json.dump(meta, fh)
     print(json.dumps({"steps": len(out["losses"]),
                       "final_loss": out["losses"][-1],
-                      "gem_p": out["gem_p"], "out": args.out}))
+                      "gem_p": out["gem_p"], "out": args.out,
+                      "meta": args.out + ".meta.json"}))
     return 0
 
 
@@ -174,6 +191,9 @@ def main(argv=None) -> int:
     f.add_argument("--image-size", type=int, default=224)
     f.add_argument("--epochs", type=int, default=1)
     f.add_argument("--learn-p", action="store_true")
+    f.add_argument("--batch-size", type=int, default=8)
+    f.add_argument("--num-negatives", type=int, default=5)
+    f.add_argument("--lr", type=float, default=1e-4)
     f.set_defaults(fn=cmd_finetune)
 
     w = sub.add_parser("workloads",

@@ -210,14 +210,17 @@ class Index:
         return np.asarray(top_scores), np.asarray(top_ids)
 
     def query(self, queries, search_cfg: Optional[SearchConfig] = None,
-              **kw):
-        """BASELINE.json surface: ``index.query()``. Accepts descriptor
-        arrays ([Q, D] / [D]) or uint8 image batches ([Q, S, S, 3])."""
-        q = np.asarray(queries)
+              k: Optional[int] = None, **kw):
+        """BASELINE.json surface: ``index.query(x, k=10)``. Accepts
+        descriptor arrays ([Q, D] / [D]) or uint8 image batches
+        ([Q, S, S, 3] / [S, S, 3]). jax arrays stay on device."""
+        q = queries if hasattr(queries, "ndim") else np.asarray(queries)
+        scfg = search_cfg or self.cfg.search
+        if k is not None:
+            scfg = scfg.replace(k=k)
         if q.ndim >= 3 or q.dtype == np.uint8:
-            return self.query_images(q if q.ndim == 4 else q[None],
-                                     search_cfg)
-        return self.search(q, search_cfg, **kw)
+            return self.query_images(q if q.ndim == 4 else q[None], scfg)
+        return self.search(q, scfg, **kw)
 
     def evaluate(self, dataset, protocol: str = "medium",
                  search_cfg: Optional[SearchConfig] = None) -> dict:

@@ -23,6 +23,9 @@ def mine_hard_negatives(pool: np.ndarray, pool_labels: np.ndarray,
     ``overfetch`` controls how many candidates are pulled per anchor before
     label filtering (same-class entries get discarded).
     """
+    if len(set(np.asarray(anchor_labels).tolist())
+           | set(np.asarray(pool_labels).tolist())) < 2:
+        raise ValueError("hard-negative mining needs at least 2 classes")
     k = min(num_negatives * overfetch + 1, pool.shape[0])
     scores = jnp.dot(jnp.asarray(anchors), jnp.asarray(pool).T,
                      preferred_element_type=jnp.float32)
@@ -37,5 +40,10 @@ def mine_hard_negatives(pool: np.ndarray, pool_labels: np.ndarray,
             rng = np.random.default_rng(i)
             extra = rng.permutation(others)
             picked += [int(j) for j in extra if j not in picked]
+        if not picked:
+            raise ValueError(
+                f"anchor {i}: no different-class pool entries to mine")
+        while len(picked) < num_negatives:   # tiny pools: cycle
+            picked += picked[:num_negatives - len(picked)]
         out[i] = picked[:num_negatives]
     return out

@@ -86,6 +86,9 @@ class Trainer:
                 jax.random.PRNGKey(seed),
                 np.zeros((1, cfg.image_size, cfg.image_size, 3), np.float32))
         variables = dict(variables)
+        # deep-copy: the step donates its TrainState buffers, and the
+        # non-mesh path would otherwise free the CALLER's arrays
+        variables = jax.tree_util.tree_map(jnp.array, variables)
         params = dict(variables.pop("params"))
         if cfg.learn_gem_p and cfg.pooling == "gem":
             params["gem_p"] = jnp.asarray(cfg.gem_p, jnp.float32)
