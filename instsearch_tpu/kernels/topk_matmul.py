@@ -80,34 +80,38 @@ def _kernel(num_valid_ref, x_ref, q_ref, out_s_ref, out_i_ref,
     scores = jnp.where(valid, scores, NEG_INF)
 
     # per-query threshold = current k-th best; a tile is interesting for
-    # query b only if some score beats tau_b
+    # query b only if some score beats tau_b. Steady state pays ONE
+    # max-reduce; the count/argmax passes are gated behind it.
     tau = jnp.min(top_s[:], axis=1, keepdims=True)          # [B, 1]
     row_max = jnp.max(scores, axis=1, keepdims=True)        # [B, 1]
-    above = scores > tau                                    # [B, T]
-    n_above = jnp.sum(above, axis=1)                        # [B]
-    cmax = jnp.max(n_above)
+    tile_interesting = jnp.max(row_max - tau) > 0.0
 
-    @pl.when(cmax == 1)
-    def _insert_one():
-        # common steady-state case: at most ONE new candidate per query.
-        # One argmax pass + a tiny [B, k+1] extraction — O(T) instead of
-        # the O(k*T) full merge.
-        am = jnp.argmax(scores, axis=1).astype(jnp.int32)   # [B]
-        col = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
-        sel = col == am[:, None]
-        cand_i = jnp.sum(jnp.where(sel, row_ids, 0), axis=1, keepdims=True)
-        has = n_above[:, None] > 0
-        cand_s = jnp.where(has, row_max, NEG_INF)           # [B, 1]
-        cand_i = jnp.where(has, cand_i, -1)
-        new_s, new_i = _merge_topk(cand_s, cand_i, top_s[:], top_i[:], k)
-        top_s[:] = new_s
-        top_i[:] = new_i
+    @pl.when(tile_interesting)
+    def _maybe_merge():
+        above = scores > tau                                # [B, T]
+        n_above = jnp.sum(above, axis=1)                    # [B]
+        cmax = jnp.max(n_above)
 
-    @pl.when(cmax > 1)
-    def _merge_full():
-        new_s, new_i = _merge_topk(scores, row_ids, top_s[:], top_i[:], k)
-        top_s[:] = new_s
-        top_i[:] = new_i
+        @pl.when(cmax == 1)
+        def _insert_one():
+            # common case: at most ONE new candidate per query. One argmax
+            # pass + a tiny [B, k+1] extraction — O(T) not O(k*T).
+            am = jnp.argmax(scores, axis=1).astype(jnp.int32)   # [B]
+            col = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+            sel = col == am[:, None]
+            cand_i = jnp.sum(jnp.where(sel, row_ids, 0), axis=1, keepdims=True)
+            has = n_above[:, None] > 0
+            cand_s = jnp.where(has, row_max, NEG_INF)           # [B, 1]
+            cand_i = jnp.where(has, cand_i, -1)
+            new_s, new_i = _merge_topk(cand_s, cand_i, top_s[:], top_i[:], k)
+            top_s[:] = new_s
+            top_i[:] = new_i
+
+        @pl.when(cmax > 1)
+        def _merge_full():
+            new_s, new_i = _merge_topk(scores, row_ids, top_s[:], top_i[:], k)
+            top_s[:] = new_s
+            top_i[:] = new_i
 
     @pl.when(step == num_steps - 1)
     def _emit():
@@ -141,28 +145,32 @@ def _kernel_int8(num_valid_ref, x_ref, scales_ref, q_ref, qs_ref,
 
     tau = jnp.min(top_s[:], axis=1, keepdims=True)
     row_max = jnp.max(scores, axis=1, keepdims=True)
-    above = scores > tau
-    n_above = jnp.sum(above, axis=1)
-    cmax = jnp.max(n_above)
+    tile_interesting = jnp.max(row_max - tau) > 0.0
 
-    @pl.when(cmax == 1)
-    def _insert_one():
-        am = jnp.argmax(scores, axis=1).astype(jnp.int32)
-        col = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
-        sel = col == am[:, None]
-        cand_i = jnp.sum(jnp.where(sel, row_ids, 0), axis=1, keepdims=True)
-        has = n_above[:, None] > 0
-        cand_s = jnp.where(has, row_max, NEG_INF)
-        cand_i = jnp.where(has, cand_i, -1)
-        new_s, new_i = _merge_topk(cand_s, cand_i, top_s[:], top_i[:], k)
-        top_s[:] = new_s
-        top_i[:] = new_i
+    @pl.when(tile_interesting)
+    def _maybe_merge():
+        above = scores > tau
+        n_above = jnp.sum(above, axis=1)
+        cmax = jnp.max(n_above)
 
-    @pl.when(cmax > 1)
-    def _merge_full():
-        new_s, new_i = _merge_topk(scores, row_ids, top_s[:], top_i[:], k)
-        top_s[:] = new_s
-        top_i[:] = new_i
+        @pl.when(cmax == 1)
+        def _insert_one():
+            am = jnp.argmax(scores, axis=1).astype(jnp.int32)
+            col = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+            sel = col == am[:, None]
+            cand_i = jnp.sum(jnp.where(sel, row_ids, 0), axis=1, keepdims=True)
+            has = n_above[:, None] > 0
+            cand_s = jnp.where(has, row_max, NEG_INF)
+            cand_i = jnp.where(has, cand_i, -1)
+            new_s, new_i = _merge_topk(cand_s, cand_i, top_s[:], top_i[:], k)
+            top_s[:] = new_s
+            top_i[:] = new_i
+
+        @pl.when(cmax > 1)
+        def _merge_full():
+            new_s, new_i = _merge_topk(scores, row_ids, top_s[:], top_i[:], k)
+            top_s[:] = new_s
+            top_i[:] = new_i
 
     @pl.when(step == num_steps - 1)
     def _emit():
