@@ -32,6 +32,10 @@ def fit_whitening(X: jax.Array, dim: int | None = None,
     X = X.astype(jnp.float32)
     n, d = X.shape
     dim = d if dim in (None, 0) else min(dim, d)
+    # PCA estimates at most n-1 components; keeping rank-deficient
+    # directions would amplify them by rsqrt(eps) and destroy descriptors
+    # (bites when the fit set is smaller than D)
+    dim = min(dim, max(n - 1, 1))
     mu = jnp.mean(X, axis=0)
     Xc = X - mu
     cov = (Xc.T @ Xc) / jnp.maximum(n - 1, 1)

@@ -13,8 +13,12 @@ def mini(tmp_path_factory):
 
 def test_all_presets_listed():
     names = list_presets()
-    assert len(names) == 5
-    assert "oxford105k_sharded8" in names
+    # 5 BASELINE workloads + the production-scale int8 preset
+    assert len(names) >= 5
+    for required in ("oxford5k_resnet50_avgpool", "paris6k_vgg16_rmac_whiten",
+                     "roxford_gem_multiscale_qe", "oxford105k_sharded8",
+                     "rerank_regional_top100"):
+        assert required in names
 
 
 @pytest.mark.slow

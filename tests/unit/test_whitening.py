@@ -24,6 +24,23 @@ def test_whitening_dim_reduction(rng):
     np.testing.assert_allclose(np.linalg.norm(Y, axis=-1), 1.0, rtol=1e-4)
 
 
+def test_whitening_clamps_to_sample_rank(rng):
+    # fit set smaller than D: components clamp to n-1, and whitened
+    # near-duplicates must stay closer than random pairs (the un-clamped
+    # behavior amplified rank-deficient noise ~1/sqrt(eps) and destroyed
+    # this property)
+    X = rng.standard_normal((20, 64)).astype(np.float32)
+    params = fit_whitening(jnp.asarray(X))
+    assert params.P.shape == (19, 64)
+    dup = X[:5] + 0.01 * rng.standard_normal((5, 64)).astype(np.float32)
+    wa = np.asarray(apply_whitening(jnp.asarray(X[:5]), params))
+    wb = np.asarray(apply_whitening(jnp.asarray(dup), params))
+    w_rand = np.asarray(apply_whitening(jnp.asarray(X[5:10]), params))
+    near = np.sum(wa * wb, axis=1).mean()
+    far = np.sum(wa * w_rand, axis=1).mean()
+    assert near > far + 0.2, (near, far)
+
+
 def test_whitening_matches_numpy_oracle(rng):
     # well-separated spectrum so eigenvectors are well-determined
     scales = np.geomspace(1.0, 32.0, 12).astype(np.float32)
