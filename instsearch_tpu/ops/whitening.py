@@ -66,12 +66,17 @@ def fit_lw_whitening(anchors: jax.Array, positives: jax.Array,
     p = positives.astype(jnp.float32)
     m, d = a.shape
     dim = d if dim in (None, 0) else min(dim, d)
+    # same rank discipline as fit_whitening: at most m-1 estimable
+    # directions from m pairs
+    dim = min(dim, max(m - 1, 1))
     diff = a - p
     cs = (diff.T @ diff) / jnp.maximum(m, 1)
     s_evals, s_evecs = jnp.linalg.eigh(cs)
-    # C_S^(-1/2) with floor on tiny eigenvalues
+    # C_S^(-1/2) with a RELATIVE floor: unobserved intraclass directions
+    # (rank-deficient C_S) get bounded amplification instead of 1/sqrt(eps)
+    floor = jnp.maximum(jnp.max(s_evals) * 1e-4, eps)
     inv_sqrt = s_evecs @ jnp.diag(
-        jax.lax.rsqrt(jnp.maximum(s_evals, eps))) @ s_evecs.T    # [D, D]
+        jax.lax.rsqrt(jnp.maximum(s_evals, floor))) @ s_evecs.T  # [D, D]
     mu = jnp.mean(a, axis=0)
     proj = (a - mu) @ inv_sqrt.T
     cov = (proj.T @ proj) / jnp.maximum(m - 1, 1)

@@ -27,6 +27,21 @@ def test_lw_whitening_normalizes_intraclass_scatter(rng):
     assert raw.max() / raw.min() > 100.0
 
 
+def test_lw_whitening_few_pairs(rng):
+    # fewer pairs than dims: clamp to m-1 components, bounded amplification
+    a = rng.standard_normal((10, 64)).astype(np.float32)
+    p = a + 0.05 * rng.standard_normal((10, 64)).astype(np.float32)
+    params = fit_lw_whitening(jnp.asarray(a), jnp.asarray(p))
+    assert params.P.shape == (9, 64)
+    out = np.asarray(apply_whitening(jnp.asarray(a), params))
+    assert np.isfinite(out).all()
+    # matched pairs still closer than random after projection
+    wa = np.asarray(apply_whitening(jnp.asarray(a[:4]), params))
+    wp = np.asarray(apply_whitening(jnp.asarray(p[:4]), params))
+    wr = np.asarray(apply_whitening(jnp.asarray(a[4:8]), params))
+    assert (wa * wp).sum(1).mean() > (wa * wr).sum(1).mean()
+
+
 def test_lw_whitening_dim_reduction(rng):
     a = rng.standard_normal((200, 12)).astype(np.float32)
     p = a + 0.1 * rng.standard_normal((200, 12)).astype(np.float32)
