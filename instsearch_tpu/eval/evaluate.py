@@ -97,7 +97,8 @@ def evaluate_index(index: Index, dataset: RetrievalDataset,
         scores = index._masked_scores(q)
         _, top_ids = regional_rerank_scores(
             index.regional, index.ids, scores,
-            jnp.asarray(query_regional), depth=depth, k=depth)
+            jnp.asarray(query_regional), depth=depth, k=depth,
+            regional_scales=index.regional_scales)
         top_ids = np.asarray(top_ids)                       # [Q, depth]
         spliced = []
         for qi in range(ranks.shape[0]):

@@ -93,6 +93,7 @@ class Index:
         self.cfg = cfg
         self.extractor = extractor
         self.regional = regional            # [N_pad, R, D] for re-ranking, optional
+        self.regional_scales = None         # [N_pad, R] when regional is int8
         self.scales = scales                # [1, N_pad] f32 when dtype=int8
 
     # ------------------------------------------------------------------
@@ -161,9 +162,16 @@ class Index:
             n_pad = idx.descriptors.shape[0]
             reg_pad = np.zeros((n_pad,) + reg.shape[1:], np.float32)
             reg_pad[:len(reg)] = reg
-            reg_dtype = (jnp.bfloat16 if cfg.index.dtype == "int8"
-                         else _DTYPES[cfg.index.dtype])
-            idx.regional = jnp.asarray(reg_pad, reg_dtype)
+            if cfg.index.dtype == "int8":
+                # quantize the store per (row, region) — it is R x the
+                # index size, the system's biggest tensor
+                from .ops.quantize import quantize_rows
+                flat = reg_pad.reshape(-1, reg_pad.shape[-1])
+                qr = quantize_rows(jnp.asarray(flat))
+                idx.regional = qr.values.reshape(reg_pad.shape)
+                idx.regional_scales = qr.scales.reshape(reg_pad.shape[:2])
+            else:
+                idx.regional = jnp.asarray(reg_pad, _DTYPES[cfg.index.dtype])
         return idx
 
     # ------------------------------------------------------------------
@@ -286,7 +294,11 @@ class Index:
             state["whitening_P"] = np.asarray(self.extractor.whitening.P)
             state["whitening_mu"] = np.asarray(self.extractor.whitening.mu)
         if self.regional is not None:
-            state["regional"] = np.asarray(self.regional.astype(jnp.float32))
+            if self.regional.dtype == jnp.int8:
+                state["regional_int8"] = np.asarray(self.regional)
+                state["regional_scales"] = np.asarray(self.regional_scales)
+            else:
+                state["regional"] = np.asarray(self.regional.astype(jnp.float32))
         np.savez(os.path.join(path, "index.npz"), **state)
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"names": self.names, "config": json.loads(self.cfg.to_json())}, f)
@@ -307,11 +319,18 @@ class Index:
         reg_dtype = jnp.bfloat16 if dtype == jnp.int8 else dtype
         regional = (jnp.asarray(data["regional"], reg_dtype)
                     if "regional" in data else None)
+        regional_scales = None
+        if "regional_int8" in data:
+            regional = jnp.asarray(data["regional_int8"])
+            regional_scales = jnp.asarray(data["regional_scales"])
         if "descriptors_int8" in data:
-            return cls(jnp.asarray(data["descriptors_int8"]),
-                       jnp.asarray(data["ids"]), list(meta["names"]), cfg,
-                       extractor, regional,
-                       scales=jnp.asarray(data["scales"]))
-        return cls(jnp.asarray(data["descriptors"], dtype),
-                   jnp.asarray(data["ids"]), list(meta["names"]), cfg,
-                   extractor, regional)
+            idx = cls(jnp.asarray(data["descriptors_int8"]),
+                      jnp.asarray(data["ids"]), list(meta["names"]), cfg,
+                      extractor, regional,
+                      scales=jnp.asarray(data["scales"]))
+        else:
+            idx = cls(jnp.asarray(data["descriptors"], dtype),
+                      jnp.asarray(data["ids"]), list(meta["names"]), cfg,
+                      extractor, regional)
+        idx.regional_scales = regional_scales
+        return idx

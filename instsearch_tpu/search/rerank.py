@@ -23,15 +23,22 @@ def regional_rerank_scores(regional_store: jax.Array, ids: jax.Array,
                            global_scores: jax.Array,
                            query_regional: jax.Array,
                            *, depth: int = 100, k: int = 10,
-                           fuse_weight: float = 1.0):
+                           fuse_weight: float = 1.0,
+                           regional_scales: "jax.Array | None" = None):
     """``regional_store [N_pad, R, D]``, ``global_scores [Q, N_pad]``
     (padding already -inf), ``query_regional [Q, Rq, D]`` ->
     ``(scores [Q, k], ids [Q, k])`` re-ordered by fused score.
 
     Fused score = regional match + ``fuse_weight`` * global cosine.
+    ``regional_scales [N_pad, R]`` dequantizes an int8 regional store
+    (4x memory cut — the store is R x the index size, the system's
+    largest tensor).
     """
     top_g, top_pos = jax.lax.top_k(global_scores, depth)          # [Q, depth]
     cand = jnp.take(regional_store, top_pos, axis=0)              # [Q, depth, R, D]
+    if regional_store.dtype == jnp.int8:
+        sc = jnp.take(regional_scales, top_pos, axis=0)           # [Q, depth, R]
+        cand = cand.astype(jnp.float32) * sc[..., None]
     # region-match matrix: every query region vs every candidate region
     sim = jnp.einsum("qrd,qcsd->qcrs", query_regional.astype(jnp.float32),
                      cand.astype(jnp.float32))                    # [Q, depth, Rq, R]
@@ -57,4 +64,6 @@ def regional_rerank(index, queries, global_scores, query_regional=None,
             "query_regional explicitly")
     depth = min(depth, index.descriptors.shape[0])
     return regional_rerank_scores(index.regional, index.ids, global_scores,
-                                  query_regional, depth=depth, k=k)
+                                  query_regional, depth=depth, k=k,
+                                  regional_scales=getattr(
+                                      index, "regional_scales", None))
