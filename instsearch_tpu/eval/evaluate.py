@@ -48,9 +48,7 @@ def extract_queries(index: Index, dataset: RetrievalDataset,
         chunk = imgs[i:i + batch]
         pad = batch - len(chunk)
         arr = np.stack(chunk + [chunk[-1]] * pad)
-        d = np.asarray(ex(jnp.asarray(arr)))
-        if ex.whitening is not None:
-            pass  # extractor applies whitening internally
+        d = np.asarray(ex(jnp.asarray(arr)))   # whitening applied inside
         out.append(d[:len(chunk)])
     return np.concatenate(out)
 
