@@ -260,21 +260,17 @@ class Index:
     def to_sharded(self, mesh=None, use_pallas: bool | None = None):
         """Distribute this index row-sharded over a device mesh
         (SURVEY.md §2.2): returns a :class:`ShardedIndex` serving the same
-        ids. On a 1-device mesh this is the identical code path.
-        An int8-stored index is dequantized to bf16 for sharding (int8
-        sharded path is future work)."""
+        ids. On a 1-device mesh this is the identical code path. int8
+        storage stays int8: per-row scales shard alongside the rows."""
         from .parallel import ShardedIndex, make_mesh
         if mesh is None:
             mesh = make_mesh(max(self.cfg.index.num_shards, 1))
         if use_pallas is None:
             use_pallas = (self.cfg.search.use_pallas
                           and jax.devices()[0].platform == "tpu")
-        desc = self.descriptors
-        if desc.dtype == jnp.int8:
-            desc = (desc.astype(jnp.float32)
-                    * self.scales.reshape(-1, 1)).astype(jnp.bfloat16)
-        return ShardedIndex(desc, self.ids, mesh=mesh,
-                            k=self.cfg.search.k, use_pallas=use_pallas)
+        return ShardedIndex(self.descriptors, self.ids, mesh=mesh,
+                            k=self.cfg.search.k, use_pallas=use_pallas,
+                            scales=self.scales)
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:

@@ -21,30 +21,43 @@ from .mesh import make_mesh, replicate, shard_rows
 
 
 def sharded_topk_fn(mesh: Mesh, k: int, axis: str = "shard",
-                    use_pallas: bool = False, interpret: bool = False):
-    """Build the jitted sharded search: (descriptors, ids, queries) ->
-    (scores [Q,k], global_ids [Q,k]), all-replicated output.
+                    use_pallas: bool = False, interpret: bool = False,
+                    int8: bool = False):
+    """Build the jitted sharded search: (descriptors, ids, queries[, scales])
+    -> (scores [Q,k], global_ids [Q,k]), all-replicated output.
 
     ``use_pallas`` runs the fused topk_matmul kernel per shard (the
-    production TPU path); otherwise the XLA oracle. Row padding is
-    contiguous at the tail of the index, so each shard's valid-row count is
+    production TPU path); otherwise the XLA oracle. ``int8`` adds a
+    row-scales operand (sharded alongside the rows) and scores via the
+    int8 kernel / dequantized oracle. Row padding is contiguous at the
+    tail of the index, so each shard's valid-row count is
     ``clip(num_valid - shard * C, 0, C)``.
     """
 
-    def per_shard(X, ids_s, q, nv):
-        # X: [N/S, D] local shard; ids_s: [N/S]; q: [Q, D] replicated
+    def _score_topk(X, ids_s, q, nv, scales_s):
         c = X.shape[0]
         if use_pallas:
-            from ..kernels import topk_matmul
             shard_i = jax.lax.axis_index(axis)
             nv_local = jnp.clip(nv[0] - shard_i * c, 0, c)
-            s, pos = topk_matmul(X, q, k=k, num_valid=nv_local,
-                                 interpret=interpret)
+            if int8:
+                from ..kernels import topk_matmul_int8
+                return topk_matmul_int8(X, scales_s, q, k=k,
+                                        num_valid=nv_local,
+                                        interpret=interpret)
+            from ..kernels import topk_matmul
+            return topk_matmul(X, q, k=k, num_valid=nv_local,
+                               interpret=interpret)
+        if int8:
+            scores = jnp.dot(q.astype(jnp.float32), X.T.astype(jnp.float32),
+                             preferred_element_type=jnp.float32) * scales_s
         else:
             scores = jnp.dot(q.astype(X.dtype), X.T,
                              preferred_element_type=jnp.float32)   # [Q, N/S]
-            scores = jnp.where(ids_s[None, :] >= 0, scores, -jnp.inf)
-            s, pos = jax.lax.top_k(scores, k)                       # [Q, k]
+        scores = jnp.where(ids_s[None, :] >= 0, scores, -jnp.inf)
+        return jax.lax.top_k(scores, k)                            # [Q, k]
+
+    def per_shard(X, ids_s, q, nv, scales_s=None):
+        s, pos = _score_topk(X, ids_s, q, nv, scales_s)
         gids = jnp.where(pos >= 0,
                          jnp.take(ids_s, jnp.maximum(pos, 0)), -1)  # [Q, k]
         # ---- ICI boundary: gather S*k candidates per query ----
@@ -53,9 +66,12 @@ def sharded_topk_fn(mesh: Mesh, k: int, axis: str = "shard",
         s2, p2 = jax.lax.top_k(s_all, k)
         return s2, jnp.take_along_axis(g_all, p2, axis=1)
 
+    in_specs = [P(axis, None), P(axis), P(None, None), P(None)]
+    if int8:
+        in_specs.append(P(None, axis))   # scales [1, N] sharded on rows
     mapped = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(None, None), P(None)),
+        in_specs=tuple(in_specs),
         out_specs=(P(None, None), P(None, None)),
         check_rep=False,
     )
@@ -185,15 +201,22 @@ class ShardedIndex:
     def __init__(self, descriptors: jax.Array, ids: jax.Array,
                  mesh: Mesh | None = None, k: int = 10,
                  use_pallas: bool = False, interpret: bool = False,
-                 regional: "jax.Array | None" = None):
+                 regional: "jax.Array | None" = None,
+                 scales: "jax.Array | None" = None):
         self.mesh = mesh or make_mesh()
         n = descriptors.shape[0]
         s = self.mesh.devices.size
         if n % s:
             raise ValueError(f"padded rows {n} not divisible by {s} shards")
+        if descriptors.dtype == jnp.int8 and scales is None:
+            raise ValueError("int8 descriptors need per-row scales")
         self.num_valid = int((np.asarray(ids) >= 0).sum())
         self.descriptors = shard_rows(self.mesh, descriptors)
         self.ids = shard_rows(self.mesh, ids)
+        self.int8 = descriptors.dtype == jnp.int8
+        self.scales = (jax.device_put(
+            scales, NamedSharding(self.mesh, P(None, "shard")))
+            if scales is not None else None)
         self.regional = (shard_rows(self.mesh, regional)
                          if regional is not None else None)
         self._fns: dict[int, callable] = {}
@@ -206,9 +229,12 @@ class ShardedIndex:
         if k not in self._fns:
             self._fns[k] = sharded_topk_fn(self.mesh, k,
                                            use_pallas=self.use_pallas,
-                                           interpret=self.interpret)
+                                           interpret=self.interpret,
+                                           int8=self.int8)
         q = replicate(self.mesh, jnp.asarray(queries))
         nv = replicate(self.mesh, jnp.asarray([self.num_valid], jnp.int32))
+        if self.int8:
+            return self._fns[k](self.descriptors, self.ids, q, nv, self.scales)
         return self._fns[k](self.descriptors, self.ids, q, nv)
 
     def search_rerank(self, queries: jax.Array, query_regional: jax.Array,
