@@ -33,7 +33,7 @@ class ResumableBuilder:
 
     def __init__(self, paths: Sequence[str], cfg: PipelineConfig,
                  out_dir: str, group_size: int = 16,
-                 variables: dict | None = None, seed: int = 0):
+                 variables: dict | None = None, seed: int = 0, mesh=None):
         self.paths = list(paths)
         self.cfg = cfg
         self.out_dir = out_dir
@@ -41,8 +41,13 @@ class ResumableBuilder:
         self.manifest_path = os.path.join(out_dir, "manifest.json")
         os.makedirs(self.parts_dir, exist_ok=True)
         self.group = group_size * cfg.extract.batch_size  # images per flush
+        if mesh is None:
+            import jax
+            if len(jax.devices()) > 1:   # same DP default as Index.build
+                from .parallel import make_mesh
+                mesh = make_mesh(axis="data")
         self.extractor = Extractor(cfg.extract.replace(whiten=False),
-                                   variables, seed=seed)
+                                   variables, seed=seed, mesh=mesh)
         self.manifest = self._load_manifest()
 
     def _load_manifest(self) -> dict:

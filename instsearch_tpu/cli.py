@@ -29,6 +29,22 @@ def _load_cfg(args) -> PipelineConfig:
 def cmd_build_index(args) -> int:
     from .index import Index
     cfg = _load_cfg(args)
+    variables = None
+    if args.weights:
+        # consume a `finetune` checkpoint: orbax variables + sidecar meta
+        # describing the tuned model (gem_p / backbone / pooling)
+        from .utils import load_pytree
+        variables = load_pytree(args.weights)
+        meta_path = args.weights + ".meta.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                wmeta = json.load(fh)
+            cfg = PipelineConfig(
+                extract=cfg.extract.replace(
+                    backbone=wmeta.get("backbone", cfg.extract.backbone),
+                    pooling=wmeta.get("pooling", cfg.extract.pooling),
+                    gem_p=wmeta.get("gem_p", cfg.extract.gem_p)),
+                index=cfg.index, search=cfg.search, eval=cfg.eval)
     paths = sorted(glob.glob(os.path.join(args.images, "*.jpg"))) + \
         sorted(glob.glob(os.path.join(args.images, "*.png")))
     if not paths:
@@ -36,11 +52,12 @@ def cmd_build_index(args) -> int:
         return 2
     if args.resumable:
         from .builder import ResumableBuilder
-        b = ResumableBuilder(paths, cfg, args.out + ".build")
+        b = ResumableBuilder(paths, cfg, args.out + ".build",
+                             variables=variables)
         b.run()
         idx = b.finalize()
     else:
-        idx = Index.build(paths, cfg)
+        idx = Index.build(paths, cfg, variables=variables)
     idx.save(args.out)
     print(json.dumps({"indexed": idx.num_valid,
                       "quarantined": len(getattr(idx, "quarantined", [])),
@@ -86,7 +103,16 @@ def cmd_evaluate(args) -> int:
 
 def cmd_bench(args) -> int:
     from .bench import run_bench
-    print(json.dumps(run_bench(args.what)))
+    from .utils import COUNTERS
+    if args.trace:
+        from .utils.observe import trace
+        with trace(args.trace):
+            out = run_bench(args.what)
+        out["trace_dir"] = args.trace
+    else:
+        out = run_bench(args.what)
+    out["counters"] = COUNTERS.dump()
+    print(json.dumps(out))
     return 0
 
 
@@ -158,6 +184,9 @@ def main(argv=None) -> int:
     b.add_argument("--backbone", default=None)
     b.add_argument("--resumable", action="store_true",
                    help="flush per batch-group with a manifest; restart resumes")
+    b.add_argument("--weights", default=None,
+                   help="orbax checkpoint from `finetune` (reads the "
+                        ".meta.json sidecar for gem_p/backbone)")
     b.set_defaults(fn=cmd_build_index)
 
     q = sub.add_parser("query", help="query an index with an image")
@@ -180,6 +209,8 @@ def main(argv=None) -> int:
     be = sub.add_parser("bench", help="run benchmark harness")
     be.add_argument("--what", default="all",
                     choices=["extraction", "query", "all"])
+    be.add_argument("--trace", default=None, metavar="DIR",
+                    help="write a TensorBoard profiler trace to DIR")
     be.set_defaults(fn=cmd_bench)
 
     f = sub.add_parser("finetune",

@@ -58,6 +58,21 @@ class PrefetchLoader:
             raise err[0]
 
 
+def iter_batches(paths: Sequence[str], size: int, batch: int,
+                 quarantine: list | None = None, depth: int = 2):
+    """The production input pipeline: prefetch-overlapped decode batches.
+
+    One shared entry point so every build path (Extractor.extract_paths,
+    ResumableBuilder) gets decode/compute overlap; falls back to the
+    synchronous iterator for trivially small path lists where thread
+    startup would dominate.
+    """
+    if len(paths) <= batch:
+        return frontend.batch_paths(paths, size, batch, quarantine)
+    return iter(PrefetchLoader(paths, size, batch,
+                               depth=depth, quarantine=quarantine))
+
+
 def grain_dataset(paths: Sequence[str], size: int, batch: int,
                   num_workers: int = 0):
     """Build a ``grain`` MapDataset pipeline: decode -> batch.

@@ -53,62 +53,98 @@ def extract_queries(index: Index, dataset: RetrievalDataset,
     return np.concatenate(out)
 
 
+def extract_query_regional(index: Index, dataset: RetrievalDataset,
+                           crop_bbx: bool = True) -> np.ndarray:
+    """Per-query regional R-MAC descriptors (bbox-cropped) for re-ranking."""
+    ex = index.extractor
+    size, batch = ex.cfg.image_size, ex.cfg.batch_size
+    imgs = []
+    for qname, entry in zip(dataset.qimlist, dataset.gnd):
+        img = load_query_batchable(dataset.image_path(qname),
+                                   entry.get("bbx") if crop_bbx else None,
+                                   size)
+        imgs.append(img)
+    regs = []
+    import jax.numpy as jnp
+    for i in range(0, len(imgs), batch):
+        chunk = imgs[i:i + batch]
+        arr = np.stack(chunk + [chunk[-1]] * (batch - len(chunk)))
+        r = np.asarray(ex.extract_regional(jnp.asarray(arr)))
+        regs.append(r[:len(chunk)])
+    return np.concatenate(regs)
+
+
+def _splice_head(ranks: np.ndarray, top_ids: np.ndarray) -> np.ndarray:
+    """Re-order: per query, ``top_ids`` first (re-ranked head), then the
+    rest of ``ranks`` with the head removed, order preserved. Vectorized
+    per query via np.isin — no O(N) python set scans in the protocol path."""
+    spliced = np.empty_like(ranks)
+    for qi in range(ranks.shape[0]):
+        head = top_ids[qi][top_ids[qi] >= 0].astype(ranks.dtype)
+        tail = ranks[qi][~np.isin(ranks[qi], head, assume_unique=True)]
+        spliced[qi, :len(head)] = head
+        spliced[qi, len(head):] = tail
+    return spliced
+
+
 def evaluate_index(index: Index, dataset: RetrievalDataset,
                    protocol: str = "medium",
                    search_cfg: Optional[SearchConfig] = None,
-                   crop_bbx: bool = True) -> dict:
+                   crop_bbx: bool = True,
+                   sharded_index=None) -> dict:
     """Full protocol evaluation: returns mAP / mP@k for the given protocol.
 
     Uses the complete ranking (AP needs it); αQE from ``search_cfg`` is
     honored by expanding queries before the final ranking.
+
+    ``sharded_index`` (a parallel.ShardedIndex) routes ranking, QE
+    expansion and re-ranking through the distributed machinery instead of
+    the single-device index — same math, row-sharded over the mesh
+    (SURVEY.md §3.3 on the §2.2 layout); query extraction still runs on
+    the index's extractor.
     """
     queries = extract_queries(index, dataset, crop_bbx)
     scfg = search_cfg or index.cfg.search
     import jax.numpy as jnp
     q = jnp.asarray(queries)
     if scfg.qe_enabled:
-        from ..search.qe import alpha_query_expansion
-        q = alpha_query_expansion(index.descriptors, index.ids, q,
-                                  n=scfg.qe_n, alpha=scfg.qe_alpha,
-                                  scales=index.scales)
-    ranks = index.full_ranking(q)
+        if sharded_index is not None:
+            q = sharded_index.expand_queries(q, qe_n=scfg.qe_n,
+                                             alpha=scfg.qe_alpha)
+        else:
+            from ..search.qe import alpha_query_expansion
+            q = alpha_query_expansion(index.descriptors, index.ids, q,
+                                      n=scfg.qe_n, alpha=scfg.qe_alpha,
+                                      scales=index.scales)
+    if sharded_index is not None:
+        ranks = sharded_index.full_ranking(q)
+    else:
+        ranks = index.full_ranking(q)
 
-    if scfg.rerank_enabled and index.regional is not None:
+    rerank_store = (sharded_index.regional if sharded_index is not None
+                    else index.regional)
+    if scfg.rerank_enabled and rerank_store is not None:
         # re-order the top-`depth` of the full ranking; tail unchanged
-        ex = index.extractor
-        size, batch = ex.cfg.image_size, ex.cfg.batch_size
-        qreg = []
-        for qname, entry in zip(dataset.qimlist, dataset.gnd):
-            img = load_query_batchable(dataset.image_path(qname),
-                                       entry.get("bbx") if crop_bbx else None,
-                                       size)
-            qreg.append(img)
-        regs = []
-        for i in range(0, len(qreg), batch):
-            chunk = qreg[i:i + batch]
-            arr = np.stack(chunk + [chunk[-1]] * (batch - len(chunk)))
-            r = np.asarray(ex.extract_regional(jnp.asarray(arr)))
-            regs.append(r[:len(chunk)])
-        query_regional = np.concatenate(regs)
-        depth = min(scfg.rerank_depth, index.descriptors.shape[0])
-        from ..search.rerank import regional_rerank_scores
-        scores = index._masked_scores(q)
-        _, top_ids = regional_rerank_scores(
-            index.regional, index.ids, scores,
-            jnp.asarray(query_regional), depth=depth, k=depth,
-            regional_scales=index.regional_scales)
-        top_ids = np.asarray(top_ids)                       # [Q, depth]
-        spliced = []
-        for qi in range(ranks.shape[0]):
-            head = top_ids[qi][top_ids[qi] >= 0]
-            head_set = set(head.tolist())
-            tail = [r for r in ranks[qi] if r not in head_set]
-            spliced.append(np.concatenate([head, np.asarray(tail, head.dtype)]))
-        ranks = np.stack(spliced)
+        query_regional = extract_query_regional(index, dataset, crop_bbx)
+        if sharded_index is not None:
+            depth = min(scfg.rerank_depth, sharded_index.descriptors.shape[0])
+            _, top_ids = sharded_index.search_rerank(
+                q, jnp.asarray(query_regional), k=depth, depth=depth)
+        else:
+            depth = min(scfg.rerank_depth, index.descriptors.shape[0])
+            from ..search.rerank import regional_rerank_scores
+            scores = index._masked_scores(q)
+            _, top_ids = regional_rerank_scores(
+                index.regional, index.ids, scores,
+                jnp.asarray(query_regional), depth=depth, k=depth,
+                regional_scales=index.regional_scales)
+        ranks = _splice_head(ranks, np.asarray(top_ids))
 
     res = evaluate_ranks(ranks, dataset.gnd, protocol)
     res["dataset"] = dataset.name
     res["protocol"] = protocol
+    from ..utils import COUNTERS
+    COUNTERS.add("queries_evaluated", ranks.shape[0])
     return res
 
 

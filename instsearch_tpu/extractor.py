@@ -35,17 +35,23 @@ def build_extract_fn(cfg: ExtractConfig):
     model, spec = get_backbone(cfg.backbone, dtype=dtype)
 
     def extract(variables, images, whitening: Optional[WhiteningParams] = None):
-        x = frontend.normalize(images, dtype=dtype)
+        # named_scope: per-stage attribution in TPU profiler traces
+        # (SURVEY.md §5 tracing row); free at runtime, names the HLO.
+        with jax.named_scope("frontend"):
+            x = frontend.normalize(images, dtype=dtype)
         descs = []
         for scale in cfg.scales:
-            xs = frontend.rescale(x, scale)
-            fmap = model.apply(variables, xs)
-            d = pool(fmap, cfg)
+            with jax.named_scope(f"backbone_s{scale:g}"):
+                xs = frontend.rescale(x, scale)
+                fmap = model.apply(variables, xs)
+            with jax.named_scope("pool"):
+                d = pool(fmap, cfg)
             descs.append(l2_normalize(d.astype(jnp.float32), axis=-1))
         desc = jnp.mean(jnp.stack(descs, 0), axis=0) if len(descs) > 1 else descs[0]
         desc = l2_normalize(desc, axis=-1)
         if whitening is not None:
-            desc = apply_whitening(desc, whitening)   # includes re-L2
+            with jax.named_scope("whiten"):
+                desc = apply_whitening(desc, whitening)   # includes re-L2
         return desc
 
     return model, extract
@@ -73,25 +79,57 @@ def build_regional_fn(cfg: ExtractConfig):
 
 
 class Extractor:
-    """Convenience stateful wrapper holding variables + jitted extract fn."""
+    """Convenience stateful wrapper holding variables + jitted extract fn.
+
+    ``mesh`` enables data-parallel extraction (SURVEY.md §2.2 DP row):
+    the image batch is committed row-sharded over the mesh's first axis and
+    the variables replicated, so the ONE jitted program XLA-partitions over
+    the batch dimension — each chip runs the full backbone on its slice.
+    The 1-device mesh is the identical code path.
+    """
 
     def __init__(self, cfg: ExtractConfig,
                  variables: dict | None = None,
                  whitening: WhiteningParams | None = None,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
         self.cfg = cfg
+        self.seed = seed
         self.model, self._fn = build_extract_fn(cfg)
         if variables is None:
             variables = self.model.init(
                 jax.random.PRNGKey(seed),
                 np.zeros((1, cfg.image_size, cfg.image_size, 3), np.float32))
+        self.mesh = mesh
+        if mesh is not None and mesh.devices.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._axis = mesh.axis_names[0]
+            self._img_sharding = NamedSharding(mesh, P(self._axis))
+            variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        else:
+            self._img_sharding = None
         self.variables = variables
         self.whitening = whitening
         self._jit = jax.jit(self._fn)
         self._regional_jit = None
 
+    def _place(self, images) -> jax.Array:
+        """Commit the batch to the DP sharding (pad rows to the device
+        count; callers slice the output back)."""
+        images = jnp.asarray(images)
+        if self._img_sharding is None:
+            return images, images.shape[0]
+        n = self.mesh.devices.size
+        b = images.shape[0]
+        pad = (-b) % n
+        if pad:
+            images = jnp.concatenate(
+                [images, jnp.zeros((pad,) + images.shape[1:], images.dtype)])
+        return jax.device_put(images, self._img_sharding), b
+
     def __call__(self, images) -> jax.Array:
-        return self._jit(self.variables, images, self.whitening)
+        images, b = self._place(images)
+        out = self._jit(self.variables, images, self.whitening)
+        return out if out.shape[0] == b else out[:b]
 
     def extract_regional(self, images) -> jax.Array:
         """[B, S, S, 3] -> [B, R, D] per-region descriptors (same weights,
@@ -99,26 +137,44 @@ class Extractor:
         if self._regional_jit is None:
             _, fn = build_regional_fn(self.cfg)
             self._regional_jit = jax.jit(fn)
-        return self._regional_jit(self.variables, images, self.whitening)
+        images, b = self._place(images)
+        out = self._regional_jit(self.variables, images, self.whitening)
+        return out if out.shape[0] == b else out[:b]
+
+    def _batches(self, paths, quarantine=None):
+        """Prefetching input pipeline (SURVEY.md §7 hard part 4): a
+        background thread decodes batch i+depth (via the native C++ loader
+        when built) while the device runs batch i."""
+        from .data.loader import iter_batches
+        return iter_batches(paths, self.cfg.image_size, self.cfg.batch_size,
+                            quarantine)
 
     def extract_paths_regional(self, paths) -> np.ndarray:
         out = []
-        for batch, idxs in frontend.batch_paths(
-                paths, self.cfg.image_size, self.cfg.batch_size):
-            r = np.asarray(self.extract_regional(jnp.asarray(batch)))
+        for batch, idxs in self._batches(paths):
+            r = np.asarray(self.extract_regional(batch))
             out.append(r[idxs >= 0])
         return np.concatenate(out) if out else np.zeros((0, 0, 0), np.float32)
 
     def extract_paths(self, paths, quarantine: list | None = None):
-        """Host loop: decode/batch on host, extract on device.
-        Returns ``(descriptors [N,D] f32 numpy, kept_indices [N])``."""
+        """Prefetch-overlapped loop: host decodes ahead in a background
+        thread, device extracts. Returns
+        ``(descriptors [N,D] f32 numpy, kept_indices [N])``."""
         out, kept = [], []
-        for batch, idxs in frontend.batch_paths(
-                paths, self.cfg.image_size, self.cfg.batch_size, quarantine):
-            d = np.asarray(self(jnp.asarray(batch)))
-            valid = idxs >= 0
-            out.append(d[valid])
-            kept.append(idxs[valid])
+        pending = None                 # overlap device compute with decode
+        for batch, idxs in self._batches(paths, quarantine):
+            if pending is not None:
+                d, pidxs = np.asarray(pending[0]), pending[1]
+                out.append(d[pidxs >= 0])
+                kept.append(pidxs[pidxs >= 0])
+            pending = (self(batch), idxs)   # async dispatch; no host sync
+        if pending is not None:
+            d, pidxs = np.asarray(pending[0]), pending[1]
+            out.append(d[pidxs >= 0])
+            kept.append(pidxs[pidxs >= 0])
         if not out:
             return np.zeros((0, self.cfg.descriptor_dim), np.float32), np.zeros((0,), np.int64)
-        return np.concatenate(out), np.concatenate(kept)
+        from .utils import COUNTERS
+        descs, kept = np.concatenate(out), np.concatenate(kept)
+        COUNTERS.add("images_extracted", len(kept))
+        return descs, kept

@@ -116,7 +116,9 @@ class Index:
         n, d = descriptors.shape
         dtype = _DTYPES[cfg.index.dtype]
         tile = max(cfg.index.row_tile, 8) * max(cfg.index.num_shards, 1)
-        n_pad = max(_pad_rows(n, tile), tile)
+        # capacity pre-sizes the padded matrix so rows can be appended later
+        # without re-padding/re-sharding (0 = size to the dataset)
+        n_pad = max(_pad_rows(max(n, cfg.index.capacity), tile), tile)
         padded = np.zeros((n_pad, d), np.float32)
         padded[:n] = descriptors
         ids = np.full((n_pad,), -1, np.int32)
@@ -134,11 +136,18 @@ class Index:
     def build(cls, paths: Sequence[str], cfg: PipelineConfig,
               variables: dict | None = None,
               whitening_paths: Sequence[str] | None = None,
-              seed: int = 0) -> "Index":
+              seed: int = 0, mesh=None) -> "Index":
         """Offline indexing (SURVEY.md §3.1): extract -> (fit whitening) ->
         store. ``whitening_paths`` defaults to the indexed set itself (the
-        common self-whitening setup when no held-out set is given)."""
-        ex = Extractor(cfg.extract.replace(whiten=False), variables, seed=seed)
+        common self-whitening setup when no held-out set is given).
+        ``mesh`` enables data-parallel extraction over its first axis
+        (SURVEY.md §2.2 DP row); defaults to all local devices when more
+        than one is visible."""
+        if mesh is None and len(jax.devices()) > 1:
+            from .parallel import make_mesh
+            mesh = make_mesh(axis="data")
+        ex = Extractor(cfg.extract.replace(whiten=False), variables,
+                       seed=seed, mesh=mesh)
         quarantine: list[str] = []
         descs, kept = ex.extract_paths(paths, quarantine)
         names = [os.path.splitext(os.path.basename(paths[i]))[0] for i in kept]
@@ -201,6 +210,8 @@ class Index:
         q = jnp.asarray(queries)
         if q.ndim == 1:
             q = q[None]
+        from .utils import COUNTERS
+        COUNTERS.add("queries_served", q.shape[0])
         if scfg.qe_enabled:
             from .search.qe import alpha_query_expansion
             q = alpha_query_expansion(self.descriptors, self.ids, q,
@@ -260,8 +271,10 @@ class Index:
     def to_sharded(self, mesh=None, use_pallas: bool | None = None):
         """Distribute this index row-sharded over a device mesh
         (SURVEY.md §2.2): returns a :class:`ShardedIndex` serving the same
-        ids. On a 1-device mesh this is the identical code path. int8
-        storage stays int8: per-row scales shard alongside the rows."""
+        ids, including the regional re-ranking store when one was built.
+        On a 1-device mesh this is the identical code path. int8 storage
+        stays int8: per-row (and per-region) scales shard alongside the
+        rows."""
         from .parallel import ShardedIndex, make_mesh
         if mesh is None:
             mesh = make_mesh(max(self.cfg.index.num_shards, 1))
@@ -270,63 +283,126 @@ class Index:
                           and jax.devices()[0].platform == "tpu")
         return ShardedIndex(self.descriptors, self.ids, mesh=mesh,
                             k=self.cfg.search.k, use_pallas=use_pallas,
-                            scales=self.scales)
+                            scales=self.scales, regional=self.regional,
+                            regional_scales=self.regional_scales)
 
     # ------------------------------------------------------------------
-    def save(self, path: str) -> None:
-        os.makedirs(path, exist_ok=True)
+    # Persistence. Two storage formats behind one API:
+    #   * streaming (orbax/tensorstore, SURVEY.md §5 checkpoint row) — the
+    #     default: arrays persist shard-by-shard in their storage dtype and
+    #     load() places rows directly onto the target mesh's devices with
+    #     the requested NamedSharding, no monolithic host buffer.
+    #   * npz — compact single-file fallback for small indexes.
+    # Extractor weights + seed are always persisted (an index built with
+    # fine-tuned weights must reproduce the SAME query descriptors after
+    # load — silent seed-0 reinit is wrong retrieval, ADVICE r1).
+
+    _STREAMING_CUTOFF_BYTES = 8 * 1024 * 1024
+
+    def _array_state(self) -> dict:
+        state = {"ids": self.ids}
         if self.descriptors.dtype == jnp.int8:
-            state = {
-                "descriptors_int8": np.asarray(self.descriptors),
-                "scales": np.asarray(self.scales),
-                "ids": np.asarray(self.ids),
-            }
+            state["descriptors_int8"] = self.descriptors
+            state["scales"] = self.scales
         else:
-            state = {
-                "descriptors": np.asarray(self.descriptors.astype(jnp.float32)),
-                "ids": np.asarray(self.ids),
-            }
+            state["descriptors"] = self.descriptors
         if self.extractor is not None and self.extractor.whitening is not None:
-            state["whitening_P"] = np.asarray(self.extractor.whitening.P)
-            state["whitening_mu"] = np.asarray(self.extractor.whitening.mu)
+            state["whitening_P"] = self.extractor.whitening.P
+            state["whitening_mu"] = self.extractor.whitening.mu
         if self.regional is not None:
             if self.regional.dtype == jnp.int8:
-                state["regional_int8"] = np.asarray(self.regional)
-                state["regional_scales"] = np.asarray(self.regional_scales)
+                state["regional_int8"] = self.regional
+                state["regional_scales"] = self.regional_scales
             else:
-                state["regional"] = np.asarray(self.regional.astype(jnp.float32))
-        np.savez(os.path.join(path, "index.npz"), **state)
+                state["regional"] = self.regional
+        return state
+
+    def save(self, path: str, streaming: bool | None = None) -> None:
+        os.makedirs(path, exist_ok=True)
+        state = self._array_state()
+        if streaming is None:
+            streaming = (self.descriptors.size
+                         * self.descriptors.dtype.itemsize
+                         >= self._STREAMING_CUTOFF_BYTES)
+        if streaming:
+            from .utils.checkpoint import save_sharded_pytree
+            save_sharded_pytree(os.path.join(path, "store"), state)
+        else:
+            np.savez(os.path.join(path, "index.npz"),
+                     **{k: np.asarray(v.astype(jnp.float32)
+                                      if v.dtype == jnp.bfloat16 else v)
+                        for k, v in state.items()})
+        meta = {"names": self.names,
+                "config": json.loads(self.cfg.to_json()),
+                "format": "orbax" if streaming else "npz",
+                "dtypes": {k: str(v.dtype) for k, v in state.items()},
+                "seed": getattr(self.extractor, "seed", 0)}
+        if self.extractor is not None:
+            from .utils.checkpoint import save_pytree
+            save_pytree(os.path.join(path, "variables"),
+                        self.extractor.variables)
+            meta["weights_saved"] = True
         with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump({"names": self.names, "config": json.loads(self.cfg.to_json())}, f)
+            json.dump(meta, f)
 
     @classmethod
-    def load(cls, path: str, extractor: Optional[Extractor] = None) -> "Index":
-        data = np.load(os.path.join(path, "index.npz"))
+    def load(cls, path: str, extractor: Optional[Extractor] = None,
+             mesh=None) -> "Index":
+        """``mesh`` (a 1-D jax Mesh) row-shards the big arrays across its
+        first axis at load time — each device reads only its own rows from
+        the tensorstore-backed store."""
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         cfg = PipelineConfig.from_json(json.dumps(meta["config"]))
         dtype = _DTYPES[cfg.index.dtype]
-        if extractor is None and "whitening_P" in data:
-            extractor = Extractor(cfg.extract.replace(whiten=False))
+        seed = int(meta.get("seed", 0))
+
+        if meta.get("format") == "orbax":
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from .utils.checkpoint import load_sharded_pytree
+            if mesh is not None:
+                axis = mesh.axis_names[0]
+                rows = NamedSharding(mesh, P(axis))
+                rep = NamedSharding(mesh, P())
+                spec = {"ids": rows, "descriptors": rows,
+                        "descriptors_int8": rows,
+                        "scales": NamedSharding(mesh, P(None, axis)),
+                        "regional": rows, "regional_int8": rows,
+                        "regional_scales": rows,
+                        "whitening_P": rep, "whitening_mu": rep}
+            else:
+                spec = {}
+            shardings = {k: spec.get(k) for k in meta["dtypes"]}
+            data = load_sharded_pytree(os.path.join(path, "store"), shardings)
+        else:
+            raw = np.load(os.path.join(path, "index.npz"))
+            data = {k: jnp.asarray(raw[k], jnp.dtype(meta["dtypes"][k]))
+                    if k in meta.get("dtypes", {}) else jnp.asarray(raw[k])
+                    for k in raw.files}
+
+        if extractor is None and meta.get("weights_saved"):
+            from .utils.checkpoint import load_pytree
+            variables = load_pytree(os.path.join(path, "variables"))
+            extractor = Extractor(cfg.extract.replace(whiten=False),
+                                  variables=variables, seed=seed)
+        elif extractor is None and "whitening_P" in data:
+            extractor = Extractor(cfg.extract.replace(whiten=False), seed=seed)
         if extractor is not None and "whitening_P" in data:
             extractor.whitening = WhiteningParams(
                 P=jnp.asarray(data["whitening_P"]),
                 mu=jnp.asarray(data["whitening_mu"]))
-        reg_dtype = jnp.bfloat16 if dtype == jnp.int8 else dtype
-        regional = (jnp.asarray(data["regional"], reg_dtype)
-                    if "regional" in data else None)
+
+        regional = data.get("regional")
         regional_scales = None
         if "regional_int8" in data:
-            regional = jnp.asarray(data["regional_int8"])
-            regional_scales = jnp.asarray(data["regional_scales"])
+            regional = data["regional_int8"]
+            regional_scales = data["regional_scales"]
         if "descriptors_int8" in data:
-            idx = cls(jnp.asarray(data["descriptors_int8"]),
-                      jnp.asarray(data["ids"]), list(meta["names"]), cfg,
-                      extractor, regional,
-                      scales=jnp.asarray(data["scales"]))
+            idx = cls(data["descriptors_int8"], data["ids"],
+                      list(meta["names"]), cfg, extractor, regional,
+                      scales=data["scales"])
         else:
-            idx = cls(jnp.asarray(data["descriptors"], dtype),
-                      jnp.asarray(data["ids"]), list(meta["names"]), cfg,
-                      extractor, regional)
+            idx = cls(data["descriptors"].astype(dtype), data["ids"],
+                      list(meta["names"]), cfg, extractor, regional)
         idx.regional_scales = regional_scales
         return idx

@@ -84,7 +84,10 @@ def _kernel(num_valid_ref, x_ref, q_ref, out_s_ref, out_i_ref,
     # max-reduce; the count/argmax passes are gated behind it.
     tau = jnp.min(top_s[:], axis=1, keepdims=True)          # [B, 1]
     row_max = jnp.max(scores, axis=1, keepdims=True)        # [B, 1]
-    tile_interesting = jnp.max(row_max - tau) > 0.0
+    # NB: elementwise > (not max(row_max - tau)): a fully-padded tile has
+    # row_max = tau = -inf and their difference is NaN; -inf > -inf is a
+    # well-defined False, so empty tiles skip the merge by construction.
+    tile_interesting = jnp.any(row_max > tau)
 
     @pl.when(tile_interesting)
     def _maybe_merge():
@@ -145,7 +148,7 @@ def _kernel_int8(num_valid_ref, x_ref, scales_ref, q_ref, qs_ref,
 
     tau = jnp.min(top_s[:], axis=1, keepdims=True)
     row_max = jnp.max(scores, axis=1, keepdims=True)
-    tile_interesting = jnp.max(row_max - tau) > 0.0
+    tile_interesting = jnp.any(row_max > tau)   # NaN-free; see _kernel
 
     @pl.when(tile_interesting)
     def _maybe_merge():

@@ -6,6 +6,11 @@ computes scores against its shard and reduces them to a per-shard top-k;
 the only cross-chip traffic is one [Q, S*k] candidate all-gather over ICI,
 merged redundantly on every chip (k is tiny). This is the TPU-native
 replacement for the reference's single-matrix in-RAM scan.
+
+Every stage supports the full storage matrix {f32/bf16, int8-with-row-scales}
+x {XLA oracle, fused Pallas kernel}; int8 rows are dequantized with their
+per-row scales (which shard alongside the rows) before any score or gathered
+row leaves a shard.
 """
 from __future__ import annotations
 
@@ -15,38 +20,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .mesh import make_mesh, replicate, shard_rows
 
 
-def sharded_topk_fn(mesh: Mesh, k: int, axis: str = "shard",
-                    use_pallas: bool = False, interpret: bool = False,
-                    int8: bool = False):
-    """Build the jitted sharded search: (descriptors, ids, queries[, scales])
-    -> (scores [Q,k], global_ids [Q,k]), all-replicated output.
+def _local_topk(X, ids_s, q, nv, kk, scales_s, *, axis: str,
+                use_pallas: bool, interpret: bool, int8: bool):
+    """Per-shard scoring + top-kk, shared by all three distributed stages.
 
-    ``use_pallas`` runs the fused topk_matmul kernel per shard (the
-    production TPU path); otherwise the XLA oracle. ``int8`` adds a
-    row-scales operand (sharded alongside the rows) and scores via the
-    int8 kernel / dequantized oracle. Row padding is contiguous at the
-    tail of the index, so each shard's valid-row count is
-    ``clip(num_valid - shard * C, 0, C)``.
+    Returns ``(scores [Q,kk], pos [Q,kk], gids [Q,kk])`` where invalid
+    slots (padding rows / empty top-k) carry score=-inf and gid=-1. Row
+    padding is contiguous at the index tail, so this shard's valid-row
+    count is ``clip(num_valid - shard * C, 0, C)``.
     """
-
-    def _score_topk(X, ids_s, q, nv, scales_s):
-        c = X.shape[0]
-        if use_pallas:
-            shard_i = jax.lax.axis_index(axis)
-            nv_local = jnp.clip(nv[0] - shard_i * c, 0, c)
-            if int8:
-                from ..kernels import topk_matmul_int8
-                return topk_matmul_int8(X, scales_s, q, k=k,
-                                        num_valid=nv_local,
-                                        interpret=interpret)
+    c = X.shape[0]
+    if use_pallas:
+        shard_i = jax.lax.axis_index(axis)
+        nv_local = jnp.clip(nv[0] - shard_i * c, 0, c)
+        if int8:
+            from ..kernels import topk_matmul_int8
+            s, pos = topk_matmul_int8(X, scales_s, q, k=kk,
+                                      num_valid=nv_local, interpret=interpret)
+        else:
             from ..kernels import topk_matmul
-            return topk_matmul(X, q, k=k, num_valid=nv_local,
-                               interpret=interpret)
+            s, pos = topk_matmul(X, q, k=kk, num_valid=nv_local,
+                                 interpret=interpret)
+    else:
         if int8:
             scores = jnp.dot(q.astype(jnp.float32), X.T.astype(jnp.float32),
                              preferred_element_type=jnp.float32) * scales_s
@@ -54,12 +54,36 @@ def sharded_topk_fn(mesh: Mesh, k: int, axis: str = "shard",
             scores = jnp.dot(q.astype(X.dtype), X.T,
                              preferred_element_type=jnp.float32)   # [Q, N/S]
         scores = jnp.where(ids_s[None, :] >= 0, scores, -jnp.inf)
-        return jax.lax.top_k(scores, k)                            # [Q, k]
+        s, pos = jax.lax.top_k(scores, kk)
+    valid = (pos >= 0) & (s > -jnp.inf)
+    gids = jnp.where(valid, jnp.take(ids_s, jnp.maximum(pos, 0)), -1)
+    return s, pos, gids
+
+
+def _gather_rows_f32(X, pos, scales_s, *, int8: bool):
+    """Dequantized f32 rows at ``pos`` [Q, n] (zeros for invalid slots)."""
+    rows = jnp.take(X, jnp.maximum(pos, 0), axis=0).astype(jnp.float32)
+    if int8:
+        rsc = jnp.take(scales_s[0], jnp.maximum(pos, 0))          # [Q, n]
+        rows = rows * rsc[..., None]
+    return jnp.where((pos >= 0)[..., None], rows, 0.0)            # [Q, n, D]
+
+
+def sharded_topk_fn(mesh: Mesh, k: int, axis: str = "shard",
+                    use_pallas: bool = False, interpret: bool = False,
+                    int8: bool = False):
+    """Build the jitted sharded search: (descriptors, ids, queries, nv
+    [, scales]) -> (scores [Q,k], global_ids [Q,k]), all-replicated output.
+
+    ``use_pallas`` runs the fused topk_matmul kernel per shard (the
+    production TPU path); otherwise the XLA oracle. ``int8`` adds a
+    row-scales operand (sharded alongside the rows).
+    """
 
     def per_shard(X, ids_s, q, nv, scales_s=None):
-        s, pos = _score_topk(X, ids_s, q, nv, scales_s)
-        gids = jnp.where(pos >= 0,
-                         jnp.take(ids_s, jnp.maximum(pos, 0)), -1)  # [Q, k]
+        s, pos, gids = _local_topk(X, ids_s, q, nv, k, scales_s, axis=axis,
+                                   use_pallas=use_pallas, interpret=interpret,
+                                   int8=int8)
         # ---- ICI boundary: gather S*k candidates per query ----
         s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)     # [Q, S*k]
         g_all = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
@@ -73,47 +97,33 @@ def sharded_topk_fn(mesh: Mesh, k: int, axis: str = "shard",
         per_shard, mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=(P(None, None), P(None, None)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)
 
 
 def sharded_qe_topk_fn(mesh: Mesh, k: int, qe_n: int, alpha: float,
                        axis: str = "shard", use_pallas: bool = False,
-                       interpret: bool = False):
+                       interpret: bool = False, int8: bool = False):
     """Distributed search with alpha query expansion (SURVEY.md C12 on the
     sharded path), all inside ONE shard_map program:
 
-      round 1: per-shard top-qe_n + local row gather -> allgather of
-               (scores, ids, descriptors) candidates over ICI -> replicated
-               merge -> expanded query (arXiv:1711.02512 §5)
+      round 1: per-shard top-qe_n + local row gather (int8 rows dequantized
+               with their resident scales) -> allgather of (scores, rows)
+               candidates over ICI -> replicated merge -> expanded query
+               (arXiv:1711.02512 §5)
       round 2: per-shard top-k with the expanded query -> allgather -> merge
 
     The only cross-chip traffic is the two candidate allgathers
     (S*qe_n*(D+2) and S*k*2 elements per query).
     """
 
-    def _local_topk(X, ids_s, q, nv, kk):
-        c = X.shape[0]
-        if use_pallas:
-            from ..kernels import topk_matmul
-            shard_i = jax.lax.axis_index(axis)
-            nv_local = jnp.clip(nv[0] - shard_i * c, 0, c)
-            s, pos = topk_matmul(X, q, k=kk, num_valid=nv_local,
-                                 interpret=interpret)
-        else:
-            scores = jnp.dot(q.astype(X.dtype), X.T,
-                             preferred_element_type=jnp.float32)
-            scores = jnp.where(ids_s[None, :] >= 0, scores, -jnp.inf)
-            s, pos = jax.lax.top_k(scores, kk)
-        gids = jnp.where(pos >= 0, jnp.take(ids_s, jnp.maximum(pos, 0)), -1)
-        return s, pos, gids
-
-    def per_shard(X, ids_s, q, nv):
+    def per_shard(X, ids_s, q, nv, scales_s=None):
+        kw = dict(axis=axis, use_pallas=use_pallas, interpret=interpret,
+                  int8=int8)
         # ---- round 1: expansion candidates ----
-        s, pos, gids = _local_topk(X, ids_s, q, nv, qe_n)
-        rows = jnp.take(X, jnp.maximum(pos, 0), axis=0).astype(jnp.float32)
-        rows = jnp.where((pos >= 0)[..., None], rows, 0.0)    # [Q, n, D]
+        s, pos, gids = _local_topk(X, ids_s, q, nv, qe_n, scales_s, **kw)
+        rows = _gather_rows_f32(X, pos, scales_s, int8=int8)      # [Q, n, D]
         s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)     # [Q, S*n]
         r_all = jax.lax.all_gather(rows, axis, axis=1, tiled=True)  # [Q, S*n, D]
         top_s, top_j = jax.lax.top_k(s_all, qe_n)
@@ -124,55 +134,121 @@ def sharded_qe_topk_fn(mesh: Mesh, k: int, qe_n: int, alpha: float,
             jnp.linalg.norm(q_exp, axis=-1, keepdims=True), 1e-6)
         q_exp = q_exp.astype(q.dtype)
         # ---- round 2: final search with expanded query ----
-        s2, _, gids2 = _local_topk(X, ids_s, q_exp, nv, k)
+        s2, _, gids2 = _local_topk(X, ids_s, q_exp, nv, k, scales_s, **kw)
         s2_all = jax.lax.all_gather(s2, axis, axis=1, tiled=True)
         g2_all = jax.lax.all_gather(gids2, axis, axis=1, tiled=True)
         fs, fj = jax.lax.top_k(s2_all, k)
         return fs, jnp.take_along_axis(g2_all, fj, axis=1)
 
+    in_specs = [P(axis, None), P(axis), P(None, None), P(None)]
+    if int8:
+        in_specs.append(P(None, axis))
     mapped = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(None, None), P(None)),
+        in_specs=tuple(in_specs),
         out_specs=(P(None, None), P(None, None)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)
 
 
+def sharded_scores_fn(mesh: Mesh, axis: str = "shard", int8: bool = False):
+    """Full [Q, N] score matrix, replicated via one row-axis allgather —
+    what protocol evaluation needs (AP consumes the complete ranking,
+    SURVEY.md §3.3). Padding rows come back -inf. The per-shard matmul is
+    identical to the single-device scorer element-for-element, so the
+    gathered matrix equals the single-device one exactly."""
+
+    def per_shard(X, ids_s, q, scales_s=None):
+        if int8:
+            scores = jnp.dot(q.astype(jnp.float32), X.T.astype(jnp.float32),
+                             preferred_element_type=jnp.float32) * scales_s
+        else:
+            scores = jnp.dot(q.astype(X.dtype), X.T,
+                             preferred_element_type=jnp.float32)
+        scores = jnp.where(ids_s[None, :] >= 0, scores, -jnp.inf)
+        return jax.lax.all_gather(scores, axis, axis=1, tiled=True)  # [Q, N]
+
+    in_specs = [P(axis, None), P(axis), P(None, None)]
+    if int8:
+        in_specs.append(P(None, axis))
+    mapped = shard_map(per_shard, mesh=mesh, in_specs=tuple(in_specs),
+                       out_specs=P(None, None), check_vma=False)
+    return jax.jit(mapped)
+
+
+def sharded_expand_fn(mesh: Mesh, qe_n: int, alpha: float,
+                      axis: str = "shard", use_pallas: bool = False,
+                      interpret: bool = False, int8: bool = False):
+    """Alpha-QE expansion only (round 1 of sharded_qe_topk_fn): returns the
+    expanded queries [Q, D] f32 replicated, for callers that need the
+    expanded query itself (protocol evaluation ranks the FULL index with
+    it rather than taking a top-k)."""
+
+    def per_shard(X, ids_s, q, nv, scales_s=None):
+        s, pos, _ = _local_topk(X, ids_s, q, nv, qe_n, scales_s, axis=axis,
+                                use_pallas=use_pallas, interpret=interpret,
+                                int8=int8)
+        rows = _gather_rows_f32(X, pos, scales_s, int8=int8)
+        s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)
+        r_all = jax.lax.all_gather(rows, axis, axis=1, tiled=True)
+        top_s, top_j = jax.lax.top_k(s_all, qe_n)
+        top_rows = jnp.take_along_axis(r_all, top_j[..., None], axis=1)
+        w = jnp.clip(top_s, 0.0, None) ** alpha
+        q_exp = q.astype(jnp.float32) + jnp.einsum("qn,qnd->qd", w, top_rows)
+        return q_exp / jnp.maximum(
+            jnp.linalg.norm(q_exp, axis=-1, keepdims=True), 1e-6)
+
+    in_specs = [P(axis, None), P(axis), P(None, None), P(None)]
+    if int8:
+        in_specs.append(P(None, axis))
+    mapped = shard_map(per_shard, mesh=mesh, in_specs=tuple(in_specs),
+                       out_specs=P(None, None), check_vma=False)
+    return jax.jit(mapped)
+
+
 def sharded_rerank_fn(mesh: Mesh, k: int, depth: int, fuse_weight: float = 1.0,
-                      axis: str = "shard"):
+                      axis: str = "shard", use_pallas: bool = False,
+                      interpret: bool = False, int8: bool = False,
+                      regional_int8: bool = False):
     """Distributed regional re-ranking (SURVEY.md C13 on the sharded path),
     exact vs the single-device stage:
 
-      1. per-shard global-descriptor top-``depth`` -> allgather of
-         (score, id) candidates -> replicated global top-``depth`` set
+      1. per-shard global-descriptor top-``depth`` (Pallas kernel / oracle,
+         int8 dequant) -> allgather of (score, id) candidates -> replicated
+         global top-``depth`` set
       2. each shard computes the regional-match score for its own top-depth
-         candidates, masking out those not in the global set
+         candidates (int8 regional store dequantized with its resident
+         per-(row, region) scales), masking out those not in the global set
       3. allgather of fused scores -> replicated top-k merge
 
     The regional einsum runs in parallel across shards on disjoint
     candidates; ICI carries only (S*depth) scalars per query per gather.
     """
 
-    def per_shard(X, reg_s, ids_s, q, qreg, nv):
-        del nv
-        scores = jnp.dot(q.astype(X.dtype), X.T,
-                         preferred_element_type=jnp.float32)      # [Q, N/S]
-        scores = jnp.where(ids_s[None, :] >= 0, scores, -jnp.inf)
-        s, pos = jax.lax.top_k(scores, depth)                     # [Q, depth]
-        gids = jnp.where(s > -jnp.inf,
-                         jnp.take(ids_s, jnp.maximum(pos, 0)), -1)
+    def per_shard(X, reg_s, ids_s, q, qreg, nv, scales_s=None,
+                  reg_scales_s=None):
+        # per-shard candidates: min(depth, local rows) is always enough to
+        # cover the global top-depth set (a shard can contribute at most
+        # all of its rows)
+        local_k = min(depth, X.shape[0])
+        s, pos, gids = _local_topk(X, ids_s, q, nv, local_k, scales_s,
+                                   axis=axis, use_pallas=use_pallas,
+                                   interpret=interpret, int8=int8)
         # ---- global top-depth membership ----
-        s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)   # [Q, S*d]
+        s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)   # [Q, S*lk]
         g_all = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
         glob_s, glob_j = jax.lax.top_k(s_all, depth)
         glob_ids = jnp.take_along_axis(g_all, glob_j, axis=1)     # [Q, depth]
         member = jnp.any(gids[:, :, None] == glob_ids[:, None, :], axis=2)
         member &= gids >= 0
         # ---- regional match for local candidates ----
-        cand = jnp.take(reg_s, jnp.maximum(pos, 0), axis=0)       # [Q, d, R, D]
-        sim = jnp.einsum("qrd,qcsd->qcrs", qreg.astype(jnp.float32),
-                         cand.astype(jnp.float32))
+        cand = jnp.take(reg_s, jnp.maximum(pos, 0), axis=0
+                        ).astype(jnp.float32)                     # [Q, d, R, D]
+        if regional_int8:
+            csc = jnp.take(reg_scales_s, jnp.maximum(pos, 0), axis=0)
+            cand = cand * csc[..., None]                          # [Q, d, R, 1]
+        sim = jnp.einsum("qrd,qcsd->qcrs", qreg.astype(jnp.float32), cand)
         match = jnp.sum(jnp.max(sim, axis=-1), axis=-1) / qreg.shape[1]
         fused = jnp.where(member, match + fuse_weight * s, -jnp.inf)
         # ---- final merge ----
@@ -180,12 +256,17 @@ def sharded_rerank_fn(mesh: Mesh, k: int, depth: int, fuse_weight: float = 1.0,
         fs, fj = jax.lax.top_k(f_all, k)
         return fs, jnp.take_along_axis(g_all, fj, axis=1)
 
+    in_specs = [P(axis, None), P(axis, None, None), P(axis),
+                P(None, None), P(None, None, None), P(None)]
+    if int8:
+        in_specs.append(P(None, axis))
+    if regional_int8:
+        in_specs.append(P(axis, None))   # [N, R] per-(row, region) scales
     mapped = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None, None), P(axis),
-                  P(None, None), P(None, None, None), P(None)),
+        in_specs=tuple(in_specs),
         out_specs=(P(None, None), P(None, None)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)
 
@@ -202,7 +283,8 @@ class ShardedIndex:
                  mesh: Mesh | None = None, k: int = 10,
                  use_pallas: bool = False, interpret: bool = False,
                  regional: "jax.Array | None" = None,
-                 scales: "jax.Array | None" = None):
+                 scales: "jax.Array | None" = None,
+                 regional_scales: "jax.Array | None" = None):
         self.mesh = mesh or make_mesh()
         n = descriptors.shape[0]
         s = self.mesh.devices.size
@@ -210,7 +292,12 @@ class ShardedIndex:
             raise ValueError(f"padded rows {n} not divisible by {s} shards")
         if descriptors.dtype == jnp.int8 and scales is None:
             raise ValueError("int8 descriptors need per-row scales")
-        self.num_valid = int((np.asarray(ids) >= 0).sum())
+        if regional is not None and regional.dtype == jnp.int8 \
+                and regional_scales is None:
+            raise ValueError("int8 regional store needs per-region scales")
+        ids_np = np.asarray(ids)
+        self.num_valid = int((ids_np >= 0).sum())
+        self._ids_np = ids_np                  # host copy for full rankings
         self.descriptors = shard_rows(self.mesh, descriptors)
         self.ids = shard_rows(self.mesh, ids)
         self.int8 = descriptors.dtype == jnp.int8
@@ -219,10 +306,19 @@ class ShardedIndex:
             if scales is not None else None)
         self.regional = (shard_rows(self.mesh, regional)
                          if regional is not None else None)
+        self.regional_int8 = (regional is not None
+                              and regional.dtype == jnp.int8)
+        self.regional_scales = (shard_rows(self.mesh, regional_scales)
+                                if regional_scales is not None else None)
         self._fns: dict[int, callable] = {}
         self.default_k = k
         self.use_pallas = use_pallas
         self.interpret = interpret
+
+    def _common_operands(self, queries):
+        q = replicate(self.mesh, jnp.asarray(queries))
+        nv = replicate(self.mesh, jnp.asarray([self.num_valid], jnp.int32))
+        return q, nv
 
     def search(self, queries: jax.Array, k: int | None = None):
         k = k or self.default_k
@@ -231,8 +327,7 @@ class ShardedIndex:
                                            use_pallas=self.use_pallas,
                                            interpret=self.interpret,
                                            int8=self.int8)
-        q = replicate(self.mesh, jnp.asarray(queries))
-        nv = replicate(self.mesh, jnp.asarray([self.num_valid], jnp.int32))
+        q, nv = self._common_operands(queries)
         if self.int8:
             return self._fns[k](self.descriptors, self.ids, q, nv, self.scales)
         return self._fns[k](self.descriptors, self.ids, q, nv)
@@ -243,15 +338,22 @@ class ShardedIndex:
         """Distributed regional re-ranking over the sharded regional store."""
         assert self.regional is not None, "no regional store attached"
         k = k or self.default_k
-        depth = min(depth, self.descriptors.shape[0] // self.mesh.devices.size)
+        depth = min(depth, self.descriptors.shape[0])
+        k = min(k, depth)
         key = ("rerank", k, depth, fuse_weight)
         if key not in self._fns:
-            self._fns[key] = sharded_rerank_fn(self.mesh, k, depth, fuse_weight)
-        q = replicate(self.mesh, jnp.asarray(queries))
+            self._fns[key] = sharded_rerank_fn(
+                self.mesh, k, depth, fuse_weight,
+                use_pallas=self.use_pallas, interpret=self.interpret,
+                int8=self.int8, regional_int8=self.regional_int8)
+        q, nv = self._common_operands(queries)
         qreg = replicate(self.mesh, jnp.asarray(query_regional))
-        nv = replicate(self.mesh, jnp.asarray([self.num_valid], jnp.int32))
-        return self._fns[key](self.descriptors, self.regional, self.ids,
-                              q, qreg, nv)
+        operands = [self.descriptors, self.regional, self.ids, q, qreg, nv]
+        if self.int8:
+            operands.append(self.scales)
+        if self.regional_int8:
+            operands.append(self.regional_scales)
+        return self._fns[key](*operands)
 
     def search_qe(self, queries: jax.Array, k: int | None = None,
                   qe_n: int = 10, alpha: float = 3.0):
@@ -262,7 +364,46 @@ class ShardedIndex:
         if key not in self._fns:
             self._fns[key] = sharded_qe_topk_fn(
                 self.mesh, k, qe_n, alpha,
-                use_pallas=self.use_pallas, interpret=self.interpret)
-        q = replicate(self.mesh, jnp.asarray(queries))
-        nv = replicate(self.mesh, jnp.asarray([self.num_valid], jnp.int32))
+                use_pallas=self.use_pallas, interpret=self.interpret,
+                int8=self.int8)
+        q, nv = self._common_operands(queries)
+        if self.int8:
+            return self._fns[key](self.descriptors, self.ids, q, nv,
+                                  self.scales)
         return self._fns[key](self.descriptors, self.ids, q, nv)
+
+    def expand_queries(self, queries: jax.Array, qe_n: int = 10,
+                       alpha: float = 3.0) -> jax.Array:
+        """Distributed alpha-QE expansion -> expanded queries [Q, D] f32
+        (equals search/qe.alpha_query_expansion on the gathered matrix)."""
+        key = ("expand", qe_n, alpha)
+        if key not in self._fns:
+            self._fns[key] = sharded_expand_fn(
+                self.mesh, qe_n, alpha,
+                use_pallas=self.use_pallas, interpret=self.interpret,
+                int8=self.int8)
+        q, nv = self._common_operands(queries)
+        if self.int8:
+            return self._fns[key](self.descriptors, self.ids, q, nv,
+                                  self.scales)
+        return self._fns[key](self.descriptors, self.ids, q, nv)
+
+    def all_scores(self, queries: jax.Array) -> jax.Array:
+        """Replicated full [Q, N_pad] score matrix (padding -inf)."""
+        if "scores" not in self._fns:
+            self._fns["scores"] = sharded_scores_fn(self.mesh,
+                                                    int8=self.int8)
+        q = replicate(self.mesh, jnp.asarray(queries))
+        if self.int8:
+            return self._fns["scores"](self.descriptors, self.ids, q,
+                                       self.scales)
+        return self._fns["scores"](self.descriptors, self.ids, q)
+
+    def full_ranking(self, queries) -> np.ndarray:
+        """[Q, num_valid] original dataset ids best-first, computed through
+        the distributed scorer — the sharded analog of Index.full_ranking
+        for protocol evaluation (SURVEY.md §3.3). Padding (-inf) sorts
+        last and is cut."""
+        scores = self.all_scores(queries)
+        order = np.asarray(jnp.argsort(-scores, axis=1))
+        return np.take(self._ids_np, order)[:, :self.num_valid]

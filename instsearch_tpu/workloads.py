@@ -77,12 +77,16 @@ def run_workload(name: str, dataset: RetrievalDataset,
         if key in res:
             out[key] = round(res[key], 2)
 
-    if shards > 1 or cfg.index.num_shards >= 1:
+    if shards > 1:
+        # the sharded workloads must compute their protocol metrics THROUGH
+        # the distributed machinery and agree with the single-device path
+        # exactly (SURVEY.md §4.4: sharded == single-device)
         sidx = idx.to_sharded()
-        q = np.asarray(idx.descriptors[:2], np.float32)
-        s, ids = sidx.search(q, k=min(5, idx.num_valid))
-        out["sharded_selfmatch"] = bool(
-            (np.asarray(ids)[:, 0] == np.asarray(idx.ids[:2])).all())
+        res_sharded = evaluate_index(idx, dataset, protocol,
+                                     sharded_index=sidx)
+        out["mAP_sharded"] = round(res_sharded["mAP"], 2)
+        out["sharded_matches_single"] = bool(
+            abs(res_sharded["mAP"] - res["mAP"]) < 1e-6)
     return out
 
 

@@ -27,6 +27,10 @@ def test_preset_runs(mini, name):
     res = run_workload(name, mini, scale_down=True)
     assert np.isfinite(res["mAP"]) and 0 <= res["mAP"] <= 100
     assert res["num_images"] == len(mini.imlist)
-    assert res["sharded_selfmatch"]
+    if res["num_shards"] > 1:
+        # sharded workloads compute mAP through ShardedIndex and must
+        # agree with the single-device protocol run exactly
+        assert res["sharded_matches_single"], res
     if name == "oxford105k_sharded8":
         assert res["num_shards"] == 8   # CPU test rig has 8 virtual devices
+        assert "mAP_sharded" in res

@@ -99,3 +99,42 @@ def test_bf16_index(rng):
         jnp.dot(jnp.asarray(Q, jnp.bfloat16), Xb.T,
                 preferred_element_type=jnp.float32), 5)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(iw))
+
+
+def test_num_valid_zero_returns_empty(rng):
+    """A fully-padded index (num_valid=0): every tile is empty, the
+    tile-skip condition must be NaN-free, and the kernel returns the
+    initialized (-inf, -1) top-k untouched."""
+    X = rng.standard_normal((128, 64)).astype(np.float32)
+    Q = rng.standard_normal((3, 64)).astype(np.float32)
+    s, i = topk_matmul(jnp.asarray(X), jnp.asarray(Q), k=5, num_valid=0,
+                       tile_n=64, interpret=True)
+    assert (np.asarray(i) == -1).all()
+    assert np.isneginf(np.asarray(s)).all()
+
+
+def test_num_valid_zero_int8(rng):
+    from instsearch_tpu.kernels import topk_matmul_int8
+    from instsearch_tpu.ops.quantize import quantize_rows
+    X = rng.standard_normal((128, 64)).astype(np.float32)
+    qr = quantize_rows(jnp.asarray(X))
+    Q = rng.standard_normal((3, 64)).astype(np.float32)
+    s, i = topk_matmul_int8(qr.values, qr.scales, jnp.asarray(Q), k=5,
+                            num_valid=0, tile_n=64, interpret=True)
+    assert (np.asarray(i) == -1).all()
+    assert np.isneginf(np.asarray(s)).all()
+
+
+def test_fully_padded_shard(rng):
+    """Sharded search where 7 of 8 shards hold only padding rows: the
+    empty shards contribute (-inf, -1) candidates that must never win."""
+    from instsearch_tpu.parallel import ShardedIndex, make_mesh
+    X = rng.standard_normal((512, 64)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    ids = np.full((512,), -1, np.int32)
+    ids[:40] = np.arange(40)              # only shard 0 has valid rows
+    sidx = ShardedIndex(jnp.asarray(X), jnp.asarray(ids), mesh=make_mesh(8),
+                        use_pallas=True, interpret=True)
+    s, i = sidx.search(jnp.asarray(X[:2]), k=5)
+    assert (np.asarray(i)[:, 0] == np.arange(2)).all()
+    assert np.asarray(i).max() < 40
