@@ -2,27 +2,38 @@
 """Driver bench entrypoint: prints ONE JSON line.
 
 Headline metric (BASELINE.json): feature-extraction images/sec/chip,
-target >= 10,000 on TPU v5e. ``vs_baseline`` is value/target.
+target >= 10,000 on TPU v5e. ``vs_baseline`` is value/target. Extra keys:
+disk->descriptor e2e throughput, 1M-index query p50/p99 (bf16 + int8) with
+fraction-of-roofline against the HBM bandwidth measured on this chip.
 """
 import json
-import os
 import sys
 
 
 def main() -> int:
     # NOTE: do NOT enable jax_compilation_cache_dir here — the axon TPU
     # backend hangs when the persistent compilation cache is active.
-    from instsearch_tpu.bench import bench_extraction, bench_query
+    from instsearch_tpu.bench import (bench_extraction, bench_extraction_e2e,
+                                      bench_query, measure_hbm_bw)
 
     ext = bench_extraction()
     try:
-        qry = bench_query()
+        e2e = bench_extraction_e2e()
+    except Exception:
+        e2e = None
+    try:
+        bw = measure_hbm_bw()
+    except Exception:
+        bw = None
+    try:
+        qry = bench_query(hbm_bw=bw)
     except Exception:
         qry = None
     try:
-        qry8 = bench_query(dtype="int8")
+        qry8 = bench_query(dtype="int8", hbm_bw=bw)
     except Exception:
         qry8 = None
+
     value = round(ext["images_per_sec"], 1)
     line = {
         "metric": "extraction_images_per_sec_per_chip",
@@ -30,11 +41,22 @@ def main() -> int:
         "unit": "images/sec",
         "vs_baseline": round(value / 10_000.0, 4),
     }
+    if e2e is not None:
+        line["extraction_e2e_images_per_sec"] = round(
+            e2e["images_per_sec_e2e"], 1)
+    if bw is not None:
+        line["hbm_bw_gbps"] = round(bw / 1e9, 1)
     if qry is not None:
         line["query_p50_ms_1M"] = round(qry["p50_ms"], 3)
+        line["query_p99_ms_1M"] = round(qry["p99_ms"], 3)
         line["query_qps_1M"] = round(qry["qps"], 1)
+        if "frac_of_roofline" in qry:
+            line["query_frac_of_roofline"] = round(qry["frac_of_roofline"], 3)
     if qry8 is not None:
         line["query_int8_p50_ms_1M"] = round(qry8["p50_ms"], 3)
+        if "frac_of_roofline" in qry8:
+            line["query_int8_frac_of_roofline"] = round(
+                qry8["frac_of_roofline"], 3)
     print(json.dumps(line))
     return 0
 

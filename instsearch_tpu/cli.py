@@ -112,6 +112,10 @@ def cmd_bench(args) -> int:
     else:
         out = run_bench(args.what)
     out["counters"] = COUNTERS.dump()
+    if args.tensorboard:
+        from .utils.observe import emit_tensorboard
+        emit_tensorboard(args.tensorboard, scalars=out)
+        out["tensorboard_dir"] = args.tensorboard
     print(json.dumps(out))
     return 0
 
@@ -211,6 +215,8 @@ def main(argv=None) -> int:
                     choices=["extraction", "query", "all"])
     be.add_argument("--trace", default=None, metavar="DIR",
                     help="write a TensorBoard profiler trace to DIR")
+    be.add_argument("--tensorboard", default=None, metavar="DIR",
+                    help="emit counters + bench scalars via tensorboardX")
     be.set_defaults(fn=cmd_bench)
 
     f = sub.add_parser("finetune",

@@ -102,7 +102,11 @@ class Extractor:
         self.mesh = mesh
         if mesh is not None and mesh.devices.size > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            self._axis = mesh.axis_names[0]
+            # on a 2-D (data x shard) mesh, DP uses the 'data' axis and the
+            # batch is replicated over the others
+            self._axis = ("data" if "data" in mesh.axis_names
+                          else mesh.axis_names[0])
+            self._dp_size = mesh.shape[self._axis]
             self._img_sharding = NamedSharding(mesh, P(self._axis))
             variables = jax.device_put(variables, NamedSharding(mesh, P()))
         else:
@@ -118,7 +122,7 @@ class Extractor:
         images = jnp.asarray(images)
         if self._img_sharding is None:
             return images, images.shape[0]
-        n = self.mesh.devices.size
+        n = self._dp_size
         b = images.shape[0]
         pad = (-b) % n
         if pad:

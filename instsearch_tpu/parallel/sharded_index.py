@@ -286,8 +286,12 @@ class ShardedIndex:
                  scales: "jax.Array | None" = None,
                  regional_scales: "jax.Array | None" = None):
         self.mesh = mesh or make_mesh()
+        # on a 2-D (data x shard) mesh, rows shard over the 'shard' axis
+        # and every stage replicates over the others
+        self.axis = ("shard" if "shard" in self.mesh.axis_names
+                     else self.mesh.axis_names[0])
         n = descriptors.shape[0]
-        s = self.mesh.devices.size
+        s = self.mesh.shape[self.axis]
         if n % s:
             raise ValueError(f"padded rows {n} not divisible by {s} shards")
         if descriptors.dtype == jnp.int8 and scales is None:
@@ -298,18 +302,19 @@ class ShardedIndex:
         ids_np = np.asarray(ids)
         self.num_valid = int((ids_np >= 0).sum())
         self._ids_np = ids_np                  # host copy for full rankings
-        self.descriptors = shard_rows(self.mesh, descriptors)
-        self.ids = shard_rows(self.mesh, ids)
+        self.descriptors = shard_rows(self.mesh, descriptors, self.axis)
+        self.ids = shard_rows(self.mesh, ids, self.axis)
         self.int8 = descriptors.dtype == jnp.int8
         self.scales = (jax.device_put(
-            scales, NamedSharding(self.mesh, P(None, "shard")))
+            scales, NamedSharding(self.mesh, P(None, self.axis)))
             if scales is not None else None)
-        self.regional = (shard_rows(self.mesh, regional)
+        self.regional = (shard_rows(self.mesh, regional, self.axis)
                          if regional is not None else None)
         self.regional_int8 = (regional is not None
                               and regional.dtype == jnp.int8)
-        self.regional_scales = (shard_rows(self.mesh, regional_scales)
-                                if regional_scales is not None else None)
+        self.regional_scales = (
+            shard_rows(self.mesh, regional_scales, self.axis)
+            if regional_scales is not None else None)
         self._fns: dict[int, callable] = {}
         self.default_k = k
         self.use_pallas = use_pallas
@@ -323,7 +328,7 @@ class ShardedIndex:
     def search(self, queries: jax.Array, k: int | None = None):
         k = k or self.default_k
         if k not in self._fns:
-            self._fns[k] = sharded_topk_fn(self.mesh, k,
+            self._fns[k] = sharded_topk_fn(self.mesh, k, axis=self.axis,
                                            use_pallas=self.use_pallas,
                                            interpret=self.interpret,
                                            int8=self.int8)
@@ -343,7 +348,7 @@ class ShardedIndex:
         key = ("rerank", k, depth, fuse_weight)
         if key not in self._fns:
             self._fns[key] = sharded_rerank_fn(
-                self.mesh, k, depth, fuse_weight,
+                self.mesh, k, depth, fuse_weight, axis=self.axis,
                 use_pallas=self.use_pallas, interpret=self.interpret,
                 int8=self.int8, regional_int8=self.regional_int8)
         q, nv = self._common_operands(queries)
@@ -363,7 +368,7 @@ class ShardedIndex:
         key = ("qe", k, qe_n, alpha)
         if key not in self._fns:
             self._fns[key] = sharded_qe_topk_fn(
-                self.mesh, k, qe_n, alpha,
+                self.mesh, k, qe_n, alpha, axis=self.axis,
                 use_pallas=self.use_pallas, interpret=self.interpret,
                 int8=self.int8)
         q, nv = self._common_operands(queries)
@@ -379,7 +384,7 @@ class ShardedIndex:
         key = ("expand", qe_n, alpha)
         if key not in self._fns:
             self._fns[key] = sharded_expand_fn(
-                self.mesh, qe_n, alpha,
+                self.mesh, qe_n, alpha, axis=self.axis,
                 use_pallas=self.use_pallas, interpret=self.interpret,
                 int8=self.int8)
         q, nv = self._common_operands(queries)
@@ -391,8 +396,8 @@ class ShardedIndex:
     def all_scores(self, queries: jax.Array) -> jax.Array:
         """Replicated full [Q, N_pad] score matrix (padding -inf)."""
         if "scores" not in self._fns:
-            self._fns["scores"] = sharded_scores_fn(self.mesh,
-                                                    int8=self.int8)
+            self._fns["scores"] = sharded_scores_fn(
+                self.mesh, axis=self.axis, int8=self.int8)
         q = replicate(self.mesh, jnp.asarray(queries))
         if self.int8:
             return self._fns["scores"](self.descriptors, self.ids, q,

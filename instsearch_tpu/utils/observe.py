@@ -54,6 +54,33 @@ class Counters:
 COUNTERS = Counters()
 
 
+def emit_tensorboard(logdir: str, scalars: dict | None = None,
+                     step: int = 0, counters: "Counters | None" = None
+                     ) -> None:
+    """Write counters (+ optional bench scalars) as TensorBoard scalars via
+    tensorboardX (SURVEY.md §5 metrics row). Nested dicts flatten to
+    slash-paths; non-numeric values are skipped."""
+    from tensorboardX import SummaryWriter
+
+    def flat(prefix: str, d: dict):
+        for k, v in d.items():
+            key = f"{prefix}/{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                yield from flat(key, v)
+            elif isinstance(v, (int, float)) and not isinstance(v, bool):
+                yield key, float(v)
+
+    w = SummaryWriter(logdir)
+    try:
+        for key, v in flat("counters", (counters or COUNTERS).dump()):
+            w.add_scalar(key, v, step)
+        if scalars:
+            for key, v in flat("bench", scalars):
+                w.add_scalar(key, v, step)
+    finally:
+        w.close()
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """TensorBoard TPU trace around a region (view with the profile plugin)."""

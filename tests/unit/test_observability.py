@@ -54,3 +54,14 @@ def test_trace_produces_artifact(tmp_path):
         np.asarray(jax.jit(lambda x: x * 2)(jnp.ones((8, 8))))
     found = glob.glob(os.path.join(d, "**", "*"), recursive=True)
     assert any(os.path.isfile(f) for f in found), found
+
+
+def test_tensorboard_emission(tmp_path):
+    from instsearch_tpu.utils.observe import Counters, emit_tensorboard
+    c = Counters()
+    c.add("images_extracted", 10)
+    d = str(tmp_path / "tb")
+    emit_tensorboard(d, scalars={"query": {"p50_ms": 1.5, "path": "pallas"}},
+                     counters=c)
+    files = glob.glob(os.path.join(d, "events.out.tfevents.*"))
+    assert files, os.listdir(d)
