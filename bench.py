@@ -44,6 +44,8 @@ def main() -> int:
     if e2e is not None:
         line["extraction_e2e_images_per_sec"] = round(
             e2e["images_per_sec_e2e"], 1)
+        line["e2e_frac_of_transfer_bound"] = round(
+            e2e["frac_of_transfer_bound"], 3)
     if bw is not None:
         line["hbm_bw_gbps"] = round(bw / 1e9, 1)
     if qry is not None:

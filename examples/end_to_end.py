@@ -59,8 +59,13 @@ def main() -> int:
         res = index.evaluate(ds, "medium", scfg)
         print(f"{tag:18s} mAP {res['mAP']:6.2f}  mP@5 {res.get('mP@5', 0):6.2f}")
 
-    # ---- 5. persist + distributed serving ---------------------------------
+    # ---- 5. persist (streaming orbax store + extractor weights) -----------
     index.save("example_index")
+    reloaded = Index.load("example_index")     # weights + whitening restored
+    print("reloaded:", reloaded.num_valid, "rows,",
+          "weights" if reloaded.extractor is not None else "no weights")
+
+    # ---- 6. distributed serving + sharded protocol evaluation -------------
     sharded = index.to_sharded()
     q = np.asarray(index.descriptors[:1].astype("float32"))
     if index.scales is not None:
@@ -68,6 +73,11 @@ def main() -> int:
     s, i = sharded.search(q, k=3)
     print("sharded search over", sharded.mesh.devices.size, "device(s):",
           np.asarray(i)[0].tolist())
+    import jax
+    if len(jax.devices()) > 1:
+        res = index.evaluate(ds, "medium", sharded=True)
+        print(f"sharded evaluation  mAP {res['mAP']:6.2f} "
+              f"(ranked through ShardedIndex)")
     return 0
 
 

@@ -95,8 +95,17 @@ def cmd_evaluate(args) -> int:
         from .eval.datasets import with_distractors
         ds = with_distractors(ds, args.distractors)
     idx = build_index_for_dataset(ds, cfg)
-    res = evaluate_index(idx, ds, args.protocol)
+    sidx = None
+    if args.sharded:
+        from .parallel import make_mesh
+        # config pins the shard count; otherwise use every device
+        mesh = None if cfg.index.num_shards > 1 else make_mesh()
+        sidx = idx.to_sharded(mesh=mesh)
+    res = evaluate_index(idx, ds, args.protocol, sharded_index=sidx)
     res.pop("per_query_ap", None)
+    if args.sharded:
+        res["sharded"] = True
+        res["num_shards"] = int(sidx.mesh.shape[sidx.axis])
     print(json.dumps(res))
     return 0
 
@@ -208,6 +217,9 @@ def main(argv=None) -> int:
     e.add_argument("--backbone", default=None)
     e.add_argument("--distractors", default=None,
                    help="directory of distractor images (Oxford105k-style)")
+    e.add_argument("--sharded", action="store_true",
+                   help="rank through the row-sharded distributed index "
+                        "(cfg.index.num_shards devices)")
     e.set_defaults(fn=cmd_evaluate)
 
     be = sub.add_parser("bench", help="run benchmark harness")

@@ -21,15 +21,23 @@ from . import frontend
 
 
 class PrefetchLoader:
-    """Iterate (uint8 [B,S,S,3], indices [B]) with background prefetch."""
+    """Iterate (uint8 [B,S,S,3], indices [B]) with background prefetch.
+
+    ``device_put=True`` additionally pushes each decoded batch to the
+    default device FROM THE PRODUCER THREAD, so the host->device transfer
+    of batch i+1 overlaps with the device compute + readback of batch i
+    (the transfer is the e2e bottleneck behind a slow interconnect).
+    """
 
     def __init__(self, paths: Sequence[str], size: int, batch: int,
-                 depth: int = 2, quarantine: list | None = None):
+                 depth: int = 2, quarantine: list | None = None,
+                 device_put: bool = False):
         self.paths = paths
         self.size = size
         self.batch = batch
         self.depth = depth
         self.quarantine = quarantine
+        self.device_put = device_put
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
@@ -38,9 +46,12 @@ class PrefetchLoader:
 
         def producer():
             try:
-                for item in frontend.batch_paths(
+                for batch, idxs in frontend.batch_paths(
                         self.paths, self.size, self.batch, self.quarantine):
-                    q.put(item)
+                    if self.device_put:
+                        import jax
+                        batch = jax.device_put(batch)
+                    q.put((batch, idxs))
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
@@ -59,7 +70,8 @@ class PrefetchLoader:
 
 
 def iter_batches(paths: Sequence[str], size: int, batch: int,
-                 quarantine: list | None = None, depth: int = 2):
+                 quarantine: list | None = None, depth: int = 2,
+                 device_put: bool = False):
     """The production input pipeline: prefetch-overlapped decode batches.
 
     One shared entry point so every build path (Extractor.extract_paths,
@@ -69,8 +81,8 @@ def iter_batches(paths: Sequence[str], size: int, batch: int,
     """
     if len(paths) <= batch:
         return frontend.batch_paths(paths, size, batch, quarantine)
-    return iter(PrefetchLoader(paths, size, batch,
-                               depth=depth, quarantine=quarantine))
+    return iter(PrefetchLoader(paths, size, batch, depth=depth,
+                               quarantine=quarantine, device_put=device_put))
 
 
 def grain_dataset(paths: Sequence[str], size: int, batch: int,

@@ -148,7 +148,11 @@ class Extractor:
     def _batches(self, paths, quarantine=None):
         """Prefetching input pipeline (SURVEY.md §7 hard part 4): a
         background thread decodes batch i+depth (via the native C++ loader
-        when built) while the device runs batch i."""
+        when built) while the device runs batch i. (Producer-side
+        device_put was measured SLOWER on this box — the transfer thread
+        contends with the consumer on the single host core — so the
+        transfer stays in _place; PrefetchLoader(device_put=True) remains
+        available for multi-core hosts.)"""
         from .data.loader import iter_batches
         return iter_batches(paths, self.cfg.image_size, self.cfg.batch_size,
                             quarantine)

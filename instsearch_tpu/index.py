@@ -184,6 +184,117 @@ class Index:
         return idx
 
     # ------------------------------------------------------------------
+    def add(self, paths: Sequence[str] | None = None,
+            descriptors: np.ndarray | None = None,
+            names: Sequence[str] | None = None) -> int:
+        """Incrementally index new images into the pre-sized capacity
+        (``IndexConfig.capacity`` pads the matrix at build time so growth
+        is an in-place row write, no re-shard). Pass image ``paths`` (uses
+        the attached extractor + its fitted whitening) or pre-whitened
+        ``descriptors`` + ``names``. Overflowing the padded capacity falls
+        back to a re-pad (host round-trip, logged). Returns #rows added.
+        """
+        if paths is not None:
+            assert self.extractor is not None, "index has no extractor"
+            quarantine: list[str] = []
+            descriptors, kept = self.extractor.extract_paths(paths, quarantine)
+            names = [os.path.splitext(os.path.basename(paths[i]))[0]
+                     for i in kept]
+            kept_paths = [paths[i] for i in kept]
+        else:
+            assert descriptors is not None and names is not None
+            descriptors = np.asarray(descriptors, np.float32)
+            kept_paths = None
+        n_new = len(names)
+        if n_new == 0:
+            return 0
+        if self.regional is not None and kept_paths is None:
+            raise ValueError("index has a regional re-rank store; add() "
+                             "needs image paths to extend it")
+
+        start = self.num_valid
+        n_pad = self.descriptors.shape[0]
+        if start + n_new > n_pad:
+            # capacity exceeded: re-pad through from_descriptors
+            from .utils import get_logger
+            get_logger("instsearch.index").warning(
+                "capacity %d exceeded (%d + %d); re-padding",
+                n_pad, start, n_new)
+            if self.descriptors.dtype == jnp.int8:
+                old = np.asarray(self.descriptors.astype(jnp.float32)
+                                 ) * np.asarray(self.scales)[0][:, None]
+            else:
+                old = np.asarray(self.descriptors.astype(jnp.float32))
+            merged = np.concatenate([old[:start], descriptors])
+            ids_np = np.asarray(self.ids)
+            new_ids = np.concatenate([
+                ids_np[:start],
+                np.arange(len(self.names), len(self.names) + n_new,
+                          dtype=np.int32)])
+            rebuilt = Index.from_descriptors(
+                merged, list(self.names) + list(names),
+                self.cfg.replace(index=self.cfg.index.replace(
+                    capacity=max(self.cfg.index.capacity, start + n_new))),
+                extractor=self.extractor, original_ids=new_ids)
+            self.descriptors, self.ids = rebuilt.descriptors, rebuilt.ids
+            self.scales, self.names = rebuilt.scales, rebuilt.names
+            if self.regional is not None:
+                reg_new = self.extractor.extract_paths_regional(kept_paths)
+                self._write_regional(start, reg_new,
+                                     n_pad_new=self.descriptors.shape[0])
+            return n_new
+
+        rows = jnp.asarray(descriptors)
+        new_ids = jnp.arange(len(self.names), len(self.names) + n_new,
+                             dtype=jnp.int32)
+        if self.descriptors.dtype == jnp.int8:
+            from .ops.quantize import quantize_rows
+            qr = quantize_rows(rows)
+            self.descriptors = jax.lax.dynamic_update_slice(
+                self.descriptors, qr.values, (start, 0))
+            self.scales = jax.lax.dynamic_update_slice(
+                self.scales, qr.scales, (0, start))
+        else:
+            self.descriptors = jax.lax.dynamic_update_slice(
+                self.descriptors, rows.astype(self.descriptors.dtype),
+                (start, 0))
+        self.ids = jax.lax.dynamic_update_slice(self.ids, new_ids, (start,))
+        self.names = list(self.names) + list(names)
+        if self.regional is not None:
+            reg_new = self.extractor.extract_paths_regional(kept_paths)
+            self._write_regional(start, reg_new)
+        return n_new
+
+    def _write_regional(self, start: int, reg_new: np.ndarray,
+                        n_pad_new: int | None = None) -> None:
+        """Write new rows into the regional store (re-padding it first
+        when the main matrix was re-padded)."""
+        if n_pad_new is not None and n_pad_new != self.regional.shape[0]:
+            old = np.zeros((n_pad_new,) + self.regional.shape[1:],
+                           np.asarray(self.regional).dtype)
+            old[:self.regional.shape[0]] = np.asarray(self.regional)
+            self.regional = jnp.asarray(old)
+            if self.regional_scales is not None:
+                sc = np.zeros((n_pad_new, self.regional.shape[1]), np.float32)
+                sc[:self.regional_scales.shape[0]] = np.asarray(
+                    self.regional_scales)
+                self.regional_scales = jnp.asarray(sc)
+        if self.regional.dtype == jnp.int8:
+            from .ops.quantize import quantize_rows
+            flat = quantize_rows(jnp.asarray(
+                reg_new.reshape(-1, reg_new.shape[-1])))
+            vals = flat.values.reshape(reg_new.shape)
+            scs = flat.scales.reshape(reg_new.shape[:2])
+            self.regional = jax.lax.dynamic_update_slice(
+                self.regional, vals, (start, 0, 0))
+            self.regional_scales = jax.lax.dynamic_update_slice(
+                self.regional_scales, scs, (start, 0))
+        else:
+            self.regional = jax.lax.dynamic_update_slice(
+                self.regional, jnp.asarray(reg_new, self.regional.dtype),
+                (start, 0, 0))
+
+    # ------------------------------------------------------------------
     def _masked_scores(self, queries: jax.Array) -> jax.Array:
         scores = _all_scores_jit(self.descriptors, self.ids,
                                  jnp.asarray(queries), self.scales)
@@ -242,11 +353,17 @@ class Index:
         return self.search(q, scfg, **kw)
 
     def evaluate(self, dataset, protocol: str = "medium",
-                 search_cfg: Optional[SearchConfig] = None) -> dict:
+                 search_cfg: Optional[SearchConfig] = None,
+                 sharded: bool = False, mesh=None) -> dict:
         """BASELINE.json surface: ``index.evaluate()`` — full protocol
-        metrics on a RetrievalDataset (eval/evaluate.py)."""
+        metrics on a RetrievalDataset (eval/evaluate.py). ``sharded=True``
+        ranks/expands/re-ranks through the distributed machinery on
+        ``mesh`` (default: cfg.index.num_shards devices) — same math,
+        row-sharded (exact-equality tested vs the single-device path)."""
         from .eval.evaluate import evaluate_index
-        return evaluate_index(self, dataset, protocol, search_cfg)
+        sidx = self.to_sharded(mesh=mesh) if sharded else None
+        return evaluate_index(self, dataset, protocol, search_cfg,
+                              sharded_index=sidx)
 
     def query_images(self, images, search_cfg: Optional[SearchConfig] = None):
         """Image-space search: uint8 batch -> extract -> search (computes

@@ -61,3 +61,14 @@ def test_whitened_build(mini):
     img = frontend.load_square(mini.db_paths[3], 64)
     _, ids = idx.query_images(img[None])
     assert ids[0, 0] == 3
+
+
+@pytest.mark.slow
+def test_evaluate_sharded_flag_matches(built, mini):
+    """Index.evaluate(sharded=True) must reproduce the single-device
+    protocol metrics exactly (same math, row-sharded)."""
+    res1 = built.evaluate(mini, "medium")
+    res8 = built.evaluate(mini, "medium", sharded=True)
+    assert res8["mAP"] == pytest.approx(res1["mAP"], abs=1e-9)
+    for k in ("mP@1", "mP@5", "mP@10"):
+        assert res8[k] == pytest.approx(res1[k], abs=1e-9)
