@@ -63,3 +63,24 @@ def test_search_no_recompile_across_queries(rng):
             idx.search(X[2 * i:2 * i + 2])
 
     assert _count_compiles(run) == 0
+
+
+@pytest.mark.slow
+def test_add_no_recompile(rng):
+    """Incremental add() within capacity keeps every array shape static,
+    so the serving programs (search, ranking) never recompile."""
+    X = rng.standard_normal((64, 32)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    from instsearch_tpu import IndexConfig
+    cfg = PipelineConfig(index=IndexConfig(row_tile=8, capacity=256),
+                         search=SearchConfig(k=5, use_pallas=False))
+    idx = Index.from_descriptors(X, [str(i) for i in range(64)], cfg)
+    idx.search(X[:2])  # warm
+    Y = rng.standard_normal((16, 32)).astype(np.float32)
+
+    def run():
+        idx.add(descriptors=Y, names=[f"n{i}" for i in range(16)])
+        idx.search(Y[:2])
+        idx.search(X[:2])
+
+    assert _count_compiles(run) == 0
