@@ -168,17 +168,30 @@ def bench_extraction_e2e(n_images: int = 512, image_size: int = 224,
         # this dev box reaches the chip through a slow tunnel, so e2e is
         # transfer/host bound here (uint8 batches are already the minimal
         # encoding); measure the transfer bound so the number explains
-        # itself. Distinct buffers defeat any caching; median of 3.
-        f = jax.jit(lambda a: a[0, 0, 0, 0])
-        xs = [np.full((batch, image_size, image_size, 3), i, np.uint8)
-              for i in range(4)]
-        np.asarray(f(jnp.asarray(xs[3])))      # warm the program
-        ts = []
-        for x in xs[:3]:
+        # itself. Marginal between 1- and 3-batch fenced calls cancels the
+        # fixed dispatch overhead (same discipline as the op benches);
+        # fresh buffers each rep defeat any transfer caching.
+        shape = (batch, image_size, image_size, 3)
+        f1 = jax.jit(lambda a: a[0, 0, 0, 0])
+        f3 = jax.jit(lambda a, b, c: a[0, 0, 0, 0] + b[0, 0, 0, 0]
+                     + c[0, 0, 0, 0])
+        mk = lambda v: np.full(shape, v % 251, np.uint8)
+        np.asarray(f1(jnp.asarray(mk(255))))              # warm programs
+        np.asarray(f3(*(jnp.asarray(mk(250 + i)) for i in range(3))))
+        t1s, t3s = [], []
+        v = 0
+        for _ in range(3):
+            x = mk(v); v += 1
             t0 = time.perf_counter()
-            np.asarray(f(jnp.asarray(x)))
-            ts.append(time.perf_counter() - t0)
-        h2d = xs[0].nbytes / float(np.median(ts))
+            np.asarray(f1(jnp.asarray(x)))
+            t1s.append(time.perf_counter() - t0)
+            xs3 = [mk(v), mk(v + 1), mk(v + 2)]; v += 3
+            t0 = time.perf_counter()
+            np.asarray(f3(*(jnp.asarray(a) for a in xs3)))
+            t3s.append(time.perf_counter() - t0)
+        marginal = max((float(np.median(t3s)) - float(np.median(t1s))) / 2,
+                       1e-9)
+        h2d = (batch * image_size * image_size * 3) / marginal
         bound = h2d / (image_size * image_size * 3)
         return {
             "images_per_sec_e2e": n_images / wall,

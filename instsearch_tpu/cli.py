@@ -120,11 +120,11 @@ def cmd_bench(args) -> int:
         out["trace_dir"] = args.trace
     else:
         out = run_bench(args.what)
-    out["counters"] = COUNTERS.dump()
     if args.tensorboard:
         from .utils.observe import emit_tensorboard
-        emit_tensorboard(args.tensorboard, scalars=out)
+        emit_tensorboard(args.tensorboard, scalars=out)   # bench/* scalars
         out["tensorboard_dir"] = args.tensorboard
+    out["counters"] = COUNTERS.dump()   # after emit: counters/* written once
     print(json.dumps(out))
     return 0
 

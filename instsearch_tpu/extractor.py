@@ -100,7 +100,9 @@ class Extractor:
                 jax.random.PRNGKey(seed),
                 np.zeros((1, cfg.image_size, cfg.image_size, 3), np.float32))
         self.mesh = mesh
-        if mesh is not None and mesh.devices.size > 1:
+        if mesh is not None:
+            # a 1-device mesh takes the identical code path (CLAUDE.md
+            # convention): same sharding commits, same padding logic
             from jax.sharding import NamedSharding, PartitionSpec as P
             # on a 2-D (data x shard) mesh, DP uses the 'data' axis and the
             # batch is replicated over the others

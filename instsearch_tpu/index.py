@@ -201,6 +201,8 @@ class Index:
             names = [os.path.splitext(os.path.basename(paths[i]))[0]
                      for i in kept]
             kept_paths = [paths[i] for i in kept]
+            self.quarantined = (list(getattr(self, "quarantined", []))
+                                + quarantine)
         else:
             assert descriptors is not None and names is not None
             descriptors = np.asarray(descriptors, np.float32)
@@ -212,6 +214,13 @@ class Index:
             raise ValueError("index has a regional re-rank store; add() "
                              "needs image paths to extend it")
 
+        # unique new ids: ids are DATASET positions, which run past
+        # len(names) whenever the original build quarantined images — so
+        # allocate past both (keeps ids unique always, and names-aligned
+        # in the common quarantine-free case)
+        ids_np = np.asarray(self.ids)
+        next_id = int(max(len(self.names),
+                          ids_np.max(initial=-1) + 1))
         start = self.num_valid
         n_pad = self.descriptors.shape[0]
         if start + n_new > n_pad:
@@ -226,11 +235,9 @@ class Index:
             else:
                 old = np.asarray(self.descriptors.astype(jnp.float32))
             merged = np.concatenate([old[:start], descriptors])
-            ids_np = np.asarray(self.ids)
             new_ids = np.concatenate([
                 ids_np[:start],
-                np.arange(len(self.names), len(self.names) + n_new,
-                          dtype=np.int32)])
+                np.arange(next_id, next_id + n_new, dtype=np.int32)])
             rebuilt = Index.from_descriptors(
                 merged, list(self.names) + list(names),
                 self.cfg.replace(index=self.cfg.index.replace(
@@ -245,8 +252,7 @@ class Index:
             return n_new
 
         rows = jnp.asarray(descriptors)
-        new_ids = jnp.arange(len(self.names), len(self.names) + n_new,
-                             dtype=jnp.int32)
+        new_ids = jnp.arange(next_id, next_id + n_new, dtype=jnp.int32)
         if self.descriptors.dtype == jnp.int8:
             from .ops.quantize import quantize_rows
             qr = quantize_rows(rows)
@@ -474,21 +480,22 @@ class Index:
         dtype = _DTYPES[cfg.index.dtype]
         seed = int(meta.get("seed", 0))
 
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            rows = NamedSharding(mesh, P(axis))
+            rep = NamedSharding(mesh, P())
+            spec = {"ids": rows, "descriptors": rows,
+                    "descriptors_int8": rows,
+                    "scales": NamedSharding(mesh, P(None, axis)),
+                    "regional": rows, "regional_int8": rows,
+                    "regional_scales": rows,
+                    "whitening_P": rep, "whitening_mu": rep}
+        else:
+            spec = {}
+
         if meta.get("format") == "orbax":
-            from jax.sharding import NamedSharding, PartitionSpec as P
             from .utils.checkpoint import load_sharded_pytree
-            if mesh is not None:
-                axis = mesh.axis_names[0]
-                rows = NamedSharding(mesh, P(axis))
-                rep = NamedSharding(mesh, P())
-                spec = {"ids": rows, "descriptors": rows,
-                        "descriptors_int8": rows,
-                        "scales": NamedSharding(mesh, P(None, axis)),
-                        "regional": rows, "regional_int8": rows,
-                        "regional_scales": rows,
-                        "whitening_P": rep, "whitening_mu": rep}
-            else:
-                spec = {}
             shardings = {k: spec.get(k) for k in meta["dtypes"]}
             data = load_sharded_pytree(os.path.join(path, "store"), shardings)
         else:
@@ -496,6 +503,9 @@ class Index:
             data = {k: jnp.asarray(raw[k], jnp.dtype(meta["dtypes"][k]))
                     if k in meta.get("dtypes", {}) else jnp.asarray(raw[k])
                     for k in raw.files}
+            if mesh is not None:      # mesh placement applies to npz too
+                data = {k: (jax.device_put(v, spec[k]) if k in spec else v)
+                        for k, v in data.items()}
 
         if extractor is None and meta.get("weights_saved"):
             from .utils.checkpoint import load_pytree

@@ -41,3 +41,60 @@ def test_finetune_then_index(tmp_path):
     res = evaluate_index(idx, mini, "medium")
     assert np.isfinite(res["mAP"])
     assert res["mAP"] > 50.0, res   # sanity: tuned weights still retrieve
+
+
+@pytest.mark.slow
+def test_cli_finetune_then_build_index_weights(tmp_path):
+    """The CLI round trip (ADVICE r1): `finetune` writes an orbax
+    checkpoint + sidecar meta; `build-index --weights` consumes it and
+    persists the tuned weights in the index (load reproduces them)."""
+    import glob as _glob
+    import json
+    import os
+    import cv2
+    from instsearch_tpu.cli import main
+
+    rng = np.random.default_rng(23)
+    # labeled tree: 3 classes x 4 views
+    for c in range(3):
+        d = tmp_path / "train" / f"class{c}"
+        os.makedirs(d)
+        base = cv2.resize(rng.random((8, 8, 3), np.float32), (32, 32),
+                          interpolation=cv2.INTER_CUBIC)
+        for v in range(4):
+            img = np.clip(base + rng.normal(0, 0.05, base.shape), 0, 1)
+            cv2.imwrite(str(d / f"v{v}.png"), (img * 255).astype(np.uint8))
+
+    ckpt = str(tmp_path / "tuned")
+    rc = main(["finetune", "--images", str(tmp_path / "train"),
+               "--out", ckpt, "--backbone", "resnet18",
+               "--image-size", "32", "--epochs", "1",
+               "--batch-size", "3", "--num-negatives", "1", "--learn-p"])
+    assert rc == 0
+    assert os.path.exists(ckpt + ".meta.json")
+
+    db = tmp_path / "db"
+    os.makedirs(db)
+    for i in range(5):
+        img = cv2.resize(rng.random((8, 8, 3), np.float32), (32, 32),
+                         interpolation=cv2.INTER_CUBIC)
+        cv2.imwrite(str(db / f"img{i}.png"), (img * 255).astype(np.uint8))
+    cfgp = tmp_path / "cfg.json"
+    from instsearch_tpu import ExtractConfig as EC, PipelineConfig as PC
+    PC(extract=EC(backbone="resnet18", image_size=32, dtype="float32",
+                  batch_size=4)).save(str(cfgp))
+    out_idx = str(tmp_path / "idx")
+    rc = main(["build-index", "--images", str(db), "--out", out_idx,
+               "--config", str(cfgp), "--weights", ckpt])
+    assert rc == 0
+
+    # the index carries the TUNED weights: gem_p from the sidecar applied,
+    # and load() reproduces the same query descriptors
+    with open(ckpt + ".meta.json") as fh:
+        gem_p = json.load(fh)["gem_p"]
+    loaded = Index.load(out_idx)
+    assert loaded.cfg.extract.gem_p == pytest.approx(gem_p)
+    assert loaded.extractor is not None
+    img = cv2.imread(str(db / "img0.png"))[:, :, ::-1].copy()
+    _, ids = loaded.query_images(img[None])
+    assert ids[0, 0] == 0

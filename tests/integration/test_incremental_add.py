@@ -130,3 +130,25 @@ def test_add_without_regional_paths_raises():
     idx.regional = jnp.zeros((idx.descriptors.shape[0], 2, 32))
     with pytest.raises(ValueError):
         idx.add(descriptors=Y, names=["b0"])
+
+
+def test_add_after_quarantine_ids_unique():
+    """ids are dataset positions and exceed len(names) after a quarantined
+    build; add() must allocate PAST the max id, never colliding."""
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((3, 32)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    cfg = PipelineConfig(index=IndexConfig(row_tile=8, capacity=16),
+                         search=SearchConfig(k=3, use_pallas=False))
+    # simulate: dataset position 2 was quarantined during build
+    idx = Index.from_descriptors(X, ["a", "b", "d"], cfg,
+                                 original_ids=np.array([0, 1, 3]))
+    Y = rng.standard_normal((2, 32)).astype(np.float32)
+    Y /= np.linalg.norm(Y, axis=1, keepdims=True)
+    idx.add(descriptors=Y, names=["e", "f"])
+    ids = np.asarray(idx.ids)
+    valid = ids[ids >= 0]
+    assert len(valid) == len(set(valid.tolist())), valid   # all unique
+    assert set(valid.tolist()) == {0, 1, 3, 4, 5}
+    _, i = idx.search(Y[:1])
+    assert i[0, 0] == 4

@@ -102,3 +102,15 @@ def test_auto_streaming_cutoff(tmp_path):
     l1 = Index.load(str(tmp_path / "small"))
     l2 = Index.load(str(tmp_path / "big"))
     assert l1.num_valid == 64 and l2.num_valid == 40_960
+
+
+def test_npz_load_honors_mesh(tmp_path):
+    """load(mesh=...) must apply the row sharding for npz-format indexes
+    too, not only the orbax store."""
+    idx, X = _make_index(n=64)
+    idx.save(str(tmp_path / "small"), streaming=False)
+    mesh = make_mesh(8)
+    loaded = Index.load(str(tmp_path / "small"), mesh=mesh)
+    assert loaded.descriptors.sharding == NamedSharding(mesh, P("shard"))
+    s, i = loaded.search(X[:2])
+    assert (i[:, 0] == np.arange(2)).all()

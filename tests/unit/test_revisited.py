@@ -60,3 +60,27 @@ def test_query_without_positives_excluded():
     res = evaluate_ranks(np.array([[0, 1], [0, 1]]), gnd, "medium")
     assert res["num_queries"] == 1
     assert np.isnan(res["per_query_ap"][0])
+
+
+def test_fast_ap_equals_reference_loop():
+    """evaluate_ranks now uses the vectorized AP/P@k; they must equal the
+    reference loop implementations (compute_ap / precision_at) exactly on
+    randomized protocol data including junk-heavy and no-hit queries."""
+    rng = np.random.default_rng(17)
+    for trial in range(30):
+        n = int(rng.integers(5, 200))
+        ranked = rng.permutation(n).astype(np.int64)
+        pos = set(rng.choice(n, size=int(rng.integers(1, max(2, n // 3))),
+                             replace=False).tolist())
+        junk_pool = [i for i in range(n) if i not in pos]
+        junk = set(rng.choice(junk_pool,
+                              size=int(rng.integers(0, max(1, len(junk_pool) // 2))),
+                              replace=False).tolist()) if junk_pool else set()
+        from instsearch_tpu.eval.revisited import _ap_fast, _patk_fast
+        pos_a = np.fromiter(pos, dtype=ranked.dtype, count=len(pos))
+        junk_a = np.fromiter(junk, dtype=ranked.dtype, count=len(junk))
+        assert _ap_fast(ranked, pos_a, junk_a) == pytest.approx(
+            compute_ap(ranked, pos, junk), abs=1e-12)
+        want = [precision_at(ranked, pos, junk, k) for k in (1, 5, 10)]
+        got = _patk_fast(ranked, pos_a, junk_a, (1, 5, 10))
+        assert got == pytest.approx(want, abs=1e-12)
