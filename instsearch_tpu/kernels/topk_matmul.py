@@ -197,7 +197,7 @@ def topk_matmul_int8(x_int8: jax.Array, scales: jax.Array, q: jax.Array,
     n, d = x_int8.shape
     b = q.shape[0]
     if tile_n is None:
-        tile_n = default_tile_n(n, d, jnp.int8)
+        tile_n = default_tile_n(n, d, jnp.int8, b=b)
     if n % tile_n:
         raise ValueError(f"N={n} not a multiple of tile_n={tile_n}")
     if k > tile_n:
@@ -244,12 +244,17 @@ def topk_matmul_int8(x_int8: jax.Array, scales: jax.Array, q: jax.Array,
     return out_s, out_i
 
 
-def default_tile_n(n: int, d: int, dtype=jnp.bfloat16) -> int:
+def default_tile_n(n: int, d: int, dtype=jnp.bfloat16, b: int = 1) -> int:
     """Pick a row tile: big enough to amortize, small enough that the
-    double-buffered tile pair stays well under VMEM (~16 MB)."""
+    double-buffered tile pair PLUS the per-tile [B, T] score/merge buffers
+    stay under the ~16 MB VMEM budget (the merge concatenates ~3 [B, T]
+    f32 temporaries, which dominates for large query batches)."""
     bytes_per = jnp.dtype(dtype).itemsize
     for tile in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
-        if n % tile == 0 and 2 * tile * d * bytes_per <= 6 * 1024 * 1024:
+        tiles = 2 * tile * d * bytes_per            # double-buffered stream
+        merge = 3 * b * tile * 4                    # [B, T] f32 temporaries
+        if n % tile == 0 and tiles <= 6 * 1024 * 1024 \
+                and tiles + merge <= 10 * 1024 * 1024:
             return tile
     raise ValueError(f"no valid row tile for N={n}; pad rows to a multiple of 8")
 
@@ -267,7 +272,7 @@ def topk_matmul(x: jax.Array, q: jax.Array, k: int = 10,
     n, d = x.shape
     b = q.shape[0]
     if tile_n is None:
-        tile_n = default_tile_n(n, d, x.dtype)
+        tile_n = default_tile_n(n, d, x.dtype, b=b)
     if n % tile_n:
         raise ValueError(f"N={n} not a multiple of tile_n={tile_n}")
     if k > tile_n:

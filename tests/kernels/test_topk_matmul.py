@@ -138,3 +138,13 @@ def test_fully_padded_shard(rng):
     s, i = sidx.search(jnp.asarray(X[:2]), k=5)
     assert (np.asarray(i)[:, 0] == np.arange(2)).all()
     assert np.asarray(i).max() < 40
+
+
+def test_default_tile_n_scales_with_query_batch():
+    """Large query batches shrink the tile so the [B, T] merge temporaries
+    fit VMEM (B=256 at tile 4096 was a 17 MB scoped-vmem compile OOM)."""
+    import jax.numpy as jnp
+    assert default_tile_n(1_048_576, 512, jnp.int8, b=1) == 4096
+    assert default_tile_n(1_048_576, 512, jnp.int8, b=256) == 2048
+    assert default_tile_n(1_048_576, 512, jnp.bfloat16, b=256) == 2048
+    assert default_tile_n(1_048_576, 512, jnp.bfloat16, b=1024) == 512
