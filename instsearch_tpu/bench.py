@@ -88,8 +88,11 @@ def measure_hbm_bw(nbytes: int = 1 << 30) -> float:
             return acc
         return jax.jit(run)
 
-    per_call = marginal_time(make_chained, (X, q), n1=4, n2=20, reps=7)
-    return X.nbytes / per_call
+    # peak-of-reps, not median: the roofline is the best stream the chip
+    # demonstrably did, so kernel frac_of_roofline stays <= 1 under the
+    # probe's own run-to-run noise (conservative for the kernels)
+    ests = marginal_times(make_chained, (X, q), n1=4, n2=20, reps=9)
+    return X.nbytes / float(np.min(ests))
 
 
 def bench_extraction(batch: int = 128, image_size: int = 224,

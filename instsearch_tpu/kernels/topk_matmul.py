@@ -75,7 +75,10 @@ def _kernel(num_valid_ref, x_ref, q_ref, out_s_ref, out_i_ref,
 
     b = scores.shape[0]
     base = step * tile_n
-    row_ids = base + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    # [1, T] row ids / validity, broadcast against [B, T]: the epilogue
+    # runs on EVERY tile, so per-element work there is the batched-mode
+    # bottleneck — keep it O(T), not O(B*T)
+    row_ids = base + jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
     valid = row_ids < num_valid_ref[0]
     scores = jnp.where(valid, scores, NEG_INF)
 
@@ -112,7 +115,8 @@ def _kernel(num_valid_ref, x_ref, q_ref, out_s_ref, out_i_ref,
 
         @pl.when(cmax > 1)
         def _merge_full():
-            new_s, new_i = _merge_topk(scores, row_ids, top_s[:], top_i[:], k)
+            ids_bt = jnp.broadcast_to(row_ids, (b, tile_n))   # merge-only
+            new_s, new_i = _merge_topk(scores, ids_bt, top_s[:], top_i[:], k)
             top_s[:] = new_s
             top_i[:] = new_i
 
@@ -142,8 +146,8 @@ def _kernel_int8(num_valid_ref, x_ref, scales_ref, q_ref, qs_ref,
 
     b = scores.shape[0]
     base = step * tile_n
-    row_ids = base + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
-    valid = row_ids < num_valid_ref[0]
+    row_ids = base + jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
+    valid = row_ids < num_valid_ref[0]       # [1, T], broadcasts (see _kernel)
     scores = jnp.where(valid, scores, NEG_INF)
 
     tau = jnp.min(top_s[:], axis=1, keepdims=True)
@@ -171,7 +175,8 @@ def _kernel_int8(num_valid_ref, x_ref, scales_ref, q_ref, qs_ref,
 
         @pl.when(cmax > 1)
         def _merge_full():
-            new_s, new_i = _merge_topk(scores, row_ids, top_s[:], top_i[:], k)
+            ids_bt = jnp.broadcast_to(row_ids, (b, tile_n))
+            new_s, new_i = _merge_topk(scores, ids_bt, top_s[:], top_i[:], k)
             top_s[:] = new_s
             top_i[:] = new_i
 
