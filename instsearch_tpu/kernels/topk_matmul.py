@@ -57,6 +57,28 @@ def _merge_topk(scores, ids, top_s, top_i, k: int):
             jnp.concatenate(new_i, axis=1).astype(jnp.int32))
 
 
+
+def _extract_candidates(scores, row_ids, tau, n_cand: int):
+    """Pull the per-query top-``n_cand`` of a tile via n_cand argmax rounds
+    over [B, T]; entries not strictly above tau come back (-inf, -1).
+    Cheaper than the full merge when only a few candidates exist:
+    n_cand rounds of O(T) instead of k rounds of O(T + k)."""
+    b, t = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
+    work = scores
+    cs, ci = [], []
+    for _ in range(n_cand):
+        best = jnp.max(work, axis=1, keepdims=True)             # [B, 1]
+        am = jnp.argmax(work, axis=1).astype(jnp.int32)
+        sel = col == am[:, None]
+        idx = jnp.sum(jnp.where(sel, row_ids, 0), axis=1, keepdims=True)
+        good = best > tau
+        cs.append(jnp.where(good, best, NEG_INF))
+        ci.append(jnp.where(good, idx, -1))
+        work = jnp.where(sel, NEG_INF, work)
+    return jnp.concatenate(cs, axis=1), jnp.concatenate(ci, axis=1)
+
+
 def _kernel(num_valid_ref, x_ref, q_ref, out_s_ref, out_i_ref,
             top_s, top_i, *, k: int, tile_n: int):
     step = pl.program_id(0)
@@ -113,7 +135,17 @@ def _kernel(num_valid_ref, x_ref, q_ref, out_s_ref, out_i_ref,
             top_s[:] = new_s
             top_i[:] = new_i
 
-        @pl.when(cmax > 1)
+        @pl.when((cmax > 1) & (cmax <= 4))
+        def _insert_few():
+            # 2-4 candidates somewhere in the batch: 4 extraction rounds
+            # over [B, T] + a [B, k+4] merge — ~2.5x cheaper than the
+            # full k-round merge, and the common case at large B
+            cand_s, cand_i = _extract_candidates(scores, row_ids, tau, 4)
+            new_s, new_i = _merge_topk(cand_s, cand_i, top_s[:], top_i[:], k)
+            top_s[:] = new_s
+            top_i[:] = new_i
+
+        @pl.when(cmax > 4)
         def _merge_full():
             ids_bt = jnp.broadcast_to(row_ids, (b, tile_n))   # merge-only
             new_s, new_i = _merge_topk(scores, ids_bt, top_s[:], top_i[:], k)
@@ -173,7 +205,14 @@ def _kernel_int8(num_valid_ref, x_ref, scales_ref, q_ref, qs_ref,
             top_s[:] = new_s
             top_i[:] = new_i
 
-        @pl.when(cmax > 1)
+        @pl.when((cmax > 1) & (cmax <= 4))
+        def _insert_few():
+            cand_s, cand_i = _extract_candidates(scores, row_ids, tau, 4)
+            new_s, new_i = _merge_topk(cand_s, cand_i, top_s[:], top_i[:], k)
+            top_s[:] = new_s
+            top_i[:] = new_i
+
+        @pl.when(cmax > 4)
         def _merge_full():
             ids_bt = jnp.broadcast_to(row_ids, (b, tile_n))
             new_s, new_i = _merge_topk(scores, ids_bt, top_s[:], top_i[:], k)

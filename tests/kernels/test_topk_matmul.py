@@ -148,3 +148,23 @@ def test_default_tile_n_scales_with_query_batch():
     assert default_tile_n(1_048_576, 512, jnp.int8, b=256) == 2048
     assert default_tile_n(1_048_576, 512, jnp.bfloat16, b=256) == 2048
     assert default_tile_n(1_048_576, 512, jnp.bfloat16, b=1024) == 512
+
+
+def test_multi_candidate_tiles(rng):
+    """Force the 2-4-candidate extraction path and the >4 full-merge path:
+    tiles packed with clustered high-score rows must still match the
+    oracle exactly."""
+    q = rng.standard_normal((3, 64)).astype(np.float32)
+    X = rng.standard_normal((512, 64)).astype(np.float32) * 0.01
+    # tile 3 (rows 192-255): 3 rows highly similar to query 0 -> cmax==3
+    X[200:203] = q[0] * 0.9 + rng.standard_normal((3, 64)) * 0.01
+    # tile 5 (rows 320-383): 8 rows similar to query 1 -> cmax==8 (> 4)
+    X[330:338] = q[1] * 0.9 + rng.standard_normal((8, 64)) * 0.01
+    # tile 6: 2 candidates for two different queries at once
+    X[400:402] = q[2] * 0.8 + rng.standard_normal((2, 64)) * 0.01
+    X[402:404] = q[0] * 0.7 + rng.standard_normal((2, 64)) * 0.01
+    s, i = topk_matmul(jnp.asarray(X), jnp.asarray(q), k=10, tile_n=64,
+                       **INTERP)
+    ws, wi = _oracle(X, q, 10)
+    np.testing.assert_array_equal(np.asarray(i), wi)
+    np.testing.assert_allclose(np.asarray(s), ws, rtol=1e-4, atol=1e-4)
