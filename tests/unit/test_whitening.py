@@ -5,8 +5,12 @@ import numpy as np
 from instsearch_tpu.ops import apply_whitening, fit_whitening
 
 
-def test_whitening_decorrelates(rng):
-    # correlated gaussian descriptors
+def test_whitening_decorrelates():
+    # correlated gaussian descriptors; local fixed-seed rng: the shared
+    # session rng's state depends on test ORDER, and an unlucky (badly
+    # conditioned) mixing matrix trips the 0.15 covariance tolerance via
+    # the eigenvalue floor in fit_whitening
+    rng = np.random.default_rng(42)
     A = rng.standard_normal((16, 16)).astype(np.float32)
     X = rng.standard_normal((4096, 16)).astype(np.float32) @ A
     params = fit_whitening(jnp.asarray(X))
