@@ -3,8 +3,11 @@
 
 Headline metric (BASELINE.json): feature-extraction images/sec/chip,
 target >= 10,000 on TPU v5e. ``vs_baseline`` is value/target. Extra keys:
-disk->descriptor e2e throughput, 1M-index query p50/p99 (bf16 + int8) with
-fraction-of-roofline against the HBM bandwidth measured on this chip.
+disk->descriptor e2e throughput, 1M-index query p50/p99 (bf16 + int8,
+single + batched-128) with fraction-of-roofline computed against a bf16
+HBM-stream probe timed INTERLEAVED with each kernel (chip speed drifts
+±15% run-to-run; a separately-timed probe makes the ratio dishonest),
+and the full image->result single-query latency.
 """
 import json
 import sys
@@ -14,7 +17,7 @@ def main() -> int:
     # NOTE: do NOT enable jax_compilation_cache_dir here — the axon TPU
     # backend hangs when the persistent compilation cache is active.
     from instsearch_tpu.bench import (bench_extraction, bench_extraction_e2e,
-                                      bench_query, measure_hbm_bw)
+                                      bench_query, bench_query_e2e)
 
     ext = bench_extraction()
     try:
@@ -22,17 +25,21 @@ def main() -> int:
     except Exception:
         e2e = None
     try:
-        bw = measure_hbm_bw()
-    except Exception:
-        bw = None
-    try:
-        qry = bench_query(hbm_bw=bw)
+        qry = bench_query()
     except Exception:
         qry = None
     try:
-        qry8 = bench_query(dtype="int8", hbm_bw=bw)
+        qry8 = bench_query(dtype="int8")
     except Exception:
         qry8 = None
+    try:
+        qry8b = bench_query(dtype="int8", q_batch=128)
+    except Exception:
+        qry8b = None
+    try:
+        qe2e = bench_query_e2e()
+    except Exception:
+        qe2e = None
 
     value = round(ext["images_per_sec"], 1)
     line = {
@@ -46,12 +53,12 @@ def main() -> int:
             e2e["images_per_sec_e2e"], 1)
         line["e2e_frac_of_transfer_bound"] = round(
             e2e["frac_of_transfer_bound"], 3)
-    if bw is not None:
-        line["hbm_bw_gbps"] = round(bw / 1e9, 1)
     if qry is not None:
         line["query_p50_ms_1M"] = round(qry["p50_ms"], 3)
         line["query_p99_ms_1M"] = round(qry["p99_ms"], 3)
         line["query_qps_1M"] = round(qry["qps"], 1)
+        if "hbm_bw_gbps" in qry:
+            line["hbm_bw_gbps"] = round(qry["hbm_bw_gbps"], 1)
         if "frac_of_roofline" in qry:
             line["query_frac_of_roofline"] = round(qry["frac_of_roofline"], 3)
     if qry8 is not None:
@@ -59,6 +66,10 @@ def main() -> int:
         if "frac_of_roofline" in qry8:
             line["query_int8_frac_of_roofline"] = round(
                 qry8["frac_of_roofline"], 3)
+    if qry8b is not None:
+        line["query_int8_qps_b128"] = round(qry8b["qps"], 1)
+    if qe2e is not None:
+        line["query_e2e_p50_ms_1M"] = round(qe2e["p50_ms"], 3)
     print(json.dumps(line))
     return 0
 

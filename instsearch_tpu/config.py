@@ -83,6 +83,12 @@ class SearchConfig(_JsonMixin):
 
     k: int = 10
     use_pallas: bool = True             # fused top-k matmul kernel vs jnp oracle
+    # big query batches are served in chunks of this size: past ~128
+    # queries the fused kernel turns merge-bound and two half-size HBM
+    # scans beat one double-size one (measured on v5e: B=256 single-pass
+    # 4.5 ms vs 2x B=128 3.6 ms); also bounds the oracle's [B, N] scores.
+    # 0 disables chunking.
+    query_chunk: int = 128
     # alpha query expansion (arXiv:1711.02512 §5)
     qe_enabled: bool = False
     qe_n: int = 10                      # number of expansion neighbours

@@ -309,12 +309,32 @@ class Index:
     def _topk(self, queries: jax.Array, k: int):
         """Top-k positions -> original ids; fused Pallas kernel on TPU,
         XLA oracle elsewhere (SURVEY.md N5). One jitted program — eager op
-        dispatch is extremely slow through the axon tunnel."""
+        dispatch is extremely slow through the axon tunnel.
+
+        Query batches larger than ``search.query_chunk`` are served in
+        fixed-size chunks (last chunk zero-padded so every call shares one
+        compiled shape): past ~128 queries the kernel's per-tile merge work
+        outgrows the cost of re-streaming the index from HBM, so two
+        half-size scans beat one double-size one (measured on v5e).
+        Dispatch is async — chunks pipeline through the device queue."""
         use_pallas = (self.cfg.search.use_pallas
                       and jax.devices()[0].platform == "tpu")
-        return _topk_jit(self.descriptors, self.ids, queries,
-                         jnp.asarray(self.num_valid, jnp.int32), self.scales,
-                         k=k, use_pallas=use_pallas)
+        nv = jnp.asarray(self.num_valid, jnp.int32)
+        q = jnp.asarray(queries)
+        chunk = self.cfg.search.query_chunk
+        b = q.shape[0]
+        if not chunk or b <= chunk:
+            return _topk_jit(self.descriptors, self.ids, q, nv, self.scales,
+                             k=k, use_pallas=use_pallas)
+        pad = (-b) % chunk
+        if pad:
+            q = jnp.concatenate([q, jnp.zeros((pad,) + q.shape[1:], q.dtype)])
+        outs = [_topk_jit(self.descriptors, self.ids, q[i:i + chunk], nv,
+                          self.scales, k=k, use_pallas=use_pallas)
+                for i in range(0, q.shape[0], chunk)]
+        scores = jnp.concatenate([s for s, _ in outs])[:b]
+        ids = jnp.concatenate([i for _, i in outs])[:b]
+        return scores, ids
 
     def search(self, queries: np.ndarray | jax.Array,
                search_cfg: Optional[SearchConfig] = None,

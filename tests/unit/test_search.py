@@ -25,6 +25,32 @@ def test_bf16_index_close_to_f32(rng):
     np.testing.assert_array_equal(np.asarray(i16[:, 0]), np.arange(4))
 
 
+def test_query_chunking_matches_single_pass(rng):
+    """Large query batches served in fixed chunks (search.query_chunk)
+    must return exactly the single-pass results, including the zero-padded
+    remainder chunk."""
+    from instsearch_tpu import ExtractConfig, IndexConfig, PipelineConfig, SearchConfig
+    from instsearch_tpu.index import Index
+
+    X = rng.standard_normal((300, 32)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    Q = rng.standard_normal((11, 32)).astype(np.float32)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    names = [f"im{i}" for i in range(300)]
+
+    def build(chunk):
+        cfg = PipelineConfig(
+            extract=ExtractConfig(dtype="float32"),
+            index=IndexConfig(dtype="float32", row_tile=8),
+            search=SearchConfig(k=7, query_chunk=chunk, use_pallas=False))
+        return Index.from_descriptors(X, names, cfg)
+
+    s_one, i_one = build(0).search(Q)          # chunking disabled
+    s_chk, i_chk = build(4).search(Q)          # 11 -> 4+4+3(padded)
+    np.testing.assert_array_equal(i_chk, i_one)
+    np.testing.assert_allclose(s_chk, s_one, rtol=1e-6)
+
+
 def test_all_scores_shape(rng):
     X = rng.standard_normal((100, 32)).astype(np.float32)
     Q = rng.standard_normal((5, 32)).astype(np.float32)
