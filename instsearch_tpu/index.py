@@ -427,7 +427,8 @@ class Index:
         return ShardedIndex(self.descriptors, self.ids, mesh=mesh,
                             k=self.cfg.search.k, use_pallas=use_pallas,
                             scales=self.scales, regional=self.regional,
-                            regional_scales=self.regional_scales)
+                            regional_scales=self.regional_scales,
+                            query_chunk=self.cfg.search.query_chunk)
 
     # ------------------------------------------------------------------
     # Persistence. Two storage formats behind one API:

@@ -284,7 +284,8 @@ class ShardedIndex:
                  use_pallas: bool = False, interpret: bool = False,
                  regional: "jax.Array | None" = None,
                  scales: "jax.Array | None" = None,
-                 regional_scales: "jax.Array | None" = None):
+                 regional_scales: "jax.Array | None" = None,
+                 query_chunk: int = 128):
         self.mesh = mesh or make_mesh()
         # on a 2-D (data x shard) mesh, rows shard over the 'shard' axis
         # and every stage replicates over the others
@@ -319,11 +320,34 @@ class ShardedIndex:
         self.default_k = k
         self.use_pallas = use_pallas
         self.interpret = interpret
+        self.query_chunk = query_chunk
 
     def _common_operands(self, queries):
         q = replicate(self.mesh, jnp.asarray(queries))
         nv = replicate(self.mesh, jnp.asarray([self.num_valid], jnp.int32))
         return q, nv
+
+    def _run_chunked(self, run, *per_query):
+        """Serve a query batch in fixed ``query_chunk``-sized pieces (last
+        chunk zero-padded so every call reuses one compiled shape) — same
+        rationale as Index._topk: past ~128 queries the fused kernel turns
+        merge-bound, and chunking also bounds the [Q, S*k] allgathers and
+        the [Q, N] score matrix. ``per_query`` arrays (queries, regional
+        queries) are chunked in lockstep; results concatenate via tree_map
+        so (scores, ids) tuples and bare arrays both work."""
+        arrs = [jnp.asarray(a) for a in per_query]
+        b = arrs[0].shape[0]
+        c = self.query_chunk
+        if not c or b <= c:
+            return run(*arrs)
+        pad = (-b) % c
+        if pad:
+            arrs = [jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) for a in arrs]
+        outs = [run(*(a[i:i + c] for a in arrs))
+                for i in range(0, arrs[0].shape[0], c)]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs)[:b], *outs)
 
     def search(self, queries: jax.Array, k: int | None = None):
         k = k or self.default_k
@@ -332,10 +356,15 @@ class ShardedIndex:
                                            use_pallas=self.use_pallas,
                                            interpret=self.interpret,
                                            int8=self.int8)
-        q, nv = self._common_operands(queries)
-        if self.int8:
-            return self._fns[k](self.descriptors, self.ids, q, nv, self.scales)
-        return self._fns[k](self.descriptors, self.ids, q, nv)
+
+        def run(qq):
+            q, nv = self._common_operands(qq)
+            if self.int8:
+                return self._fns[k](self.descriptors, self.ids, q, nv,
+                                    self.scales)
+            return self._fns[k](self.descriptors, self.ids, q, nv)
+
+        return self._run_chunked(run, queries)
 
     def search_rerank(self, queries: jax.Array, query_regional: jax.Array,
                       k: int | None = None, depth: int = 100,
@@ -351,14 +380,18 @@ class ShardedIndex:
                 self.mesh, k, depth, fuse_weight, axis=self.axis,
                 use_pallas=self.use_pallas, interpret=self.interpret,
                 int8=self.int8, regional_int8=self.regional_int8)
-        q, nv = self._common_operands(queries)
-        qreg = replicate(self.mesh, jnp.asarray(query_regional))
-        operands = [self.descriptors, self.regional, self.ids, q, qreg, nv]
-        if self.int8:
-            operands.append(self.scales)
-        if self.regional_int8:
-            operands.append(self.regional_scales)
-        return self._fns[key](*operands)
+        def run(qq, qqreg):
+            q, nv = self._common_operands(qq)
+            qreg = replicate(self.mesh, qqreg)
+            operands = [self.descriptors, self.regional, self.ids, q, qreg,
+                        nv]
+            if self.int8:
+                operands.append(self.scales)
+            if self.regional_int8:
+                operands.append(self.regional_scales)
+            return self._fns[key](*operands)
+
+        return self._run_chunked(run, queries, query_regional)
 
     def search_qe(self, queries: jax.Array, k: int | None = None,
                   qe_n: int = 10, alpha: float = 3.0):
@@ -371,11 +404,14 @@ class ShardedIndex:
                 self.mesh, k, qe_n, alpha, axis=self.axis,
                 use_pallas=self.use_pallas, interpret=self.interpret,
                 int8=self.int8)
-        q, nv = self._common_operands(queries)
-        if self.int8:
-            return self._fns[key](self.descriptors, self.ids, q, nv,
-                                  self.scales)
-        return self._fns[key](self.descriptors, self.ids, q, nv)
+        def run(qq):
+            q, nv = self._common_operands(qq)
+            if self.int8:
+                return self._fns[key](self.descriptors, self.ids, q, nv,
+                                      self.scales)
+            return self._fns[key](self.descriptors, self.ids, q, nv)
+
+        return self._run_chunked(run, queries)
 
     def expand_queries(self, queries: jax.Array, qe_n: int = 10,
                        alpha: float = 3.0) -> jax.Array:
@@ -387,22 +423,29 @@ class ShardedIndex:
                 self.mesh, qe_n, alpha, axis=self.axis,
                 use_pallas=self.use_pallas, interpret=self.interpret,
                 int8=self.int8)
-        q, nv = self._common_operands(queries)
-        if self.int8:
-            return self._fns[key](self.descriptors, self.ids, q, nv,
-                                  self.scales)
-        return self._fns[key](self.descriptors, self.ids, q, nv)
+        def run(qq):
+            q, nv = self._common_operands(qq)
+            if self.int8:
+                return self._fns[key](self.descriptors, self.ids, q, nv,
+                                      self.scales)
+            return self._fns[key](self.descriptors, self.ids, q, nv)
+
+        return self._run_chunked(run, queries)
 
     def all_scores(self, queries: jax.Array) -> jax.Array:
         """Replicated full [Q, N_pad] score matrix (padding -inf)."""
         if "scores" not in self._fns:
             self._fns["scores"] = sharded_scores_fn(
                 self.mesh, axis=self.axis, int8=self.int8)
-        q = replicate(self.mesh, jnp.asarray(queries))
-        if self.int8:
-            return self._fns["scores"](self.descriptors, self.ids, q,
-                                       self.scales)
-        return self._fns["scores"](self.descriptors, self.ids, q)
+
+        def run(qq):
+            q = replicate(self.mesh, qq)
+            if self.int8:
+                return self._fns["scores"](self.descriptors, self.ids, q,
+                                           self.scales)
+            return self._fns["scores"](self.descriptors, self.ids, q)
+
+        return self._run_chunked(run, queries)
 
     def full_ranking(self, queries) -> np.ndarray:
         """[Q, num_valid] original dataset ids best-first, computed through

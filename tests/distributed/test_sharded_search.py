@@ -50,3 +50,34 @@ def test_rejects_nondivisible_rows(data):
     mesh = make_mesh(8)
     with pytest.raises(ValueError):
         ShardedIndex(jnp.asarray(X[:900]), jnp.asarray(ids[:900]), mesh=mesh)
+
+
+def test_sharded_query_chunking_matches_single_pass(data):
+    """query_chunk served in fixed pieces (zero-padded remainder) must
+    return exactly the unchunked results across search / QE / rerank /
+    all_scores."""
+    X, Q, ids = data
+    rng = np.random.default_rng(9)
+    reg = rng.standard_normal((1024, 3, 64)).astype(np.float32)
+    reg /= np.linalg.norm(reg, axis=-1, keepdims=True)
+    Q11 = np.concatenate([Q, Q + 0.01, Q[:1]])          # 11 queries -> 4+4+3
+    Qr = rng.standard_normal((11, 3, 64)).astype(np.float32)
+    mesh = make_mesh(4)
+
+    def build(chunk):
+        return ShardedIndex(jnp.asarray(X), jnp.asarray(ids), mesh=mesh,
+                            regional=jnp.asarray(reg), query_chunk=chunk)
+
+    one, chk = build(0), build(4)
+    for name, call in [
+        ("search", lambda s: s.search(jnp.asarray(Q11), k=7)),
+        ("qe", lambda s: s.search_qe(jnp.asarray(Q11), k=7, qe_n=3)),
+        ("rerank", lambda s: s.search_rerank(jnp.asarray(Q11),
+                                             jnp.asarray(Qr), k=7, depth=16)),
+        ("scores", lambda s: (s.all_scores(jnp.asarray(Q11)),)),
+    ]:
+        a, b = call(one), call(chk)
+        for x, y in zip(jax.tree_util.tree_leaves(a),
+                        jax.tree_util.tree_leaves(b)):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       rtol=1e-5, err_msg=name)
