@@ -98,35 +98,39 @@ def interleaved_marginal(specs, n1: int = 4, n2: int = 20,
             for t1, t2 in zip(t1s, t2s)]
 
 
+def make_stream_probe(m: int):
+    """Chained bf16 matvec stream over an HBM-resident matrix — the fastest
+    pure scan this chip does, so it defines the roofline. Probes compared
+    on-chip (v5e, 1 GB, long chains): matvec 755 GB/s > axis-0 sum 740 >
+    full reduce 709 — reductions leave bandwidth on the table and would
+    flatter the kernels. The exp(acc*1e-30) factor forces a serial data
+    dependency so XLA cannot CSE or reorder the chain. Shared by
+    ``measure_hbm_bw`` and ``bench_query``'s interleaved roofline so the
+    two cannot drift apart."""
+    def run(X, q):
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(m):
+            s = jnp.dot(q * jnp.exp(acc * 1e-30).astype(q.dtype), X.T,
+                        preferred_element_type=jnp.float32)
+            acc = acc + s[0, 0]
+        return acc
+    return jax.jit(run)
+
+
 def measure_hbm_bw(nbytes: int = 1 << 30) -> float:
-    """Sustained HBM streaming bandwidth (bytes/sec), measured as the
-    fastest pure scan of an HBM-resident matrix this chip can do: a bf16
-    matvec (negligible output, MXU contraction fuses into the stream).
-    Probes compared on-chip (v5e, 1 GB, long chains): matvec 755 GB/s >
-    axis-0 sum 740 > full reduce 709 — reductions leave bandwidth on the
-    table, so they would understate the roofline and make kernels look
-    better than light. Uses the same chained-marginal methodology as
-    bench_query so frac_of_roofline is an apples-to-apples ratio."""
+    """Sustained HBM streaming bandwidth (bytes/sec) via the shared
+    ``make_stream_probe``, with the same chained-marginal methodology as
+    bench_query — a standalone probe for ad-hoc use and as the ``hbm_bw``
+    fallback reference when the interleaved probe is off."""
     n = nbytes // 2                        # bf16
     X = jax.jit(lambda: jax.random.normal(
         jax.random.PRNGKey(0), (n // 512, 512), jnp.bfloat16))()
     X = jax.block_until_ready(X)
     q = jnp.ones((1, 512), jnp.bfloat16)
-
-    def make_chained(m):
-        def run(X, q):
-            acc = jnp.zeros((), jnp.float32)
-            for _ in range(m):
-                s = jnp.dot(q * jnp.exp(acc * 1e-30).astype(q.dtype), X.T,
-                            preferred_element_type=jnp.float32)
-                acc = acc + s[0, 0]
-            return acc
-        return jax.jit(run)
-
     # peak-of-reps, not median: the roofline is the best stream the chip
     # demonstrably did, so kernel frac_of_roofline stays <= 1 under the
     # probe's own run-to-run noise (conservative for the kernels)
-    ests = marginal_times(make_chained, (X, q), n1=4, n2=20, reps=9)
+    ests = marginal_times(make_stream_probe, (X, q), n1=4, n2=20, reps=9)
     return X.nbytes / float(np.min(ests))
 
 
@@ -312,28 +316,22 @@ def bench_query(n: int = 1_048_576, d: int = 512, k: int = 10,
         # HBM stream this chip does (see measure_hbm_bw) — interleaved
         # rep-for-rep with the kernel so drift cancels in the ratio
         q1 = jnp.ones((1, d), jnp.bfloat16)
-
-        def make_probe(m):
-            def run(X, qq):
-                acc = jnp.zeros((), jnp.float32)
-                for _ in range(m):
-                    s = jnp.dot(qq * jnp.exp(acc * 1e-30).astype(qq.dtype),
-                                X.T, preferred_element_type=jnp.float32)
-                    acc = acc + s[0, 0]
-                return acc
-            return jax.jit(run)
-
         probe_ests, ests = interleaved_marginal(
-            [(make_probe, (Xd, q1)), (make_chained, args)])
+            [(make_stream_probe, (Xd, q1)), (make_chained, args)])
         probe_bytes = n * d * 2
         # peak-of-reps: the roofline is the best stream the chip
-        # demonstrably did (conservative for the kernel)
-        probe_bw = probe_bytes / float(np.min(probe_ests))
+        # demonstrably did (conservative for the kernel). Reps whose
+        # marginal collapsed to the 1e-9 clamp (tunnel timing noise beats
+        # the chain time on small matrices) are not measurements — drop
+        # them rather than report a petabyte "roofline".
+        valid = probe_ests[probe_ests > 2e-9]
         p50 = float(np.median(ests))
-        roofline_ms = scan_bytes / probe_bw * 1e3
-        out["hbm_bw_gbps"] = probe_bw / 1e9
-        out["hbm_roofline_ms"] = roofline_ms
-        out["frac_of_roofline"] = roofline_ms / (p50 * 1e3)
+        if valid.size:
+            probe_bw = probe_bytes / float(np.min(valid))
+            roofline_ms = scan_bytes / probe_bw * 1e3
+            out["hbm_bw_gbps"] = probe_bw / 1e9
+            out["hbm_roofline_ms"] = roofline_ms
+            out["frac_of_roofline"] = roofline_ms / (p50 * 1e3)
     else:
         # long chains: short ones (<=8 ops) showed ±10% drift on this chip
         ests = marginal_times(make_chained, args, n1=4, n2=20, reps=9)

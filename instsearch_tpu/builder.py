@@ -42,10 +42,8 @@ class ResumableBuilder:
         os.makedirs(self.parts_dir, exist_ok=True)
         self.group = group_size * cfg.extract.batch_size  # images per flush
         if mesh is None:
-            import jax
-            if len(jax.devices()) > 1:   # same DP default as Index.build
-                from .parallel import make_mesh
-                mesh = make_mesh(axis="data")
+            from .parallel.mesh import default_data_mesh
+            mesh = default_data_mesh()
         self.extractor = Extractor(cfg.extract.replace(whiten=False),
                                    variables, seed=seed, mesh=mesh)
         self.manifest = self._load_manifest()

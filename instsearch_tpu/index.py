@@ -143,9 +143,9 @@ class Index:
         ``mesh`` enables data-parallel extraction over its first axis
         (SURVEY.md §2.2 DP row); defaults to all local devices when more
         than one is visible."""
-        if mesh is None and len(jax.devices()) > 1:
-            from .parallel import make_mesh
-            mesh = make_mesh(axis="data")
+        if mesh is None:
+            from .parallel.mesh import default_data_mesh
+            mesh = default_data_mesh()
         ex = Extractor(cfg.extract.replace(whiten=False), variables,
                        seed=seed, mesh=mesh)
         quarantine: list[str] = []
@@ -312,29 +312,15 @@ class Index:
         dispatch is extremely slow through the axon tunnel.
 
         Query batches larger than ``search.query_chunk`` are served in
-        fixed-size chunks (last chunk zero-padded so every call shares one
-        compiled shape): past ~128 queries the kernel's per-tile merge work
-        outgrows the cost of re-streaming the index from HBM, so two
-        half-size scans beat one double-size one (measured on v5e).
-        Dispatch is async — chunks pipeline through the device queue."""
+        fixed-size chunks (utils.chunking: one shared policy with
+        ShardedIndex)."""
+        from .utils.chunking import run_chunked
         use_pallas = (self.cfg.search.use_pallas
                       and jax.devices()[0].platform == "tpu")
         nv = jnp.asarray(self.num_valid, jnp.int32)
-        q = jnp.asarray(queries)
-        chunk = self.cfg.search.query_chunk
-        b = q.shape[0]
-        if not chunk or b <= chunk:
-            return _topk_jit(self.descriptors, self.ids, q, nv, self.scales,
-                             k=k, use_pallas=use_pallas)
-        pad = (-b) % chunk
-        if pad:
-            q = jnp.concatenate([q, jnp.zeros((pad,) + q.shape[1:], q.dtype)])
-        outs = [_topk_jit(self.descriptors, self.ids, q[i:i + chunk], nv,
-                          self.scales, k=k, use_pallas=use_pallas)
-                for i in range(0, q.shape[0], chunk)]
-        scores = jnp.concatenate([s for s, _ in outs])[:b]
-        ids = jnp.concatenate([i for _, i in outs])[:b]
-        return scores, ids
+        run = lambda qq: _topk_jit(self.descriptors, self.ids, qq, nv,
+                                   self.scales, k=k, use_pallas=use_pallas)
+        return run_chunked(run, self.cfg.search.query_chunk, queries)
 
     def search(self, queries: np.ndarray | jax.Array,
                search_cfg: Optional[SearchConfig] = None,
@@ -465,9 +451,11 @@ class Index:
         os.makedirs(path, exist_ok=True)
         state = self._array_state()
         if streaming is None:
-            streaming = (self.descriptors.size
-                         * self.descriptors.dtype.itemsize
-                         >= self._STREAMING_CUTOFF_BYTES)
+            # decide on the TOTAL store size: the regional re-rank store is
+            # R x the index size (the system's biggest tensor), so a small
+            # descriptor matrix with a big regional store must still stream
+            nbytes = sum(v.size * v.dtype.itemsize for v in state.values())
+            streaming = nbytes >= self._STREAMING_CUTOFF_BYTES
         if streaming:
             from .utils.checkpoint import save_sharded_pytree
             save_sharded_pytree(os.path.join(path, "store"), state)

@@ -23,6 +23,18 @@ def make_mesh(num_devices: int | None = None, axis: str = "shard") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def default_data_mesh() -> Mesh | None:
+    """The default DP-extraction mesh: all local devices over 'data' when
+    more than one is visible, else None (single-device path). ONE policy
+    for Index.build and ResumableBuilder — change it here, not per-caller.
+    Uses local_devices: in a multi-process job jax.devices() includes
+    non-addressable devices this host cannot feed batches to."""
+    devs = jax.local_devices()
+    if len(devs) <= 1:
+        return None
+    return Mesh(np.array(devs), ("data",))
+
+
 def make_mesh_2d(data: int, shard: int) -> Mesh:
     devs = jax.devices()
     if data * shard > len(devs):

@@ -226,8 +226,15 @@ def sharded_rerank_fn(mesh: Mesh, k: int, depth: int, fuse_weight: float = 1.0,
     candidates; ICI carries only (S*depth) scalars per query per gather.
     """
 
-    def per_shard(X, reg_s, ids_s, q, qreg, nv, scales_s=None,
-                  reg_scales_s=None):
+    def per_shard(X, reg_s, ids_s, q, qreg, nv, *extras):
+        # optional operands bind positionally in the same order their
+        # in_specs are appended below: row scales (int8 descriptors) first,
+        # then per-(row, region) scales (int8 regional store) — each present
+        # only when its flag is set, so {f32 rows + int8 regional} binds
+        # the regional scales correctly instead of into scales_s
+        it = iter(extras)
+        scales_s = next(it) if int8 else None
+        reg_scales_s = next(it) if regional_int8 else None
         # per-shard candidates: min(depth, local rows) is always enough to
         # cover the global top-depth set (a shard can contribute at most
         # all of its rows)
@@ -251,10 +258,18 @@ def sharded_rerank_fn(mesh: Mesh, k: int, depth: int, fuse_weight: float = 1.0,
         sim = jnp.einsum("qrd,qcsd->qcrs", qreg.astype(jnp.float32), cand)
         match = jnp.sum(jnp.max(sim, axis=-1), axis=-1) / qreg.shape[1]
         fused = jnp.where(member, match + fuse_weight * s, -jnp.inf)
-        # ---- final merge ----
+        # ---- final merge: always [Q, k] out (the caller's k, not a
+        # depth-clamped one); candidates past the top-depth membership or
+        # past the candidate pool carry (-inf, -1) like every other stage
         f_all = jax.lax.all_gather(fused, axis, axis=1, tiled=True)
+        if k > f_all.shape[1]:
+            padw = k - f_all.shape[1]
+            f_all = jnp.pad(f_all, ((0, 0), (0, padw)),
+                            constant_values=-jnp.inf)
+            g_all = jnp.pad(g_all, ((0, 0), (0, padw)), constant_values=-1)
         fs, fj = jax.lax.top_k(f_all, k)
-        return fs, jnp.take_along_axis(g_all, fj, axis=1)
+        fi = jnp.take_along_axis(g_all, fj, axis=1)
+        return fs, jnp.where(fs > -jnp.inf, fi, -1)
 
     in_specs = [P(axis, None), P(axis, None, None), P(axis),
                 P(None, None), P(None, None, None), P(None)]
@@ -328,26 +343,10 @@ class ShardedIndex:
         return q, nv
 
     def _run_chunked(self, run, *per_query):
-        """Serve a query batch in fixed ``query_chunk``-sized pieces (last
-        chunk zero-padded so every call reuses one compiled shape) — same
-        rationale as Index._topk: past ~128 queries the fused kernel turns
-        merge-bound, and chunking also bounds the [Q, S*k] allgathers and
-        the [Q, N] score matrix. ``per_query`` arrays (queries, regional
-        queries) are chunked in lockstep; results concatenate via tree_map
-        so (scores, ids) tuples and bare arrays both work."""
-        arrs = [jnp.asarray(a) for a in per_query]
-        b = arrs[0].shape[0]
-        c = self.query_chunk
-        if not c or b <= c:
-            return run(*arrs)
-        pad = (-b) % c
-        if pad:
-            arrs = [jnp.concatenate(
-                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) for a in arrs]
-        outs = [run(*(a[i:i + c] for a in arrs))
-                for i in range(0, arrs[0].shape[0], c)]
-        return jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs)[:b], *outs)
+        """Fixed query_chunk-size pieces (utils.chunking: one shared policy
+        with Index._topk)."""
+        from ..utils.chunking import run_chunked
+        return run_chunked(run, self.query_chunk, *per_query)
 
     def search(self, queries: jax.Array, k: int | None = None):
         k = k or self.default_k
@@ -373,7 +372,6 @@ class ShardedIndex:
         assert self.regional is not None, "no regional store attached"
         k = k or self.default_k
         depth = min(depth, self.descriptors.shape[0])
-        k = min(k, depth)
         key = ("rerank", k, depth, fuse_weight)
         if key not in self._fns:
             self._fns[key] = sharded_rerank_fn(

@@ -1,0 +1,36 @@
+"""Fixed-size query chunking, shared by the single-device Index and the
+distributed ShardedIndex (one policy, one implementation).
+
+Past ~128 queries the fused kernel's per-tile merge work outgrows the cost
+of re-streaming the index from HBM, so two half-size scans beat one
+double-size one (measured on v5e); chunking also bounds the [Q, S*k]
+allgathers and [Q, N] score matrices of the sharded stages. The last chunk
+is zero-padded so every call reuses ONE compiled shape, and dispatch is
+async so chunks pipeline through the device queue.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def run_chunked(run, chunk: int, *per_query):
+    """Serve a query batch through ``run`` in fixed ``chunk``-sized pieces.
+
+    ``per_query`` arrays (queries, regional queries, ...) share a leading
+    batch axis and are chunked in lockstep; results concatenate via
+    tree_map so (scores, ids) tuples and bare arrays both work. ``chunk``
+    falsy or batch <= chunk runs a single pass.
+    """
+    arrs = [jnp.asarray(a) for a in per_query]
+    b = arrs[0].shape[0]
+    if not chunk or b <= chunk:
+        return run(*arrs)
+    pad = (-b) % chunk
+    if pad:
+        arrs = [jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) for a in arrs]
+    outs = [run(*(a[i:i + chunk] for a in arrs))
+            for i in range(0, arrs[0].shape[0], chunk)]
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs)[:b], *outs)

@@ -104,6 +104,22 @@ def test_auto_streaming_cutoff(tmp_path):
     assert l1.num_valid == 64 and l2.num_valid == 40_960
 
 
+def test_auto_streaming_counts_regional_store(tmp_path):
+    """The cutoff decides on TOTAL store bytes: a small descriptor matrix
+    with a big regional re-rank store (R x the index) must stream instead
+    of round-tripping the store through a monolithic f32 npz (review r2)."""
+    import os
+    idx, _ = _make_index(n=64)                     # descriptors well under cutoff
+    n_pad, d = idx.descriptors.shape
+    R = (Index._STREAMING_CUTOFF_BYTES // (n_pad * d * 2)) + 1
+    rng = np.random.default_rng(5)
+    idx.regional = jnp.asarray(
+        rng.standard_normal((n_pad, R, d)).astype(np.float32), jnp.bfloat16)
+    idx.save(str(tmp_path / "reg"))                # no explicit flag
+    assert os.path.exists(tmp_path / "reg" / "store"), \
+        "big regional store must trigger the streaming format"
+
+
 def test_npz_load_honors_mesh(tmp_path):
     """load(mesh=...) must apply the row sharding for npz-format indexes
     too, not only the orbax store."""
