@@ -43,10 +43,31 @@ def make_mesh_2d(data: int, shard: int) -> Mesh:
     return Mesh(arr, ("data", "shard"))
 
 
+def place(mesh: Mesh, x, spec: P) -> jax.Array:
+    """Commit ``x`` to NamedSharding(mesh, spec), multi-host-safe.
+
+    Single-process meshes use plain device_put. When the mesh spans
+    processes (multi-host growth path, parallel/multihost.py), device_put
+    of host data onto non-addressable devices is illegal — each process
+    instead contributes its addressable shards via make_array_from_callback
+    (``x`` must then be the host-global value, identical on every process;
+    arrays already globally placed pass through untouched).
+    """
+    s = NamedSharding(mesh, spec)
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        assert x.sharding == s, (x.sharding, s)
+        return x
+    if not s.is_fully_addressable:
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, s,
+                                            lambda idx: arr[idx])
+    return jax.device_put(x, s)
+
+
 def shard_rows(mesh: Mesh, x: jax.Array, axis: str = "shard") -> jax.Array:
     """Place a [N, ...] array row-sharded across the mesh axis."""
-    return jax.device_put(x, NamedSharding(mesh, P(axis)))
+    return place(mesh, x, P(axis))
 
 
 def replicate(mesh: Mesh, x) -> jax.Array:
-    return jax.device_put(x, NamedSharding(mesh, P()))
+    return place(mesh, x, P())

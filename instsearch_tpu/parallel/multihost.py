@@ -6,8 +6,11 @@ chip outgrows it and spans hosts. The design already supports this: the
 collectives, and the Pallas kernels are unchanged; XLA routes the
 candidate allgathers over ICI within a slice and DCN across slices.
 
-This module is the thin initialization wrapper. It is exercised in CI only
-in single-process form (this environment has one host; SURVEY.md §0).
+CI exercises the REAL multi-process path: tests/distributed/test_multihost
+spawns 2 processes x 4 virtual CPU devices with Gloo-backed collectives
+over loopback, each committing only its local row slice
+(build_multihost_index), and asserts cross-process search/QE/full-ranking
+against the host oracle. On a TPU fleet the same code rides ICI/DCN.
 """
 from __future__ import annotations
 
@@ -43,3 +46,52 @@ def global_shard_mesh(axis: str = "shard") -> Mesh:
     (jax.make_array_from_process_local_data for the index rows).
     """
     return Mesh(np.array(jax.devices()), (axis,))
+
+
+def shard_local_rows(mesh: Mesh, local_rows, axis: str = "shard"):
+    """Assemble the global row-sharded array from THIS process's rows.
+
+    Each host builds/loads only its own slice of the index (rows are
+    process-major along the mesh axis: process p holds rows
+    ``[p*N/P, (p+1)*N/P)``); the returned global jax.Array spans every
+    process without any host ever holding the full matrix. Feed the
+    result straight to ShardedIndex — its placement logic passes
+    already-global arrays through untouched (parallel/mesh.py:place).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(local_rows))
+
+
+def local_row_range(n_rows: int, mesh: Mesh | None = None) -> tuple[int, int]:
+    """[start, stop) of the global row range this process owns (rows must
+    divide evenly across processes — same contract as ShardedIndex's
+    per-shard divisibility)."""
+    nproc = jax.process_count()
+    if n_rows % nproc:
+        raise ValueError(f"{n_rows} rows not divisible by {nproc} processes")
+    per = n_rows // nproc
+    p = jax.process_index()
+    return p * per, (p + 1) * per
+
+
+def build_multihost_index(local_descriptors, ids, mesh: Mesh | None = None,
+                          local_scales=None, **kw):
+    """ShardedIndex spanning every participating process.
+
+    ``local_descriptors`` ([N/P, D], this process's rows — see
+    local_row_range), ``ids`` the host-global id vector ([N], identical on
+    every process; ids are metadata and stay host-side for full rankings),
+    ``local_scales`` the matching [1, N/P] per-row scales for int8 storage.
+    """
+    from .sharded_index import ShardedIndex
+    mesh = mesh or global_shard_mesh()
+    axis = "shard" if "shard" in mesh.axis_names else mesh.axis_names[0]
+    desc = shard_local_rows(mesh, local_descriptors, axis)
+    scales = None
+    if local_scales is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        scales = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(None, axis)), np.asarray(local_scales))
+    return ShardedIndex(desc, np.asarray(ids), mesh=mesh, scales=scales, **kw)

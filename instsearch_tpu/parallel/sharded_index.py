@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from .mesh import make_mesh, replicate, shard_rows
+from .mesh import make_mesh, place, replicate, shard_rows
 
 
 def _local_topk(X, ids_s, q, nv, kk, scales_s, *, axis: str,
@@ -321,9 +321,8 @@ class ShardedIndex:
         self.descriptors = shard_rows(self.mesh, descriptors, self.axis)
         self.ids = shard_rows(self.mesh, ids, self.axis)
         self.int8 = descriptors.dtype == jnp.int8
-        self.scales = (jax.device_put(
-            scales, NamedSharding(self.mesh, P(None, self.axis)))
-            if scales is not None else None)
+        self.scales = (place(self.mesh, scales, P(None, self.axis))
+                       if scales is not None else None)
         self.regional = (shard_rows(self.mesh, regional, self.axis)
                          if regional is not None else None)
         self.regional_int8 = (regional is not None

@@ -13,3 +13,37 @@ def test_global_shard_mesh_covers_all_devices():
     mesh = global_shard_mesh()
     assert mesh.devices.size == len(jax.devices())
     assert mesh.axis_names == ("shard",)
+
+
+def test_two_process_distributed_search():
+    """REAL multi-host: 2 processes x 4 virtual CPU devices, Gloo-backed
+    collectives over loopback. Each process commits only its own row slice
+    (build_multihost_index / shard_local_rows); search + QE + full_ranking
+    run through the cross-process shard_map programs and must match the
+    host oracle (asserted inside mh_worker.py)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:          # free loopback port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "mh_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen([sys.executable, worker, str(p), "2", str(port)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env)
+             for p in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        assert f"MH_OK {i}" in out
