@@ -409,6 +409,52 @@ def bench_query_e2e(n: int = 1_048_576, d: int = 512, k: int = 10,
     }
 
 
+def bench_train(batch: int = 16, negs: int = 1, image_size: int = 224,
+                backbone: str = "resnet50") -> dict:
+    """Fine-tuning step throughput (SURVEY.md C17): fwd+bwd+adamw over
+    (anchor, positive, negatives) tuples, bf16 compute. Chained-marginal
+    timing like every other bench; the chain threads the donated TrainState
+    through sequential steps (a private deep copy per chain — donation
+    consumes the input buffers)."""
+    from .config import TrainConfig
+    from .train import Trainer
+
+    cfg = TrainConfig(backbone=backbone, pooling="gem", batch_size=batch,
+                      num_negatives=negs, image_size=image_size,
+                      dtype="bfloat16")
+    tr = Trainer(cfg, seed=0)
+    t = 2 + negs
+    imgs = jnp.asarray((np.random.default_rng(0).random(
+        (batch, t, image_size, image_size, 3)) * 255).astype(np.uint8))
+
+    def run_chain(m):
+        state = jax.tree_util.tree_map(jnp.array, tr.state)
+        loss = None
+        for _ in range(m):
+            state, metrics = tr._step(state, imgs)
+            loss = metrics["loss"]
+        return loss
+
+    np.asarray(run_chain(1))                       # compile outside clock
+    def timed(m, reps):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(run_chain(m))
+            ts.append(time.perf_counter() - t0)
+        return ts
+
+    n1, n2 = 3, 11
+    t1 = float(np.median(timed(n1, 5)))
+    t2 = np.asarray(timed(n2, 5))
+    ests = np.maximum((t2 - t1) / (n2 - n1), 1e-9)
+    p50 = float(np.median(ests))
+    return {"steps_per_sec": 1.0 / p50, "step_ms": p50 * 1e3,
+            "tuple_images_per_sec": batch * t / p50,
+            "batch": batch, "tuple": t, "image_size": image_size,
+            "backbone": backbone}
+
+
 def run_bench(what: str = "all") -> dict:
     out: dict = {"platform": jax.devices()[0].platform,
                  "device": str(jax.devices()[0])}
@@ -426,4 +472,20 @@ def run_bench(what: str = "all") -> dict:
         out["query_sweep"] = [
             bench_query(n=nn) for nn in (65_536, 262_144)
         ] + [out["query"]]
+    if what == "extended":
+        # breadth: every backbone/pooling family the reference serves
+        # (BASELINE.json configs 1-3) + single-chip capacity headroom
+        out["extraction_sweep"] = [
+            bench_extraction(backbone="resnet50", pooling="gem"),
+            bench_extraction(backbone="resnet50", pooling="rmac"),
+            bench_extraction(backbone="vgg16", pooling="mac"),
+            bench_extraction(backbone="resnet101", pooling="gem"),
+            bench_extraction(backbone="resnet50", pooling="gem",
+                             scales=(1.0, 0.7071, 0.5)),
+        ]
+        # 4M int8 rows = 2 GB + scales on ONE chip: the capacity story the
+        # reference (single-GPU RAM matrix) cannot tell
+        out["query_capacity_int8_4M"] = bench_query(n=4_194_304,
+                                                    dtype="int8")
+        out["train"] = bench_train()
     return out

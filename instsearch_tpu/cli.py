@@ -3,7 +3,8 @@
     python -m instsearch_tpu.cli build-index --images DIR --out IDX [--config F]
     python -m instsearch_tpu.cli query --index IDX --image IMG [-k 10]
     python -m instsearch_tpu.cli evaluate --dataset mini --data-root data [...]
-    python -m instsearch_tpu.cli bench [--what extraction|query|all]
+    python -m instsearch_tpu.cli serve --index IDX   # JSON-lines loop
+    python -m instsearch_tpu.cli bench [--what extraction|query|all|extended]
 """
 from __future__ import annotations
 
@@ -83,6 +84,69 @@ def cmd_query(args) -> int:
                 "id": int(i), "score": float(s)}
                for r, (s, i) in enumerate(zip(scores[0], ids[0]))]
     print(json.dumps({"query": args.image, "results": results}))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """JSON-lines serving loop: the online query path (SURVEY.md §3.2) as
+    a long-lived process. One request per stdin line -> one response line
+    on stdout; the image->descriptor->top-k program is compiled once at
+    startup (the {"ready": true} line marks warm) so steady-state latency
+    is the jitted path only.
+
+      request:  {"image": PATH} | {"images": [PATH, ...]}  [+ "k": int]
+      response: {"results": [[{rank, name, id, score}, ...] per image],
+                 "latency_ms": float}  |  {"error": str}
+
+    Decode failures answer with "error" and keep serving; EOF exits 0.
+    """
+    import time
+
+    import numpy as np
+
+    from .data import frontend
+    from .index import Index
+    from .utils import COUNTERS
+
+    idx = Index.load(args.index)
+    if idx.extractor is None:
+        from .extractor import Extractor
+        idx.extractor = Extractor(idx.cfg.extract.replace(whiten=False))
+    size = idx.cfg.extract.image_size
+    idx.query_images(np.zeros((1, size, size, 3), np.uint8))   # compile
+    print(json.dumps({"ready": True, "rows": idx.num_valid,
+                      "dim": idx.dim}), flush=True)
+
+    def name_of(i: int):
+        return idx.names[i] if 0 <= i < len(idx.names) else None
+
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+            paths = req.get("images") or [req["image"]]
+            imgs = [frontend.load_square(p, size) for p in paths]
+            bad = [p for p, im in zip(paths, imgs) if im is None]
+            if bad:
+                print(json.dumps({"error": f"cannot decode: {bad}"}),
+                      flush=True)
+                continue
+            scfg = idx.cfg.search.replace(k=int(req.get("k",
+                                                        idx.cfg.search.k)))
+            t0 = time.perf_counter()
+            scores, ids = idx.query_images(np.stack(imgs), scfg)
+            latency = (time.perf_counter() - t0) * 1e3
+            results = [[{"rank": r, "name": name_of(int(i)), "id": int(i),
+                         "score": float(s)}
+                        for r, (s, i) in enumerate(zip(srow, irow))]
+                       for srow, irow in zip(scores, ids)]
+            print(json.dumps({"results": results,
+                              "latency_ms": round(latency, 3)}), flush=True)
+        except (ValueError, KeyError) as e:          # bad request line
+            print(json.dumps({"error": str(e)}), flush=True)
+    COUNTERS.dump()
     return 0
 
 
@@ -222,9 +286,14 @@ def main(argv=None) -> int:
                         "(cfg.index.num_shards devices)")
     e.set_defaults(fn=cmd_evaluate)
 
+    sv = sub.add_parser("serve", help="JSON-lines serving loop over a "
+                        "saved index (one request per stdin line)")
+    sv.add_argument("--index", required=True)
+    sv.set_defaults(fn=cmd_serve)
+
     be = sub.add_parser("bench", help="run benchmark harness")
     be.add_argument("--what", default="all",
-                    choices=["extraction", "query", "all"])
+                    choices=["extraction", "query", "all", "extended"])
     be.add_argument("--trace", default=None, metavar="DIR",
                     help="write a TensorBoard profiler trace to DIR")
     be.add_argument("--tensorboard", default=None, metavar="DIR",

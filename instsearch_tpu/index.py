@@ -335,20 +335,29 @@ class Index:
             q = q[None]
         from .utils import COUNTERS
         COUNTERS.add("queries_served", q.shape[0])
-        if scfg.qe_enabled:
-            from .search.qe import alpha_query_expansion
-            q = alpha_query_expansion(self.descriptors, self.ids, q,
-                                      n=scfg.qe_n, alpha=scfg.qe_alpha,
-                                      scales=self.scales)
-        if scfg.rerank_enabled and self.regional is not None \
-                and query_regional is not None:
-            from .search.rerank import regional_rerank
-            scores = self._masked_scores(q)
-            top_scores, top_ids = regional_rerank(
-                self, q, scores, query_regional=jnp.asarray(query_regional),
-                depth=scfg.rerank_depth, k=scfg.k)
-        else:
-            top_scores, top_ids = self._topk(q, scfg.k)
+        do_rerank = (scfg.rerank_enabled and self.regional is not None
+                     and query_regional is not None)
+
+        # the WHOLE composite is chunked, not just the top-k: QE and the
+        # re-rank scorer materialize [Q, N] score matrices, so an unchunked
+        # large batch would allocate GBs at million-row scale
+        def run(qq, *qreg):
+            if scfg.qe_enabled:
+                from .search.qe import alpha_query_expansion
+                qq = alpha_query_expansion(self.descriptors, self.ids, qq,
+                                           n=scfg.qe_n, alpha=scfg.qe_alpha,
+                                           scales=self.scales)
+            if do_rerank:
+                from .search.rerank import regional_rerank
+                return regional_rerank(
+                    self, qq, self._masked_scores(qq),
+                    query_regional=qreg[0],
+                    depth=scfg.rerank_depth, k=scfg.k)
+            return self._topk(qq, scfg.k)
+
+        from .utils.chunking import run_chunked
+        args = (q, jnp.asarray(query_regional)) if do_rerank else (q,)
+        top_scores, top_ids = run_chunked(run, scfg.query_chunk, *args)
         return np.asarray(top_scores), np.asarray(top_ids)
 
     def query(self, queries, search_cfg: Optional[SearchConfig] = None,

@@ -59,3 +59,31 @@ def test_eval_with_qe_and_rerank(built, mini):
     assert base["mAP"] > 70
     assert qe["mAP"] > 70
     assert rr["mAP"] > 70
+
+
+@pytest.mark.slow
+def test_search_composite_chunking(built, mini):
+    """search() chunks the WHOLE composite (QE + rerank included): the
+    [Q, N] score matrices are bounded by query_chunk, and chunked results
+    equal the single-pass ones exactly."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    n_q = 11
+    q = np.asarray(built.descriptors[:n_q], np.float32)
+    q += 0.01 * rng.standard_normal(q.shape).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    qreg = np.asarray(built.extractor.extract_regional(
+        np.stack([__import__("instsearch_tpu.data.frontend",
+                             fromlist=["load_square"]).load_square(
+            mini.db_paths[i], 64) for i in range(n_q)])))
+    for scfg in [
+        built.cfg.search.replace(qe_enabled=True, query_chunk=4),
+        built.cfg.search.replace(rerank_enabled=True, query_chunk=4),
+        built.cfg.search.replace(qe_enabled=True, rerank_enabled=True,
+                                 query_chunk=4),
+    ]:
+        one = built.search(q, scfg.replace(query_chunk=0),
+                           query_regional=qreg)
+        chk = built.search(q, scfg, query_regional=qreg)
+        np.testing.assert_array_equal(chk[1], one[1])
+        np.testing.assert_allclose(chk[0], one[0], rtol=1e-5)

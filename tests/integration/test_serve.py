@@ -1,0 +1,65 @@
+"""`cli serve`: the JSON-lines serving loop over a saved index."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from instsearch_tpu import ExtractConfig, PipelineConfig, SearchConfig
+from instsearch_tpu.eval import make_mini_dataset
+from instsearch_tpu.index import Index
+
+
+@pytest.mark.slow
+def test_serve_loop(tmp_path):
+    mini = make_mini_dataset(str(tmp_path / "mini"), seed=7)
+    cfg = PipelineConfig(
+        extract=ExtractConfig(backbone="vgg16", pooling="gem", image_size=64,
+                              batch_size=8, dtype="float32"),
+        search=SearchConfig(k=5, use_pallas=False))
+    idx = Index.build(mini.db_paths, cfg, seed=0)
+    idx_dir = str(tmp_path / "idx")
+    idx.save(idx_dir)
+
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import sys; from instsearch_tpu.cli import main; "
+            f"sys.exit(main(['serve', '--index', {idx_dir!r}]))")
+    p = subprocess.Popen([sys.executable, "-c", code],
+                         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                         text=True, env=dict(os.environ))
+    try:
+        ready = json.loads(p.stdout.readline())
+        assert ready["ready"] and ready["rows"] == len(mini.imlist)
+
+        # single query: a db image must self-match at rank 0
+        p.stdin.write(json.dumps({"image": mini.db_paths[0], "k": 3}) + "\n")
+        p.stdin.flush()
+        r = json.loads(p.stdout.readline())
+        assert r["results"][0][0]["name"] == mini.imlist[0]
+        assert r["results"][0][0]["score"] > 0.99
+        assert len(r["results"][0]) == 3
+        assert r["latency_ms"] > 0
+
+        # batch of two, default k
+        p.stdin.write(json.dumps(
+            {"images": [mini.db_paths[1], mini.db_paths[2]]}) + "\n")
+        p.stdin.flush()
+        r = json.loads(p.stdout.readline())
+        assert [row[0]["name"] for row in r["results"]] == \
+            [mini.imlist[1], mini.imlist[2]]
+
+        # decode failure answers with error and keeps serving
+        p.stdin.write(json.dumps({"image": "/nonexistent.jpg"}) + "\n")
+        p.stdin.flush()
+        assert "error" in json.loads(p.stdout.readline())
+        p.stdin.write(json.dumps({"image": mini.db_paths[3]}) + "\n")
+        p.stdin.flush()
+        r = json.loads(p.stdout.readline())
+        assert r["results"][0][0]["name"] == mini.imlist[3]
+
+        p.stdin.close()                 # EOF -> clean exit
+        assert p.wait(timeout=120) == 0
+    finally:
+        if p.poll() is None:
+            p.kill()
