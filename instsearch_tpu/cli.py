@@ -112,10 +112,19 @@ def cmd_serve(args) -> int:
     if idx.extractor is None:
         from .extractor import Extractor
         idx.extractor = Extractor(idx.cfg.extract.replace(whiten=False))
+    sidx = None
+    if args.sharded:                                    # multi-chip serving
+        from .parallel import make_mesh
+        # config pins the shard count; otherwise use every device
+        mesh = None if idx.cfg.index.num_shards > 1 else make_mesh()
+        sidx = idx.to_sharded(mesh=mesh)
     size = idx.cfg.extract.image_size
-    idx.query_images(np.zeros((1, size, size, 3), np.uint8))   # compile
-    print(json.dumps({"ready": True, "rows": idx.num_valid,
-                      "dim": idx.dim}), flush=True)
+    idx.query_images(np.zeros((1, size, size, 3), np.uint8),
+                     sharded_index=sidx)                # compile
+    ready = {"ready": True, "rows": idx.num_valid, "dim": idx.dim}
+    if sidx is not None:
+        ready["shards"] = int(sidx.mesh.shape[sidx.axis])
+    print(json.dumps(ready), flush=True)
 
     def name_of(i: int):
         return idx.names[i] if 0 <= i < len(idx.names) else None
@@ -136,7 +145,8 @@ def cmd_serve(args) -> int:
             scfg = idx.cfg.search.replace(k=int(req.get("k",
                                                         idx.cfg.search.k)))
             t0 = time.perf_counter()
-            scores, ids = idx.query_images(np.stack(imgs), scfg)
+            scores, ids = idx.query_images(np.stack(imgs), scfg,
+                                           sharded_index=sidx)
             latency = (time.perf_counter() - t0) * 1e3
             results = [[{"rank": r, "name": name_of(int(i)), "id": int(i),
                          "score": float(s)}
@@ -289,6 +299,9 @@ def main(argv=None) -> int:
     sv = sub.add_parser("serve", help="JSON-lines serving loop over a "
                         "saved index (one request per stdin line)")
     sv.add_argument("--index", required=True)
+    sv.add_argument("--sharded", action="store_true",
+                    help="serve through the row-sharded index over all "
+                         "devices (multi-chip path)")
     sv.set_defaults(fn=cmd_serve)
 
     be = sub.add_parser("bench", help="run benchmark harness")

@@ -386,9 +386,15 @@ class Index:
         return evaluate_index(self, dataset, protocol, search_cfg,
                               sharded_index=sidx)
 
-    def query_images(self, images, search_cfg: Optional[SearchConfig] = None):
+    def query_images(self, images, search_cfg: Optional[SearchConfig] = None,
+                     sharded_index=None):
         """Image-space search: uint8 batch -> extract -> search (computes
-        regional query descriptors when re-ranking is enabled)."""
+        regional query descriptors when re-ranking is enabled).
+
+        ``sharded_index`` (a parallel.ShardedIndex, e.g. ``to_sharded()``)
+        routes QE / search / re-rank through the distributed machinery —
+        the multi-chip serving path; extraction stays on this process's
+        extractor (same routing as eval/evaluate.py's sharded protocol)."""
         assert self.extractor is not None, "index has no extractor attached"
         scfg = search_cfg or self.cfg.search
         images = jnp.asarray(images)
@@ -396,7 +402,20 @@ class Index:
         qreg = None
         if scfg.rerank_enabled and self.regional is not None:
             qreg = self.extractor.extract_regional(images)
-        return self.search(q, scfg, query_regional=qreg)
+        if sharded_index is None:
+            return self.search(q, scfg, query_regional=qreg)
+        from .utils import COUNTERS
+        COUNTERS.add("queries_served", q.shape[0])
+        if scfg.qe_enabled:
+            q = sharded_index.expand_queries(q, qe_n=scfg.qe_n,
+                                             alpha=scfg.qe_alpha)
+        if scfg.rerank_enabled and sharded_index.regional is not None \
+                and qreg is not None:
+            s, i = sharded_index.search_rerank(q, qreg, k=scfg.k,
+                                               depth=scfg.rerank_depth)
+        else:
+            s, i = sharded_index.search(q, k=scfg.k)
+        return np.asarray(s), np.asarray(i)
 
     def full_ranking(self, queries) -> np.ndarray:
         """[Q, N] ranked original dataset ids best-first (valid rows only),

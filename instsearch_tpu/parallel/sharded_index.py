@@ -33,8 +33,14 @@ def _local_topk(X, ids_s, q, nv, kk, scales_s, *, axis: str,
     slots (padding rows / empty top-k) carry score=-inf and gid=-1. Row
     padding is contiguous at the index tail, so this shard's valid-row
     count is ``clip(num_valid - shard * C, 0, C)``.
+
+    ``kk`` may exceed the shard's local row count C (small index, many
+    shards, e.g. qe_n=10 over 8-row shards): the local top-k is then
+    clamped to C and the output padded back to kk columns with (-inf, -1),
+    keeping every caller's gather width at S*kk.
     """
     c = X.shape[0]
+    kk_req, kk = kk, min(kk, c)
     if use_pallas:
         shard_i = jax.lax.axis_index(axis)
         nv_local = jnp.clip(nv[0] - shard_i * c, 0, c)
@@ -57,6 +63,11 @@ def _local_topk(X, ids_s, q, nv, kk, scales_s, *, axis: str,
         s, pos = jax.lax.top_k(scores, kk)
     valid = (pos >= 0) & (s > -jnp.inf)
     gids = jnp.where(valid, jnp.take(ids_s, jnp.maximum(pos, 0)), -1)
+    if kk < kk_req:
+        padw = ((0, 0), (0, kk_req - kk))
+        s = jnp.pad(s, padw, constant_values=-jnp.inf)
+        pos = jnp.pad(pos, padw, constant_values=-1)
+        gids = jnp.pad(gids, padw, constant_values=-1)
     return s, pos, gids
 
 

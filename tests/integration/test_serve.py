@@ -12,7 +12,8 @@ from instsearch_tpu.index import Index
 
 
 @pytest.mark.slow
-def test_serve_loop(tmp_path):
+@pytest.mark.parametrize("sharded", [False, True])
+def test_serve_loop(tmp_path, sharded):
     mini = make_mini_dataset(str(tmp_path / "mini"), seed=7)
     cfg = PipelineConfig(
         extract=ExtractConfig(backbone="vgg16", pooling="gem", image_size=64,
@@ -22,15 +23,21 @@ def test_serve_loop(tmp_path):
     idx_dir = str(tmp_path / "idx")
     idx.save(idx_dir)
 
+    args = ["serve", "--index", idx_dir] + (["--sharded"] if sharded else [])
     code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
             "import sys; from instsearch_tpu.cli import main; "
-            f"sys.exit(main(['serve', '--index', {idx_dir!r}]))")
+            f"sys.exit(main({args!r}))")
+    env = dict(os.environ)
+    if sharded:                     # 8-virtual-device mesh in the server
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     p = subprocess.Popen([sys.executable, "-c", code],
                          stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-                         text=True, env=dict(os.environ))
+                         text=True, env=env)
     try:
         ready = json.loads(p.stdout.readline())
         assert ready["ready"] and ready["rows"] == len(mini.imlist)
+        if sharded:
+            assert ready["shards"] == 8
 
         # single query: a db image must self-match at rank 0
         p.stdin.write(json.dumps({"image": mini.db_paths[0], "k": 3}) + "\n")
