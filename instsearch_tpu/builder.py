@@ -87,9 +87,11 @@ class ResumableBuilder:
             log.info("group [%d, %d) done (%d imgs, %d quarantined)",
                      start, end, len(kept), len(quarantine))
 
-    def finalize(self, fit_whitening_now: bool = True) -> Index:
+    def finalize(self, fit_whitening_now: bool = True,
+                 whitening=None) -> Index:
         """Assemble parts into an Index (fits whitening on the collected
-        descriptors when the config asks for it)."""
+        descriptors when the config asks for it; ``whitening`` supplies
+        pre-fit params — e.g. Lw from finetune — instead)."""
         ranges = sorted(tuple(r) for r in self.manifest["completed"])
         expected = [(s, min(s + self.group, len(self.paths)))
                     for s in range(0, len(self.paths), self.group)]
@@ -105,11 +107,13 @@ class ResumableBuilder:
         kept = np.concatenate(kept) if kept else np.zeros((0,), np.int64)
 
         ex = self.extractor
-        if self.cfg.extract.whiten and fit_whitening_now:
+        if whitening is not None or (self.cfg.extract.whiten
+                                     and fit_whitening_now):
             import jax.numpy as jnp
             from .ops.whitening import apply_whitening, fit_whitening
-            ex.whitening = fit_whitening(
-                jnp.asarray(descs), dim=self.cfg.extract.whiten_dim or None)
+            ex.whitening = whitening if whitening is not None else \
+                fit_whitening(jnp.asarray(descs),
+                              dim=self.cfg.extract.whiten_dim or None)
             descs = np.asarray(apply_whitening(jnp.asarray(descs), ex.whitening))
 
         names = [os.path.splitext(os.path.basename(self.paths[i]))[0]

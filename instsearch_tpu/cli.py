@@ -31,9 +31,10 @@ def cmd_build_index(args) -> int:
     from .index import Index
     cfg = _load_cfg(args)
     variables = None
+    whitening = None
     if args.weights:
         # consume a `finetune` checkpoint: orbax variables + sidecar meta
-        # describing the tuned model (gem_p / backbone / pooling)
+        # describing the tuned model (gem_p / backbone / pooling / Lw)
         from .utils import load_pytree
         variables = load_pytree(args.weights)
         meta_path = args.weights + ".meta.json"
@@ -46,6 +47,14 @@ def cmd_build_index(args) -> int:
                     pooling=wmeta.get("pooling", cfg.extract.pooling),
                     gem_p=wmeta.get("gem_p", cfg.extract.gem_p)),
                 index=cfg.index, search=cfg.search, eval=cfg.eval)
+            if wmeta.get("whitening") and os.path.exists(wmeta["whitening"]):
+                # Lw whitening fit by `finetune --fit-lw` replaces the
+                # PCA fit for this build
+                import jax.numpy as jnp
+                from .ops.whitening import WhiteningParams
+                raw = np.load(wmeta["whitening"])
+                whitening = WhiteningParams(P=jnp.asarray(raw["P"]),
+                                            mu=jnp.asarray(raw["mu"]))
     paths = sorted(glob.glob(os.path.join(args.images, "*.jpg"))) + \
         sorted(glob.glob(os.path.join(args.images, "*.png")))
     if not paths:
@@ -56,9 +65,10 @@ def cmd_build_index(args) -> int:
         b = ResumableBuilder(paths, cfg, args.out + ".build",
                              variables=variables)
         b.run()
-        idx = b.finalize()
+        idx = b.finalize(whitening=whitening)
     else:
-        idx = Index.build(paths, cfg, variables=variables)
+        idx = Index.build(paths, cfg, variables=variables,
+                          whitening=whitening)
     idx.save(args.out)
     print(json.dumps({"indexed": idx.num_valid,
                       "quarantined": len(getattr(idx, "quarantined", [])),
@@ -235,7 +245,8 @@ def cmd_finetune(args) -> int:
                       batch_size=args.batch_size, num_negatives=max(1, num_neg),
                       lr=args.lr)
     try:
-        out = finetune(paths, np.asarray(labels), cfg, epochs=args.epochs)
+        out = finetune(paths, np.asarray(labels), cfg, epochs=args.epochs,
+                       fit_lw=args.fit_lw)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
@@ -244,6 +255,13 @@ def cmd_finetune(args) -> int:
     # sidecar so build-index can reproduce the tuned model
     meta = {"gem_p": out["gem_p"], "backbone": cfg.backbone,
             "pooling": cfg.pooling, "image_size": cfg.image_size}
+    if "whitening" in out:
+        # Lw discriminative whitening fit on the training pairs: persisted
+        # next to the checkpoint; build-index --weights picks it up
+        w = out["whitening"]
+        np.savez(args.out + ".whitening.npz", P=np.asarray(w.P),
+                 mu=np.asarray(w.mu))
+        meta["whitening"] = args.out + ".whitening.npz"
     with open(args.out + ".meta.json", "w") as fh:
         json.dump(meta, fh)
     print(json.dumps({"steps": len(out["losses"]),
@@ -325,6 +343,9 @@ def main(argv=None) -> int:
     f.add_argument("--batch-size", type=int, default=8)
     f.add_argument("--num-negatives", type=int, default=5)
     f.add_argument("--lr", type=float, default=1e-4)
+    f.add_argument("--fit-lw", action="store_true",
+                   help="fit Lw discriminative whitening on the training "
+                        "pairs after tuning (arXiv:1711.02512 §3.4)")
     f.set_defaults(fn=cmd_finetune)
 
     w = sub.add_parser("workloads",

@@ -136,10 +136,13 @@ class Index:
     def build(cls, paths: Sequence[str], cfg: PipelineConfig,
               variables: dict | None = None,
               whitening_paths: Sequence[str] | None = None,
+              whitening: "WhiteningParams | None" = None,
               seed: int = 0, mesh=None) -> "Index":
         """Offline indexing (SURVEY.md §3.1): extract -> (fit whitening) ->
         store. ``whitening_paths`` defaults to the indexed set itself (the
-        common self-whitening setup when no held-out set is given).
+        common self-whitening setup when no held-out set is given);
+        ``whitening`` supplies pre-fit params instead of fitting PCA here —
+        e.g. Lw discriminative whitening from ``finetune(fit_lw=True)``.
         ``mesh`` enables data-parallel extraction over its first axis
         (SURVEY.md §2.2 DP row); defaults to all local devices when more
         than one is visible."""
@@ -152,13 +155,16 @@ class Index:
         descs, kept = ex.extract_paths(paths, quarantine)
         names = [os.path.splitext(os.path.basename(paths[i]))[0] for i in kept]
 
-        if cfg.extract.whiten:
-            if whitening_paths is not None:
-                wdescs, _ = ex.extract_paths(whitening_paths)
+        if cfg.extract.whiten or whitening is not None:
+            if whitening is not None:
+                ex.whitening = whitening
             else:
-                wdescs = descs
-            ex.whitening = fit_whitening(
-                jnp.asarray(wdescs), dim=cfg.extract.whiten_dim or None)
+                if whitening_paths is not None:
+                    wdescs, _ = ex.extract_paths(whitening_paths)
+                else:
+                    wdescs = descs
+                ex.whitening = fit_whitening(
+                    jnp.asarray(wdescs), dim=cfg.extract.whiten_dim or None)
             from .ops.whitening import apply_whitening
             descs = np.asarray(apply_whitening(jnp.asarray(descs), ex.whitening))
 

@@ -33,12 +33,19 @@ def _load_images(paths, size):
 
 def finetune(paths, labels, cfg: TrainConfig, epochs: int = 1,
              steps_per_epoch: int | None = None, mesh=None,
-             seed: int = 0, variables: dict | None = None) -> dict:
+             seed: int = 0, variables: dict | None = None,
+             fit_lw: bool = False, lw_dim: int = 0) -> dict:
     """Returns ``{"variables": tuned flax variables, "losses": [...]}``.
 
     Each epoch re-extracts pool descriptors with the *current* weights and
     re-mines hard negatives (ibid. §4.3), then iterates contrastive steps
     over anchor/positive pairs drawn from same-label groups.
+
+    ``fit_lw`` adds the published post-training step (arXiv:1711.02512
+    §3.4): re-extract with the FINAL weights and fit Lw discriminative
+    whitening on the anchor/positive pairs — returned as ``"whitening"``
+    (a WhiteningParams) for Index.build(whitening=...). ``lw_dim`` 0 keeps
+    full dimensionality.
     """
     labels = np.asarray(labels)
     paths = list(paths)
@@ -86,5 +93,22 @@ def finetune(paths, labels, cfg: TrainConfig, epochs: int = 1,
         log.info("epoch %d: loss %.4f -> %.4f", epoch,
                  losses[-n_steps], losses[-1])
 
-    return {"variables": trainer.variables, "gem_p": trainer.gem_p,
-            "losses": losses, "trainer": trainer}
+    out = {"variables": trainer.variables, "gem_p": trainer.gem_p,
+           "losses": losses, "trainer": trainer}
+    if fit_lw:
+        import jax.numpy as jnp
+
+        from ..ops.whitening import fit_lw_whitening
+        ex = Extractor(ExtractConfig(
+            backbone=cfg.backbone, pooling=cfg.pooling, gem_p=trainer.gem_p,
+            image_size=cfg.image_size, batch_size=cfg.batch_size * 4,
+            dtype="float32"), variables=trainer.variables)
+        pool, _ = ex.extract_paths(paths)
+        a_idx = np.asarray([a for a, _ in pairs])
+        p_idx = np.asarray([p for _, p in pairs])
+        out["whitening"] = fit_lw_whitening(
+            jnp.asarray(pool[a_idx]), jnp.asarray(pool[p_idx]),
+            dim=lw_dim or None)
+        log.info("fit Lw whitening on %d pairs (dim=%s)", len(pairs),
+                 lw_dim or "full")
+    return out

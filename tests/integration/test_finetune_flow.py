@@ -69,9 +69,11 @@ def test_cli_finetune_then_build_index_weights(tmp_path):
     rc = main(["finetune", "--images", str(tmp_path / "train"),
                "--out", ckpt, "--backbone", "resnet18",
                "--image-size", "32", "--epochs", "1",
-               "--batch-size", "3", "--num-negatives", "1", "--learn-p"])
+               "--batch-size", "3", "--num-negatives", "1", "--learn-p",
+               "--fit-lw"])
     assert rc == 0
     assert os.path.exists(ckpt + ".meta.json")
+    assert os.path.exists(ckpt + ".whitening.npz")   # Lw sidecar written
 
     db = tmp_path / "db"
     os.makedirs(db)
@@ -95,6 +97,62 @@ def test_cli_finetune_then_build_index_weights(tmp_path):
     loaded = Index.load(out_idx)
     assert loaded.cfg.extract.gem_p == pytest.approx(gem_p)
     assert loaded.extractor is not None
+    # the Lw whitening from the sidecar was applied and round-trips
+    assert loaded.extractor.whitening is not None
     img = cv2.imread(str(db / "img0.png"))[:, :, ::-1].copy()
     _, ids = loaded.query_images(img[None])
     assert ids[0, 0] == 0
+
+
+@pytest.mark.slow
+def test_finetune_fit_lw_then_index(tmp_path):
+    """finetune(fit_lw=True) returns Lw whitening fit on the training
+    pairs (arXiv:1711.02512 §3.4); Index.build(whitening=...) applies it
+    instead of fitting PCA, and retrieval still self-matches."""
+    from instsearch_tpu.ops.whitening import apply_whitening
+
+    mini = make_mini_dataset(str(tmp_path / "mini"), n_instances=4,
+                             n_views=3, n_distractors=4, seed=29)
+    paths, labels = [], []
+    next_label = 0
+    for name in mini.imlist:
+        paths.append(mini.image_path(name))
+        if name.startswith("inst"):
+            labels.append(int(name[4:6]))
+        else:
+            labels.append(100 + next_label)
+            next_label += 1
+
+    cfg = TrainConfig(backbone="vgg16", pooling="gem", image_size=32,
+                      batch_size=4, num_negatives=2, dtype="float32",
+                      lr=5e-5)
+    out = finetune(paths, labels, cfg, epochs=1, steps_per_epoch=3, seed=0,
+                   fit_lw=True, lw_dim=64)
+    w = out["whitening"]
+    assert w.P.shape == (64, 512)        # reduced to lw_dim
+
+    from instsearch_tpu import IndexConfig
+    # f32 storage: Lw's inverse-sqrt amplifies bf16 store rounding into
+    # percent-level direction error, which would mask a real math bug here
+    pcfg = PipelineConfig(extract=ExtractConfig(
+        backbone="vgg16", pooling="gem", image_size=32, batch_size=8,
+        dtype="float32"), index=IndexConfig(dtype="float32"))
+    idx = Index.build(mini.db_paths, pcfg, variables=out["variables"],
+                      whitening=w)
+    assert idx.dim == 64                 # descriptors live in Lw space
+    # self-match through the whitened pipeline
+    from instsearch_tpu.data import frontend
+    img = frontend.load_square(mini.db_paths[0], 32)
+    _, ids = idx.query_images(img[None])
+    assert ids[0, 0] == 0
+    # index descriptors really are the Lw projection of raw descriptors.
+    # Use extract_paths for the raw (same native-decoder path the build
+    # used: cv2-vs-native JPEG decode differs at the ±1/255 pixel level,
+    # which Lw's inverse-sqrt amplifies well past any useful tolerance).
+    import jax.numpy as jnp
+    w_attached, idx.extractor.whitening = idx.extractor.whitening, None
+    raw, _ = idx.extractor.extract_paths([mini.db_paths[0]])
+    idx.extractor.whitening = w_attached
+    np.testing.assert_allclose(
+        np.asarray(apply_whitening(jnp.asarray(raw), w))[0],
+        np.asarray(idx.descriptors[0], np.float32), atol=5e-3)
