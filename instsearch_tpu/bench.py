@@ -435,19 +435,10 @@ def bench_train(batch: int = 16, negs: int = 1, image_size: int = 224,
             loss = metrics["loss"]
         return loss
 
-    np.asarray(run_chain(1))                       # compile outside clock
-    def timed(m, reps):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(run_chain(m))
-            ts.append(time.perf_counter() - t0)
-        return ts
-
-    n1, n2 = 3, 11
-    t1 = float(np.median(timed(n1, 5)))
-    t2 = np.asarray(timed(n2, 5))
-    ests = np.maximum((t2 - t1) / (n2 - n1), 1e-9)
+    # adapt the chain runner to marginal_times' (make_chained, args) shape
+    # so the timing methodology stays in ONE place
+    ests = marginal_times(lambda m: (lambda: run_chain(m)), (),
+                          n1=3, n2=11, reps=5)
     p50 = float(np.median(ests))
     return {"steps_per_sec": 1.0 / p50, "step_ms": p50 * 1e3,
             "tuple_images_per_sec": batch * t / p50,

@@ -47,12 +47,23 @@ def cmd_build_index(args) -> int:
                     pooling=wmeta.get("pooling", cfg.extract.pooling),
                     gem_p=wmeta.get("gem_p", cfg.extract.gem_p)),
                 index=cfg.index, search=cfg.search, eval=cfg.eval)
-            if wmeta.get("whitening") and os.path.exists(wmeta["whitening"]):
+            if wmeta.get("whitening"):
                 # Lw whitening fit by `finetune --fit-lw` replaces the
-                # PCA fit for this build
+                # PCA fit for this build; resolve relative to the meta
+                # file (legacy sidecars recorded relative paths) and fail
+                # loudly rather than silently drop the Lw step
+                wpath = wmeta["whitening"]
+                if not os.path.isabs(wpath):
+                    wpath = os.path.join(os.path.dirname(
+                        os.path.abspath(meta_path)), os.path.basename(wpath))
+                if not os.path.exists(wpath):
+                    print(f"error: whitening sidecar {wmeta['whitening']} "
+                          f"recorded by finetune --fit-lw not found "
+                          f"(looked at {wpath})", file=sys.stderr)
+                    return 2
                 import jax.numpy as jnp
                 from .ops.whitening import WhiteningParams
-                raw = np.load(wmeta["whitening"])
+                raw = np.load(wpath)
                 whitening = WhiteningParams(P=jnp.asarray(raw["P"]),
                                             mu=jnp.asarray(raw["mu"]))
     paths = sorted(glob.glob(os.path.join(args.images, "*.jpg"))) + \
@@ -82,16 +93,20 @@ def cmd_query(args) -> int:
     import jax.numpy as jnp
     idx = Index.load(args.index)
     if idx.extractor is None:
-        from .extractor import Extractor
-        idx.extractor = Extractor(idx.cfg.extract.replace(whiten=False))
+        # a fresh seed-0 extractor would produce descriptors unrelated to
+        # the store -> confidently wrong neighbors (ADVICE r1)
+        print("error: index has no extractor weights; rebuild it with this "
+              "version or attach an Extractor programmatically",
+              file=sys.stderr)
+        return 2
     img = frontend.load_square(args.image, idx.cfg.extract.image_size)
     if img is None:
         print(f"error: cannot decode {args.image}", file=sys.stderr)
         return 2
     scfg = idx.cfg.search.replace(k=args.k)
     scores, ids = idx.query_images(img[None], scfg)
-    results = [{"rank": r, "name": idx.names[i] if 0 <= i < len(idx.names) else None,
-                "id": int(i), "score": float(s)}
+    results = [{"rank": r, "name": idx.name_of(i), "id": int(i),
+                "score": float(s)}
                for r, (s, i) in enumerate(zip(scores[0], ids[0]))]
     print(json.dumps({"query": args.image, "results": results}))
     return 0
@@ -120,8 +135,10 @@ def cmd_serve(args) -> int:
 
     idx = Index.load(args.index)
     if idx.extractor is None:
-        from .extractor import Extractor
-        idx.extractor = Extractor(idx.cfg.extract.replace(whiten=False))
+        print("error: index has no extractor weights; refusing to serve "
+              "with a random-init extractor (wrong retrieval)",
+              file=sys.stderr)
+        return 2
     sidx = None
     if args.sharded:                                    # multi-chip serving
         from .parallel import make_mesh
@@ -135,9 +152,6 @@ def cmd_serve(args) -> int:
     if sidx is not None:
         ready["shards"] = int(sidx.mesh.shape[sidx.axis])
     print(json.dumps(ready), flush=True)
-
-    def name_of(i: int):
-        return idx.names[i] if 0 <= i < len(idx.names) else None
 
     for line in sys.stdin:
         line = line.strip()
@@ -158,14 +172,17 @@ def cmd_serve(args) -> int:
             scores, ids = idx.query_images(np.stack(imgs), scfg,
                                            sharded_index=sidx)
             latency = (time.perf_counter() - t0) * 1e3
-            results = [[{"rank": r, "name": name_of(int(i)), "id": int(i),
+            results = [[{"rank": r, "name": idx.name_of(i), "id": int(i),
                          "score": float(s)}
                         for r, (s, i) in enumerate(zip(srow, irow))]
                        for srow, irow in zip(scores, ids)]
             print(json.dumps({"results": results,
                               "latency_ms": round(latency, 3)}), flush=True)
-        except (ValueError, KeyError) as e:          # bad request line
-            print(json.dumps({"error": str(e)}), flush=True)
+        except Exception as e:    # noqa: BLE001 — a long-lived server
+            # must answer bad requests (malformed JSON, wrong types, ...)
+            # with an error line, never die mid-stream
+            print(json.dumps({"error": f"{type(e).__name__}: {e}"}),
+                  flush=True)
     COUNTERS.dump()
     return 0
 
@@ -261,7 +278,7 @@ def cmd_finetune(args) -> int:
         w = out["whitening"]
         np.savez(args.out + ".whitening.npz", P=np.asarray(w.P),
                  mu=np.asarray(w.mu))
-        meta["whitening"] = args.out + ".whitening.npz"
+        meta["whitening"] = os.path.abspath(args.out + ".whitening.npz")
     with open(args.out + ".meta.json", "w") as fh:
         json.dump(meta, fh)
     print(json.dumps({"steps": len(out["losses"]),

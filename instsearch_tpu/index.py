@@ -105,6 +105,19 @@ class Index:
     def dim(self) -> int:
         return self.descriptors.shape[1]
 
+    def name_of(self, dataset_id: int) -> "str | None":
+        """Dataset-position id (the values search() returns) -> image name.
+        NOT a names-list position: row ids differ from 0..n-1 whenever
+        images were quarantined during build or add() grew the id space —
+        indexing ``names[id]`` directly returns the wrong image then."""
+        n = len(self.names)
+        if getattr(self, "_name_by_id_len", -1) != n:
+            ids_np = np.asarray(self.ids)[:n]
+            self._name_by_id = {int(i): nm
+                                for i, nm in zip(ids_np, self.names)}
+            self._name_by_id_len = n
+        return self._name_by_id.get(int(dataset_id))
+
     # ------------------------------------------------------------------
     @classmethod
     def from_descriptors(cls, descriptors: np.ndarray, names: Sequence[str],
@@ -312,21 +325,26 @@ class Index:
                                  jnp.asarray(queries), self.scales)
         return scores
 
-    def _topk(self, queries: jax.Array, k: int):
+    def _topk(self, queries: jax.Array, k: int, chunk: int | None = None):
         """Top-k positions -> original ids; fused Pallas kernel on TPU,
         XLA oracle elsewhere (SURVEY.md N5). One jitted program — eager op
         dispatch is extremely slow through the axon tunnel.
 
-        Query batches larger than ``search.query_chunk`` are served in
-        fixed-size chunks (utils.chunking: one shared policy with
-        ShardedIndex)."""
+        Query batches larger than ``chunk`` (default: the index config's
+        ``search.query_chunk``) are served in fixed-size chunks
+        (utils.chunking: one shared policy with ShardedIndex). search()
+        passes chunk=0 — its outer composite chunking already split the
+        batch at the CALLER's query_chunk, which must win over the index
+        default."""
         from .utils.chunking import run_chunked
         use_pallas = (self.cfg.search.use_pallas
                       and jax.devices()[0].platform == "tpu")
         nv = jnp.asarray(self.num_valid, jnp.int32)
         run = lambda qq: _topk_jit(self.descriptors, self.ids, qq, nv,
                                    self.scales, k=k, use_pallas=use_pallas)
-        return run_chunked(run, self.cfg.search.query_chunk, queries)
+        if chunk is None:
+            chunk = self.cfg.search.query_chunk
+        return run_chunked(run, chunk, queries)
 
     def search(self, queries: np.ndarray | jax.Array,
                search_cfg: Optional[SearchConfig] = None,
@@ -359,7 +377,7 @@ class Index:
                     self, qq, self._masked_scores(qq),
                     query_regional=qreg[0],
                     depth=scfg.rerank_depth, k=scfg.k)
-            return self._topk(qq, scfg.k)
+            return self._topk(qq, scfg.k, chunk=0)
 
         from .utils.chunking import run_chunked
         args = (q, jnp.asarray(query_regional)) if do_rerank else (q,)

@@ -64,10 +64,12 @@ def shard_local_rows(mesh: Mesh, local_rows, axis: str = "shard"):
         sharding, np.asarray(local_rows))
 
 
-def local_row_range(n_rows: int, mesh: Mesh | None = None) -> tuple[int, int]:
-    """[start, stop) of the global row range this process owns (rows must
-    divide evenly across processes — same contract as ShardedIndex's
-    per-shard divisibility)."""
+def local_row_range(n_rows: int) -> tuple[int, int]:
+    """[start, stop) of the global row range this process owns, for a mesh
+    spanning ALL processes (global_shard_mesh; rows must divide evenly
+    across processes — same contract as ShardedIndex's per-shard
+    divisibility). Sub-meshes that cover only some processes need their
+    own range math — do not use this helper for them."""
     nproc = jax.process_count()
     if n_rows % nproc:
         raise ValueError(f"{n_rows} rows not divisible by {nproc} processes")

@@ -72,3 +72,21 @@ def test_evaluate_sharded_flag_matches(built, mini):
     assert res8["mAP"] == pytest.approx(res1["mAP"], abs=1e-9)
     for k in ("mP@1", "mP@5", "mP@10"):
         assert res8[k] == pytest.approx(res1[k], abs=1e-9)
+
+
+def test_name_of_with_quarantine_gaps():
+    """Ids returned by search are dataset positions, which skip quarantined
+    images — name lookup must map by id, not by list position (review r2)."""
+    rng = np.random.default_rng(4)
+    X = rng.standard_normal((3, 16)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    cfg = PipelineConfig(search=SearchConfig(k=3, use_pallas=False))
+    idx = Index.from_descriptors(X, ["img0", "img2", "img3"], cfg,
+                                 original_ids=np.asarray([0, 2, 3]))
+    assert idx.name_of(0) == "img0"
+    assert idx.name_of(2) == "img2"   # names[2] would be "img3" — wrong
+    assert idx.name_of(3) == "img3"
+    assert idx.name_of(1) is None     # quarantined position
+    assert idx.name_of(-1) is None    # padding
+    _, ids = idx.search(X[1:2])
+    assert idx.name_of(ids[0, 0]) == "img2"

@@ -60,6 +60,14 @@ def test_serve_loop(tmp_path, sharded):
         p.stdin.write(json.dumps({"image": "/nonexistent.jpg"}) + "\n")
         p.stdin.flush()
         assert "error" in json.loads(p.stdout.readline())
+        # malformed requests (valid JSON, wrong shape/types) must answer
+        # with error lines, never kill the long-lived server (review r2)
+        for bad in ["42", "[1, 2]", json.dumps({"k": 3}),
+                    json.dumps({"image": mini.db_paths[0], "k": None}),
+                    json.dumps({"images": [1, 2]})]:
+            p.stdin.write(bad + "\n")
+            p.stdin.flush()
+            assert "error" in json.loads(p.stdout.readline()), bad
         p.stdin.write(json.dumps({"image": mini.db_paths[3]}) + "\n")
         p.stdin.flush()
         r = json.loads(p.stdout.readline())
