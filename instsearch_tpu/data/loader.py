@@ -43,6 +43,20 @@ class PrefetchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         DONE = object()
         err: list[BaseException] = []
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that gives up when the consumer went away —
+            # otherwise an abandoned iteration (break / exception in the
+            # consumer loop) leaves this thread blocked forever, pinning
+            # depth+1 decoded batches or device buffers (review r2)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -51,22 +65,33 @@ class PrefetchLoader:
                     if self.device_put:
                         import jax
                         batch = jax.device_put(batch)
-                    q.put((batch, idxs))
+                    if not put((batch, idxs)):
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
-                q.put(DONE)
+                put(DONE)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is DONE:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        completed = False
+        try:
+            while True:
+                item = q.get()
+                if item is DONE:
+                    break
+                yield item
+            completed = True
+        finally:
+            stop.set()               # unblock the producer on early exit
+            while True:              # drain so its pending put() returns
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join()
+            if completed and err:    # abandoned iteration: swallow, the
+                raise err[0]         # consumer already moved on
 
 
 def iter_batches(paths: Sequence[str], size: int, batch: int,

@@ -30,9 +30,11 @@ def _load() -> "ctypes.CDLL | None":
         if _lib is not None or _build_failed:
             return _lib
         try:
-            if not os.path.exists(_SO_PATH):
-                subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                               check=True, capture_output=True, timeout=120)
+            # run make unconditionally: it is a no-op when the .so is
+            # fresh, and skipping it would silently load a STALE binary
+            # after a frontend.cc edit (the Makefile tracks the .cc dep)
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                           check=True, capture_output=True, timeout=120)
             lib = ctypes.CDLL(_SO_PATH)
             lib.isf_load_one.argtypes = [
                 ctypes.c_char_p, ctypes.c_int,

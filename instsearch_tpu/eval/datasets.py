@@ -99,6 +99,18 @@ def load_classic(name: str, data_root: str) -> RetrievalDataset:
 # Synthetic mini fixture
 # ---------------------------------------------------------------------------
 
+def _mini_names(n_instances: int = 8, n_views: int = 4,
+                n_distractors: int = 8) -> list[str]:
+    """The file inventory make_mini_dataset writes (default parameters)."""
+    names = []
+    for inst in range(n_instances):
+        names += [f"inst{inst:02d}_v{v}" for v in range(n_views)]
+        names += [f"inst{inst:02d}_hard", f"inst{inst:02d}_junk",
+                  f"query{inst:02d}"]
+    names += [f"distractor{d:02d}" for d in range(n_distractors)]
+    return names
+
+
 def make_mini_dataset(root: str, n_instances: int = 8, n_views: int = 4,
                       n_distractors: int = 8, size: int = 64,
                       seed: int = 0) -> RetrievalDataset:
@@ -185,8 +197,19 @@ def load_dataset(name: str, data_root: str) -> RetrievalDataset:
         return load_classic(name, data_root)
     if name == "mini":
         root = os.path.join(data_root, "mini")
-        if not os.path.exists(os.path.join(root, "jpg")):
-            return make_mini_dataset(root)
-        # rebuild deterministically over the existing files
+        jpg = os.path.join(root, "jpg")
+        if os.path.exists(jpg):
+            # default-parameter regeneration is byte-deterministic, so
+            # overwriting a default fixture is a no-op — but a fixture
+            # generated with OTHER parameters would be silently clobbered
+            # and its extra files orphaned; refuse instead (review r2)
+            expected = set(n + ".jpg" for n in _mini_names())
+            extra = set(os.listdir(jpg)) - expected
+            if extra:
+                raise ValueError(
+                    f"{jpg} holds a non-default mini fixture (unexpected "
+                    f"files e.g. {sorted(extra)[:3]}); refusing to "
+                    f"regenerate over it — use make_mini_dataset directly "
+                    f"or point --data-root elsewhere")
         return make_mini_dataset(root)
     raise ValueError(f"unknown dataset {name!r}")

@@ -29,49 +29,50 @@ def load_query_batchable(path: str, bbx, size: int) -> np.ndarray | None:
     return frontend.center_crop(frontend.resize_shorter_side(img, size), size)
 
 
+def _load_query_images(dataset: RetrievalDataset, size: int,
+                       crop_bbx: bool) -> list[np.ndarray]:
+    """Decode+crop every query once; FileNotFoundError on a bad decode
+    (ONE loader for global and regional extraction — they used to each
+    decode the whole query set, and the regional copy crashed with an
+    opaque np.stack error on a failed decode; review r2)."""
+    imgs = []
+    for qname, entry in zip(dataset.qimlist, dataset.gnd):
+        img = load_query_batchable(dataset.image_path(qname),
+                                   entry.get("bbx") if crop_bbx else None,
+                                   size)
+        if img is None:
+            raise FileNotFoundError(dataset.image_path(qname))
+        imgs.append(img)
+    return imgs
+
+
+def _batched_apply(fn, imgs: list[np.ndarray], batch: int) -> np.ndarray:
+    """Run ``fn`` over fixed-size padded batches (one compiled shape)."""
+    import jax.numpy as jnp
+    out = []
+    for i in range(0, len(imgs), batch):
+        chunk = imgs[i:i + batch]
+        arr = np.stack(chunk + [chunk[-1]] * (batch - len(chunk)))
+        out.append(np.asarray(fn(jnp.asarray(arr)))[:len(chunk)])
+    return np.concatenate(out)
+
+
 def extract_queries(index: Index, dataset: RetrievalDataset,
                     crop_bbx: bool = True) -> np.ndarray:
     """Extract query descriptors with per-query bbox cropping."""
     ex = index.extractor
     assert ex is not None, "index has no extractor attached"
-    size, batch = ex.cfg.image_size, ex.cfg.batch_size
-    imgs = []
-    for qname, entry in zip(dataset.qimlist, dataset.gnd):
-        img = load_query_batchable(dataset.image_path(qname),
-                                   entry.get("bbx") if crop_bbx else None, size)
-        if img is None:
-            raise FileNotFoundError(dataset.image_path(qname))
-        imgs.append(img)
-    out = []
-    import jax.numpy as jnp
-    for i in range(0, len(imgs), batch):
-        chunk = imgs[i:i + batch]
-        pad = batch - len(chunk)
-        arr = np.stack(chunk + [chunk[-1]] * pad)
-        d = np.asarray(ex(jnp.asarray(arr)))   # whitening applied inside
-        out.append(d[:len(chunk)])
-    return np.concatenate(out)
+    imgs = _load_query_images(dataset, ex.cfg.image_size, crop_bbx)
+    return _batched_apply(ex, imgs, ex.cfg.batch_size)   # whitening inside
 
 
 def extract_query_regional(index: Index, dataset: RetrievalDataset,
                            crop_bbx: bool = True) -> np.ndarray:
     """Per-query regional R-MAC descriptors (bbox-cropped) for re-ranking."""
     ex = index.extractor
-    size, batch = ex.cfg.image_size, ex.cfg.batch_size
-    imgs = []
-    for qname, entry in zip(dataset.qimlist, dataset.gnd):
-        img = load_query_batchable(dataset.image_path(qname),
-                                   entry.get("bbx") if crop_bbx else None,
-                                   size)
-        imgs.append(img)
-    regs = []
-    import jax.numpy as jnp
-    for i in range(0, len(imgs), batch):
-        chunk = imgs[i:i + batch]
-        arr = np.stack(chunk + [chunk[-1]] * (batch - len(chunk)))
-        r = np.asarray(ex.extract_regional(jnp.asarray(arr)))
-        regs.append(r[:len(chunk)])
-    return np.concatenate(regs)
+    assert ex is not None, "index has no extractor attached"
+    imgs = _load_query_images(dataset, ex.cfg.image_size, crop_bbx)
+    return _batched_apply(ex.extract_regional, imgs, ex.cfg.batch_size)
 
 
 def _splice_head(ranks: np.ndarray, top_ids: np.ndarray) -> np.ndarray:
@@ -103,7 +104,10 @@ def evaluate_index(index: Index, dataset: RetrievalDataset,
     (SURVEY.md §3.3 on the §2.2 layout); query extraction still runs on
     the index's extractor.
     """
-    queries = extract_queries(index, dataset, crop_bbx)
+    ex = index.extractor
+    assert ex is not None, "index has no extractor attached"
+    qimgs = _load_query_images(dataset, ex.cfg.image_size, crop_bbx)
+    queries = _batched_apply(ex, qimgs, ex.cfg.batch_size)
     scfg = search_cfg or index.cfg.search
     import jax.numpy as jnp
     q = jnp.asarray(queries)
@@ -125,7 +129,10 @@ def evaluate_index(index: Index, dataset: RetrievalDataset,
                     else index.regional)
     if scfg.rerank_enabled and rerank_store is not None:
         # re-order the top-`depth` of the full ranking; tail unchanged
-        query_regional = extract_query_regional(index, dataset, crop_bbx)
+        # reuse the decoded/cropped query images from the global pass —
+        # decoding the whole query set twice is pure host overhead
+        query_regional = _batched_apply(ex.extract_regional, qimgs,
+                                        ex.cfg.batch_size)
         if sharded_index is not None:
             depth = min(scfg.rerank_depth, sharded_index.descriptors.shape[0])
             _, top_ids = sharded_index.search_rerank(

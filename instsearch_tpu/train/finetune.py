@@ -70,7 +70,18 @@ def finetune(paths, labels, cfg: TrainConfig, epochs: int = 1,
             gem_p=trainer.gem_p,
             image_size=cfg.image_size, batch_size=cfg.batch_size * 4,
             dtype="float32"), variables=trainer.variables)
-        pool, _ = ex.extract_paths(paths)
+        pool, kept = ex.extract_paths(paths)
+        # pool rows must align 1:1 with labels/pairs: a quarantined image
+        # (native loader stricter than the cv2 path _load_images used)
+        # would silently shift every later row onto the wrong label and
+        # corrupt mining (review r2)
+        if len(kept) != len(paths) or not np.array_equal(
+                kept, np.arange(len(paths))):
+            bad = sorted(set(range(len(paths))) - set(int(i) for i in kept))
+            raise ValueError(
+                f"finetune pool extraction dropped images at positions "
+                f"{bad[:5]}{'...' if len(bad) > 5 else ''}; remove or fix "
+                f"them (labels would misalign)")
         anchor_idx = np.asarray([a for a, _ in pairs])
         negs = mine_hard_negatives(pool, labels, pool[anchor_idx],
                                    labels[anchor_idx],
@@ -103,7 +114,8 @@ def finetune(paths, labels, cfg: TrainConfig, epochs: int = 1,
             backbone=cfg.backbone, pooling=cfg.pooling, gem_p=trainer.gem_p,
             image_size=cfg.image_size, batch_size=cfg.batch_size * 4,
             dtype="float32"), variables=trainer.variables)
-        pool, _ = ex.extract_paths(paths)
+        pool, kept = ex.extract_paths(paths)
+        assert len(kept) == len(paths), "pool/pair misalignment (see epoch check)"
         a_idx = np.asarray([a for a, _ in pairs])
         p_idx = np.asarray([p for _, p in pairs])
         out["whitening"] = fit_lw_whitening(

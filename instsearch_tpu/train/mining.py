@@ -35,11 +35,15 @@ def mine_hard_negatives(pool: np.ndarray, pool_labels: np.ndarray,
     for i in range(len(anchors)):
         picked = [int(j) for j in top[i] if pool_labels[j] != anchor_labels[i]]
         if len(picked) < num_negatives:
-            # fill from random different-class entries (tiny pools)
+            # fill from random different-class entries (tiny pools /
+            # duplicate-heavy top-k); np.isin keeps this O(N) instead of
+            # an O(N*len(picked)) membership scan per element
             others = np.flatnonzero(pool_labels != anchor_labels[i])
             rng = np.random.default_rng(i)
             extra = rng.permutation(others)
-            picked += [int(j) for j in extra if j not in picked]
+            extra = extra[~np.isin(extra, picked)]
+            picked += [int(j)
+                       for j in extra[:num_negatives - len(picked)]]
         if not picked:
             raise ValueError(
                 f"anchor {i}: no different-class pool entries to mine")

@@ -103,7 +103,12 @@ class Trainer:
             def loss(params):
                 b, t = images.shape[:2]
                 flat = images.reshape((b * t,) + images.shape[2:])
-                flat = flat.astype(jnp.float32) / 255.0 if flat.dtype == jnp.uint8 else flat
+                # SAME input normalization as the extraction stack
+                # (ImageNet mean/std, data/frontend.py): training on bare
+                # [0,1] while mining/serving normalize would optimize the
+                # backbone for a different input distribution (review r2)
+                from ..data import frontend
+                flat = frontend.normalize(flat, dtype=_DTYPES[cfg.dtype])
                 desc = _descriptors(self.model, params, state.frozen, flat, cfg)
                 return loss_fn(desc.reshape(b, t, -1), cfg)
 

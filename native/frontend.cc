@@ -175,8 +175,11 @@ Taps make_taps(int src_n, int dst_n, double scale, int offset) {
 
 void resize_crop(const Image& src, int size, uint8_t* out) {
   const double scale = double(size) / std::min(src.h, src.w);
-  const int nh = std::max<int>(1, std::lround(src.h * scale));
-  const int nw = std::max<int>(1, std::lround(src.w * scale));
+  // round-half-EVEN to match Python round() in data/frontend.py:45 —
+  // lround's half-away-from-zero gives a different canvas (and thus a
+  // shifted center crop + different descriptors) on exact-.5 long sides
+  const int nh = std::max<int>(1, int(std::nearbyint(src.h * scale)));
+  const int nw = std::max<int>(1, int(std::nearbyint(src.w * scale)));
   const int y0 = std::max(0, (nh - size) / 2);
   const int x0 = std::max(0, (nw - size) / 2);
   const Taps tx = make_taps(src.w, size, double(src.w) / nw, x0);

@@ -77,3 +77,35 @@ def test_load_classic_gt_dir(tmp_path, mini):
                        i["all_souls_000002"], i["query_img_0009"]]])
     res = evaluate_ranks(ranks, ds.gnd, "classic")
     assert res["mAP"] == pytest.approx(100.0)
+
+
+def test_prefetch_early_exit_stops_producer(mini):
+    """Abandoning iteration (break) must not leave the producer thread
+    blocked on the bounded queue forever (review r2)."""
+    import threading
+    import time
+
+    from instsearch_tpu.data.loader import iter_batches
+
+    before = threading.active_count()
+    for batch, idxs in iter_batches(mini.db_paths, 32, 2, depth=1):
+        break                       # abandon immediately
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_load_dataset_mini_refuses_nondefault_fixture(tmp_path):
+    """load_dataset('mini') regenerates the default fixture in place
+    (byte-deterministic) but must refuse to clobber a fixture generated
+    with non-default parameters (review r2)."""
+    from instsearch_tpu.eval.datasets import load_dataset, make_mini_dataset
+
+    root = str(tmp_path)
+    make_mini_dataset(os.path.join(root, "mini"))          # default
+    ds = load_dataset("mini", root)                        # fine: identical
+    assert len(ds.imlist) > 0
+    make_mini_dataset(os.path.join(root, "mini"), n_instances=10)
+    with pytest.raises(ValueError, match="non-default"):
+        load_dataset("mini", root)

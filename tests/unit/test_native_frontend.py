@@ -57,3 +57,24 @@ def test_png_support(tmp_path):
     ref = frontend.load_square(p, 32)
     diff = np.abs(out[0].astype(int) - ref.astype(int))
     assert np.mean(diff) < 2.0
+
+
+def test_half_pixel_canvas_matches_python(tmp_path):
+    """Exact-.5 long side after scaling: native round-half-even must agree
+    with Python round() on the resize canvas, or the center crop samples a
+    shifted grid and descriptors diverge between hosts with and without
+    the native toolchain (review r2). 93x64 at target 32 -> 46.5."""
+    import cv2
+    rng = np.random.default_rng(0)
+    img = cv2.resize(rng.random((12, 8, 3), np.float32), (64, 93),
+                     interpolation=cv2.INTER_CUBIC)      # h=93, w=64
+    p = str(tmp_path / "odd.png")
+    cv2.imwrite(p, np.clip(img * 255, 0, 255).astype(np.uint8))
+    native, ok = nf.load_batch_native([p], 32)
+    assert ok.all()
+    ref = frontend.load_square(p, 32)
+    diff = np.abs(native[0].astype(int) - ref.astype(int))
+    # same canvas => only interpolation arithmetic differs (tight);
+    # a one-pixel canvas disagreement shifts content by ~half a texel
+    # and blows this bound
+    assert np.mean(diff) < 3.0, np.mean(diff)
