@@ -26,13 +26,26 @@ class _JsonMixin:
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]):
+        # resolve string annotations (`from __future__ import annotations`
+        # makes f.type a STRING, so is_dataclass(f.type) was always False
+        # and nested configs came back as raw dicts; review r2)
+        import typing
+        hints = typing.get_type_hints(cls)
+        names = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - names
+        if unknown:
+            raise ValueError(
+                f"{cls.__name__}: unknown config key(s) {sorted(unknown)} "
+                f"(valid: {sorted(names)}) — typo'd preset fields must not "
+                f"silently fall back to defaults")
         kwargs = {}
         for f in dataclasses.fields(cls):
             if f.name not in d:
                 continue
             v = d[f.name]
-            if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
-                v = f.type.from_dict(v)  # pragma: no cover - nested configs
+            t = hints.get(f.name, f.type)
+            if dataclasses.is_dataclass(t) and isinstance(v, dict):
+                v = t.from_dict(v)
             if isinstance(v, list):
                 v = tuple(v)
             kwargs[f.name] = v
@@ -132,27 +145,8 @@ class PipelineConfig(_JsonMixin):
     search: SearchConfig = field(default_factory=SearchConfig)
     eval: EvalConfig = field(default_factory=EvalConfig)
 
-    def to_json(self) -> str:
-        return json.dumps(
-            {
-                "extract": _asdict(self.extract),
-                "index": _asdict(self.index),
-                "search": _asdict(self.search),
-                "eval": _asdict(self.eval),
-            },
-            indent=2,
-            sort_keys=True,
-        )
-
-    @classmethod
-    def from_json(cls, s: str) -> "PipelineConfig":
-        d = json.loads(s)
-        return cls(
-            extract=ExtractConfig.from_dict(d.get("extract", {})),
-            index=IndexConfig.from_dict(d.get("index", {})),
-            search=SearchConfig.from_dict(d.get("search", {})),
-            eval=EvalConfig.from_dict(d.get("eval", {})),
-        )
+    # to_json/from_json: inherited — _JsonMixin recurses into nested
+    # dataclasses (asdict down, resolved type hints up)
 
     @classmethod
     def load(cls, path: str) -> "PipelineConfig":

@@ -248,10 +248,12 @@ def topk_matmul_int8(x_int8: jax.Array, scales: jax.Array, q: jax.Array,
         raise ValueError(f"k={k} > tile_n={tile_n}")
     nv = jnp.asarray([n if num_valid is None else num_valid], jnp.int32)
 
-    qf = q.astype(jnp.float32)
-    q_absmax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)       # [B, 1]
-    q_scale = jnp.maximum(q_absmax, 1e-12) / 127.0
-    q_int8 = jnp.clip(jnp.round(qf / q_scale), -127, 127).astype(jnp.int8)
+    # the SAME per-row symmetric scheme that quantized the index rows
+    # (ops/quantize.quantize_rows) — int8 scoring correctness depends on
+    # query and index scales agreeing, so one shared definition
+    from ..ops.quantize import quantize_rows
+    q_qr = quantize_rows(q)
+    q_int8, q_scale = q_qr.values, q_qr.scales.reshape(-1, 1)    # [B,1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -112,16 +112,17 @@ def rmac_regional_descriptors(x: jax.Array, levels: int = 3) -> jax.Array:
 
 
 def rmac_pool(x: jax.Array, levels: int = 3,
-              whiten: "tuple[jax.Array, jax.Array] | None" = None) -> jax.Array:
+              whiten: "WhiteningParams | None" = None) -> jax.Array:
     """Full R-MAC descriptor (C6): per-region MAC -> l2 -> (PCA-whiten) -> l2
-    -> sum over regions -> l2. ``whiten`` is an optional ``(P, mu)`` pair
-    applied per region as ``P @ (d - mu)`` (arXiv:1511.05879 §3)."""
+    -> sum over regions -> l2 (arXiv:1511.05879 §3). Per-region whitening
+    delegates to ops/whitening.apply_whitening — ONE projection
+    implementation (an earlier inline copy had drifted to normalizing in
+    the compute dtype instead of f32; review r2)."""
     regional = rmac_regional_descriptors(x, levels)       # [N, R, C]
     regional = l2_normalize(regional, axis=-1)
     if whiten is not None:
-        P, mu = whiten
-        regional = (regional.astype(jnp.float32) - mu) @ P.T
-        regional = l2_normalize(regional.astype(x.dtype), axis=-1)
+        from .whitening import apply_whitening
+        regional = apply_whitening(regional, whiten).astype(x.dtype)
     agg = jnp.sum(regional, axis=1)                        # [N, C]
     return l2_normalize(agg, axis=-1)
 

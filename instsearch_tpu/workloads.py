@@ -1,5 +1,7 @@
-"""Run the five BASELINE.json workload configurations end-to-end
-(SURVEY.md §6): build -> (whiten) -> query/QE/re-rank -> protocol metrics.
+"""Run every committed workload preset end-to-end (SURVEY.md §6): the five
+BASELINE.json configurations plus the flagship million-scale-int8 preset —
+six total under ``configs/`` — build -> (whiten) -> query/QE/re-rank ->
+protocol metrics.
 
 ``scale_down`` shrinks image size / batch so the suite runs in CI and on
 the mini fixture; the config *structure* (backbone, pooling, whitening,
