@@ -64,8 +64,14 @@ def main() -> int:
     if qry8 is not None:
         line["query_int8_p50_ms_1M"] = round(qry8["p50_ms"], 3)
         if "frac_of_roofline" in qry8:
+            # can exceed 1: the int8 kernel outruns the bf16 XLA reference
+            # stream (see instsearch_tpu/bench.py) — effective_gbps is the
+            # absolute statement
             line["query_int8_frac_of_roofline"] = round(
                 qry8["frac_of_roofline"], 3)
+        if "effective_gbps" in qry8:
+            line["query_int8_effective_gbps"] = round(
+                qry8["effective_gbps"], 1)
     if qry8b is not None:
         line["query_int8_qps_b128"] = round(qry8b["qps"], 1)
     if qe2e is not None:

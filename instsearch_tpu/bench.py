@@ -319,19 +319,29 @@ def bench_query(n: int = 1_048_576, d: int = 512, k: int = 10,
         probe_ests, ests = interleaved_marginal(
             [(make_stream_probe, (Xd, q1)), (make_chained, args)])
         probe_bytes = n * d * 2
-        # peak-of-reps: the roofline is the best stream the chip
-        # demonstrably did (conservative for the kernel). Reps whose
-        # marginal collapsed to the 1e-9 clamp (tunnel timing noise beats
-        # the chain time on small matrices) are not measurements — drop
-        # them rather than report a petabyte "roofline".
-        valid = probe_ests[probe_ests > 2e-9]
+        # PAIRED per-rep ratios: probe rep i and kernel rep i ran adjacent
+        # in time, so ratio_i = (probe_i * scan/probe bytes) / kernel_i is
+        # drift-immune; a single aggregate each (earlier: probe min vs
+        # kernel median) mixes different chip-speed epochs and produced
+        # impossible fractions > 1 when the chip sped up mid-run. Reps
+        # whose marginal collapsed to the 1e-9 clamp (tunnel noise beats
+        # the chain time) are not measurements — drop them.
         p50 = float(np.median(ests))
-        if valid.size:
-            probe_bw = probe_bytes / float(np.min(valid))
-            roofline_ms = scan_bytes / probe_bw * 1e3
+        valid = (probe_ests > 2e-9) & (ests > 2e-9)
+        if valid.any():
+            pv, kv = probe_ests[valid], ests[valid]
+            probe_bw = probe_bytes / float(np.median(pv))
+            ratios = (pv * (scan_bytes / probe_bytes)) / kv
             out["hbm_bw_gbps"] = probe_bw / 1e9
-            out["hbm_roofline_ms"] = roofline_ms
-            out["frac_of_roofline"] = roofline_ms / (p50 * 1e3)
+            out["hbm_roofline_ms"] = scan_bytes / probe_bw * 1e3
+            # > 1 is a REAL result for int8: the kernel's explicit
+            # double-buffered DMA + 2x-rate int8 MXU stream the matrix
+            # faster than the best XLA reference stream we can time (the
+            # bf16 matvec is compute-co-limited ~700-750 GB/s; the int8
+            # kernel reaches ~0.75-0.9 TB/s effective). bf16 sits at
+            # ratio ~1.0 — kernel == stream parity.
+            out["frac_of_roofline"] = float(np.median(ratios))
+        out["effective_gbps"] = scan_bytes / p50 / 1e9
     else:
         # long chains: short ones (<=8 ops) showed ±10% drift on this chip
         ests = marginal_times(make_chained, args, n1=4, n2=20, reps=9)
