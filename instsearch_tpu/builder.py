@@ -55,10 +55,17 @@ class ResumableBuilder:
             if m.get("num_paths") != len(self.paths):
                 log.warning("manifest path count changed; restarting build")
                 m = None
+            elif m.get("group") != self.group:
+                # a different group/batch size re-shapes the part ranges;
+                # stale (start, end) tuples would make finalize() report
+                # "incomplete" on a fully-built dataset (review r2)
+                log.warning("manifest group size changed (%s -> %d); "
+                            "restarting build", m.get("group"), self.group)
+                m = None
             if m is not None:
                 return m
-        return {"num_paths": len(self.paths), "completed": [],
-                "quarantined": []}
+        return {"num_paths": len(self.paths), "group": self.group,
+                "completed": [], "quarantined": []}
 
     def _save_manifest(self) -> None:
         tmp = self.manifest_path + ".tmp"
@@ -80,7 +87,8 @@ class ResumableBuilder:
             descs, kept = self.extractor.extract_paths(chunk, quarantine)
             np.savez(self._part_path(start), descriptors=descs,
                      kept=np.asarray(kept) + start)
-            COUNTERS.add("images_extracted", len(kept))
+            # NOTE: extract_paths already counted images_extracted —
+            # counting here again doubled the throughput metric
             self.manifest["completed"].append([start, end])
             self.manifest["quarantined"].extend(quarantine)
             self._save_manifest()
@@ -121,4 +129,11 @@ class ResumableBuilder:
         idx = Index.from_descriptors(descs, names, self.cfg, extractor=ex,
                                      original_ids=kept)
         idx.quarantined = list(self.manifest["quarantined"])
+        if self.cfg.search.rerank_enabled:
+            # same regional re-rank store Index.build attaches — the
+            # resumable path previously skipped it, silently serving
+            # un-reranked results under a rerank-enabled config (review r2)
+            from .index import attach_regional_store
+            attach_regional_store(idx, ex,
+                                  [self.paths[i] for i in kept])
         return idx

@@ -24,8 +24,6 @@ import numpy as np
 from .config import ExtractConfig, IndexConfig, PipelineConfig, SearchConfig
 from .extractor import Extractor
 from .ops.whitening import WhiteningParams, fit_whitening
-from .search import bruteforce
-
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
            "int8": jnp.int8}
 
@@ -35,14 +33,10 @@ def _pad_rows(n: int, multiple: int) -> int:
 
 
 def _raw_scores(descriptors, queries, scales):
-    """[Q, N] f32 scores for float or int8-quantized storage."""
-    if descriptors.dtype == jnp.int8:
-        scores = jnp.dot(queries.astype(jnp.float32),
-                         descriptors.T.astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
-        return scores * scales
-    return jnp.dot(queries.astype(descriptors.dtype), descriptors.T,
-                   preferred_element_type=jnp.float32)
+    """[Q, N] f32 scores (delegates to search.bruteforce.masked_scores —
+    one scoring definition for float and int8 storage)."""
+    from .search.bruteforce import masked_scores
+    return masked_scores(descriptors, queries, scales=scales)
 
 
 @partial(jax.jit, static_argnames=("k", "use_pallas"))
@@ -77,6 +71,38 @@ def _full_ranking_jit(descriptors, ids, queries, scales):
     scores = jnp.where(ids[None, :] >= 0, scores, -jnp.inf)
     order = jnp.argsort(-scores, axis=1)
     return jnp.take(ids, order)
+
+
+def attach_regional_store(idx: "Index", ex: "Extractor",
+                          kept_paths) -> None:
+    """Extract + pad (+ int8-quantize) the [N_pad, R, D] regional re-rank
+    store for the index's rows — ONE implementation for Index.build and
+    ResumableBuilder.finalize (the resumable path previously skipped the
+    store entirely, silently disabling re-ranking; review r2).
+
+    STRICT row alignment: every path must decode. The regional pass
+    silently dropping a file that the global pass kept would shift every
+    later row onto the wrong image's regions.
+    """
+    reg = ex.extract_paths_regional(list(kept_paths))
+    if len(reg) != len(kept_paths):
+        raise RuntimeError(
+            f"regional extraction returned {len(reg)} rows for "
+            f"{len(kept_paths)} images — a file became undecodable between "
+            f"the global and regional passes; fix or remove it and rebuild")
+    n_pad = idx.descriptors.shape[0]
+    reg_pad = np.zeros((n_pad,) + reg.shape[1:], np.float32)
+    reg_pad[:len(reg)] = reg
+    if idx.cfg.index.dtype == "int8":
+        # quantize the store per (row, region) — it is R x the index
+        # size, the system's biggest tensor
+        from .ops.quantize import quantize_rows
+        flat = reg_pad.reshape(-1, reg_pad.shape[-1])
+        qr = quantize_rows(jnp.asarray(flat))
+        idx.regional = qr.values.reshape(reg_pad.shape)
+        idx.regional_scales = qr.scales.reshape(reg_pad.shape[:2])
+    else:
+        idx.regional = jnp.asarray(reg_pad, _DTYPES[idx.cfg.index.dtype])
 
 
 class Index:
@@ -186,20 +212,7 @@ class Index:
         idx.quarantined = quarantine
 
         if cfg.search.rerank_enabled:
-            reg = ex.extract_paths_regional([paths[i] for i in kept])
-            n_pad = idx.descriptors.shape[0]
-            reg_pad = np.zeros((n_pad,) + reg.shape[1:], np.float32)
-            reg_pad[:len(reg)] = reg
-            if cfg.index.dtype == "int8":
-                # quantize the store per (row, region) — it is R x the
-                # index size, the system's biggest tensor
-                from .ops.quantize import quantize_rows
-                flat = reg_pad.reshape(-1, reg_pad.shape[-1])
-                qr = quantize_rows(jnp.asarray(flat))
-                idx.regional = qr.values.reshape(reg_pad.shape)
-                idx.regional_scales = qr.scales.reshape(reg_pad.shape[:2])
-            else:
-                idx.regional = jnp.asarray(reg_pad, _DTYPES[cfg.index.dtype])
+            attach_regional_store(idx, ex, [paths[i] for i in kept])
         return idx
 
     # ------------------------------------------------------------------
@@ -257,16 +270,22 @@ class Index:
             new_ids = np.concatenate([
                 ids_np[:start],
                 np.arange(next_id, next_id + n_new, dtype=np.int32)])
+            # geometric growth: re-padding is a full host round-trip (and
+            # re-quantizes EVERY int8 row, compounding quantization error),
+            # so doubling amortizes it; the grown capacity is written back
+            # into self.cfg so the next overflow sees it (review r2)
+            grown = self.cfg.replace(index=self.cfg.index.replace(
+                capacity=max(self.cfg.index.capacity, 2 * n_pad,
+                             start + n_new)))
             rebuilt = Index.from_descriptors(
-                merged, list(self.names) + list(names),
-                self.cfg.replace(index=self.cfg.index.replace(
-                    capacity=max(self.cfg.index.capacity, start + n_new))),
+                merged, list(self.names) + list(names), grown,
                 extractor=self.extractor, original_ids=new_ids)
+            self.cfg = grown
             self.descriptors, self.ids = rebuilt.descriptors, rebuilt.ids
             self.scales, self.names = rebuilt.scales, rebuilt.names
             if self.regional is not None:
-                reg_new = self.extractor.extract_paths_regional(kept_paths)
-                self._write_regional(start, reg_new,
+                self._write_regional(start,
+                                     self._regional_checked(kept_paths),
                                      n_pad_new=self.descriptors.shape[0])
             return n_new
 
@@ -286,9 +305,18 @@ class Index:
         self.ids = jax.lax.dynamic_update_slice(self.ids, new_ids, (start,))
         self.names = list(self.names) + list(names)
         if self.regional is not None:
-            reg_new = self.extractor.extract_paths_regional(kept_paths)
-            self._write_regional(start, reg_new)
+            self._write_regional(start, self._regional_checked(kept_paths))
         return n_new
+
+    def _regional_checked(self, kept_paths) -> np.ndarray:
+        """Regional rows for add(), strict row alignment (a dropped
+        decode would shift later rows onto the wrong image's regions)."""
+        reg = self.extractor.extract_paths_regional(kept_paths)
+        if len(reg) != len(kept_paths):
+            raise RuntimeError(
+                f"regional extraction returned {len(reg)} rows for "
+                f"{len(kept_paths)} images; refusing misaligned store")
+        return reg
 
     def _write_regional(self, start: int, reg_new: np.ndarray,
                         n_pad_new: int | None = None) -> None:
@@ -393,9 +421,18 @@ class Index:
         scfg = search_cfg or self.cfg.search
         if k is not None:
             scfg = scfg.replace(k=k)
-        if q.ndim >= 3 or q.dtype == np.uint8:
+        # image batches are [S,S,3] / [Q,S,S,3]; descriptors [D] / [Q,D].
+        # Anything else gets a clear error HERE instead of a shape-unpack
+        # crash deep inside the jitted extractor (review r2).
+        is_image = q.ndim in (3, 4) and q.shape[-1] == 3
+        if is_image:
             return self.query_images(q if q.ndim == 4 else q[None], scfg)
-        return self.search(q, scfg, **kw)
+        if q.ndim in (1, 2) and q.dtype != np.uint8:
+            return self.search(q, scfg, **kw)
+        raise ValueError(
+            f"query() expects uint8/float image batches [Q,S,S,3]/[S,S,3] "
+            f"or float descriptors [Q,D]/[D]; got shape {tuple(q.shape)} "
+            f"dtype {q.dtype}")
 
     def evaluate(self, dataset, protocol: str = "medium",
                  search_cfg: Optional[SearchConfig] = None,
@@ -573,8 +610,11 @@ class Index:
             variables = load_pytree(os.path.join(path, "variables"))
             extractor = Extractor(cfg.extract.replace(whiten=False),
                                   variables=variables, seed=seed)
-        elif extractor is None and "whitening_P" in data:
-            extractor = Extractor(cfg.extract.replace(whiten=False), seed=seed)
+        # NOTE: when weights were not saved and no extractor is supplied,
+        # extractor stays None — fabricating a seed-initialized one here
+        # would serve confidently wrong neighbors (the exact failure the
+        # weights persistence exists to prevent); callers that pass their
+        # own extractor still get the stored whitening attached below.
         if extractor is not None and "whitening_P" in data:
             extractor.whitening = WhiteningParams(
                 P=jnp.asarray(data["whitening_P"]),

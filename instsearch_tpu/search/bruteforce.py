@@ -12,15 +12,38 @@ import jax
 import jax.numpy as jnp
 
 
+def masked_scores(descriptors: jax.Array, queries: jax.Array,
+                  scales: "jax.Array | None" = None,
+                  ids: "jax.Array | None" = None) -> jax.Array:
+    """[Q, N] f32 scores — THE one scoring definition (float or
+    int8-with-row-scales storage; padding rows masked to -inf when ``ids``
+    is given). index.py and search/qe.py delegate here so the int8 dequant
+    and padding-mask semantics cannot drift between paths.
+    """
+    if descriptors.dtype == jnp.int8:
+        scores = jnp.dot(queries.astype(jnp.float32),
+                         descriptors.T.astype(jnp.float32),
+                         preferred_element_type=jnp.float32) * scales
+    else:
+        scores = jnp.dot(queries.astype(descriptors.dtype), descriptors.T,
+                         preferred_element_type=jnp.float32)
+    if ids is not None:
+        scores = jnp.where(ids[None, :] >= 0, scores, -jnp.inf)
+    return scores
+
+
 @partial(jax.jit, static_argnames=("k",))
-def search_topk(index: jax.Array, queries: jax.Array, k: int = 10):
+def search_topk(index: jax.Array, queries: jax.Array, k: int = 10,
+                ids: "jax.Array | None" = None):
     """``index: [N, D]``, ``queries: [Q, D]`` -> ``(scores [Q,k], ids [Q,k])``.
 
     Matmul runs on the MXU in the index dtype (bf16 for the stored index)
     with f32 accumulation; top-k via jax.lax.top_k on the f32 scores.
+    Pass ``ids`` when the matrix carries padding rows (id -1): per repo
+    convention they must be masked to -inf before any top-k — an unpadded
+    research matrix can omit it.
     """
-    scores = jnp.dot(queries.astype(index.dtype), index.T,
-                     preferred_element_type=jnp.float32)  # [Q, N]
+    scores = masked_scores(index, queries, ids=ids)       # [Q, N]
     return jax.lax.top_k(scores, k)
 
 
@@ -28,5 +51,4 @@ def search_topk(index: jax.Array, queries: jax.Array, k: int = 10):
 def all_scores(index: jax.Array, queries: jax.Array) -> jax.Array:
     """Full score matrix [Q, N] in f32 (used by evaluation, which needs the
     complete ranking, and by αQE)."""
-    return jnp.dot(queries.astype(index.dtype), index.T,
-                   preferred_element_type=jnp.float32)
+    return masked_scores(index, queries)

@@ -24,13 +24,8 @@ def alpha_query_expansion(descriptors: jax.Array, ids: jax.Array,
     ``queries [Q, D]`` -> expanded queries ``[Q, D]`` (f32, unit norm).
     ``scales [1, N_pad]`` dequantizes an int8-stored index."""
     q = jnp.asarray(queries, jnp.float32)
-    if descriptors.dtype == jnp.int8:
-        scores = jnp.dot(q, descriptors.T.astype(jnp.float32),
-                         preferred_element_type=jnp.float32) * scales
-    else:
-        scores = jnp.dot(q.astype(descriptors.dtype), descriptors.T,
-                         preferred_element_type=jnp.float32)      # [Q, N]
-    scores = jnp.where(ids[None, :] >= 0, scores, -jnp.inf)
+    from .bruteforce import masked_scores
+    scores = masked_scores(descriptors, q, scales=scales, ids=ids)  # [Q, N]
     top_s, top_pos = jax.lax.top_k(scores, n)                     # [Q, n]
     neighbors = jnp.take(descriptors, top_pos, axis=0).astype(jnp.float32)
     if descriptors.dtype == jnp.int8:

@@ -47,9 +47,17 @@ def regional_rerank_scores(regional_store: jax.Array, ids: jax.Array,
     match = match / query_regional.shape[1]
     fused = match + fuse_weight * top_g
     fused = jnp.where(jnp.isfinite(top_g), fused, -jnp.inf)       # keep padding out
-    new_s, order = jax.lax.top_k(fused, k)                        # [Q, k]
+    # k may exceed depth (e.g. query --k 150 with rerank_depth=100): the
+    # output stays [Q, k], the tail past the candidate pool carrying
+    # (-inf, -1) like every other stage (same contract as the sharded path)
+    kk = min(k, depth)
+    new_s, order = jax.lax.top_k(fused, kk)                       # [Q, kk]
     new_pos = jnp.take_along_axis(top_pos, order, axis=1)
-    new_ids = jnp.take(ids, new_pos)
+    new_ids = jnp.where(new_s > -jnp.inf, jnp.take(ids, new_pos), -1)
+    if kk < k:
+        pad = ((0, 0), (0, k - kk))
+        new_s = jnp.pad(new_s, pad, constant_values=-jnp.inf)
+        new_ids = jnp.pad(new_ids, pad, constant_values=-1)
     return new_s, new_ids
 
 

@@ -90,3 +90,21 @@ def test_name_of_with_quarantine_gaps():
     assert idx.name_of(-1) is None    # padding
     _, ids = idx.search(X[1:2])
     assert idx.name_of(ids[0, 0]) == "img2"
+
+
+def test_query_dispatch_validation():
+    """query() rejects ambiguous inputs with a clear error instead of a
+    shape-unpack crash deep inside the jitted extractor (review r2)."""
+    rng = np.random.default_rng(6)
+    X = rng.standard_normal((4, 16)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    cfg = PipelineConfig(search=SearchConfig(k=2, use_pallas=False))
+    idx = Index.from_descriptors(X, [str(i) for i in range(4)], cfg)
+    s, i = idx.query(X[:2])                      # [Q, D] descriptors OK
+    assert i.shape == (2, 2)
+    s, i = idx.query(X[0])                       # [D] descriptor OK
+    assert i.shape == (1, 2)
+    with pytest.raises(ValueError, match="query\\(\\) expects"):
+        idx.query(np.zeros((5, 16), np.uint8))   # uint8 2-D: ambiguous
+    with pytest.raises(ValueError, match="query\\(\\) expects"):
+        idx.query(np.zeros((2, 3, 16), np.float32))  # 3-D non-image

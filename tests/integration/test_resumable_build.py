@@ -76,3 +76,40 @@ def test_resume_after_interrupt(mini, tmp_path):
     np.testing.assert_allclose(
         np.asarray(idx.descriptors, np.float32),
         np.asarray(ref.descriptors, np.float32), atol=1e-5)
+
+
+def test_resumable_build_attaches_regional_store(tmp_path):
+    """A rerank-enabled config must get the same regional store from the
+    resumable path as from Index.build (it was silently skipped; review
+    r2), and a changed group size restarts cleanly instead of tripping
+    finalize's completeness check."""
+    import numpy as np
+    from instsearch_tpu import ExtractConfig, PipelineConfig, SearchConfig
+    from instsearch_tpu.builder import ResumableBuilder
+    from instsearch_tpu.eval import make_mini_dataset
+    from instsearch_tpu.index import Index
+
+    mini = make_mini_dataset(str(tmp_path / "mini"), n_instances=2,
+                             n_views=2, n_distractors=2, seed=21)
+    cfg = PipelineConfig(
+        extract=ExtractConfig(backbone="vgg16", pooling="rmac", image_size=32,
+                              batch_size=4, dtype="float32"),
+        search=SearchConfig(k=3, rerank_enabled=True, rerank_depth=8,
+                            use_pallas=False))
+    b = ResumableBuilder(mini.db_paths, cfg, str(tmp_path / "b1"),
+                         group_size=1)
+    b.run()
+    idx = b.finalize()
+    assert idx.regional is not None
+    ref = Index.build(mini.db_paths, cfg, seed=0)
+    np.testing.assert_allclose(np.asarray(idx.regional, np.float32),
+                               np.asarray(ref.regional, np.float32),
+                               atol=1e-5)
+
+    # restart with a different group size: manifest resets, build completes
+    b2 = ResumableBuilder(mini.db_paths, cfg, str(tmp_path / "b1"),
+                          group_size=2)
+    assert b2.manifest["completed"] == []      # stale ranges discarded
+    b2.run()
+    idx2 = b2.finalize()
+    assert idx2.num_valid == idx.num_valid

@@ -91,3 +91,22 @@ def test_rerank_respects_padding(rng):
     valid = np.asarray(i)[0][:4]
     assert set(valid.tolist()) == {0, 1, 2, 3}
     assert (np.asarray(s)[0][4:] == -np.inf).all()
+
+
+def test_rerank_k_exceeds_depth_pads():
+    """k > depth returns [Q, k] with a (-inf, -1) tail, same contract as
+    the sharded stage — it used to crash in lax.top_k (review r2)."""
+    rng = np.random.default_rng(8)
+    N, R, D, Q = 32, 3, 16, 2
+    store = rng.standard_normal((N, R, D)).astype(np.float32)
+    store /= np.linalg.norm(store, axis=-1, keepdims=True)
+    qreg = rng.standard_normal((Q, R, D)).astype(np.float32)
+    gscores = rng.standard_normal((Q, N)).astype(np.float32)
+    ids = np.arange(N, dtype=np.int32)
+    s, i = regional_rerank_scores(jnp.asarray(store), jnp.asarray(ids),
+                                  jnp.asarray(gscores), jnp.asarray(qreg),
+                                  depth=5, k=9)
+    assert s.shape == (Q, 9) and i.shape == (Q, 9)
+    assert np.isfinite(np.asarray(s)[:, :5]).all()
+    assert (np.asarray(s)[:, 5:] == -np.inf).all()
+    assert (np.asarray(i)[:, 5:] == -1).all()
