@@ -48,7 +48,7 @@ def main() -> int:
     # ---- 3. query one image (global + regional re-rank) ------------------
     img = frontend.load_square(ds.db_paths[0], args.image_size)
     scores, ids = index.query(img, k=5)
-    print("query results:", [(index.names[i], round(float(s), 4))
+    print("query results:", [(index.name_of(int(i)), round(float(s), 4))
                              for s, i in zip(scores[0], ids[0]) if i >= 0])
 
     # ---- 4. protocol evaluation: base vs QE -------------------------------
@@ -66,7 +66,12 @@ def main() -> int:
           "weights" if reloaded.extractor is not None else "no weights")
 
     # ---- 6. distributed serving + sharded protocol evaluation -------------
-    sharded = index.to_sharded()
+    # config pins the shard count; otherwise shard over every device
+    from instsearch_tpu.parallel import make_mesh
+    import jax as _jax
+    mesh = (None if cfg.index.num_shards > 1 or len(_jax.devices()) == 1
+            else make_mesh())
+    sharded = index.to_sharded(mesh=mesh)
     q = np.asarray(index.descriptors[:1].astype("float32"))
     if index.scales is not None:
         q = q * np.asarray(index.scales)[0, :1, None]

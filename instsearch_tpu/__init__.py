@@ -21,5 +21,14 @@ from .config import (
 
 __all__ = [
     "ExtractConfig", "IndexConfig", "SearchConfig", "EvalConfig",
-    "TrainConfig", "PipelineConfig", "__version__",
+    "TrainConfig", "PipelineConfig", "Index", "__version__",
 ]
+
+
+def __getattr__(name):
+    # lazy: `from instsearch_tpu import Index` without making bare
+    # `import instsearch_tpu` pay the jax/flax import cost
+    if name == "Index":
+        from .index import Index
+        return Index
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

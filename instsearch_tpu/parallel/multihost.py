@@ -79,13 +79,16 @@ def local_row_range(n_rows: int) -> tuple[int, int]:
 
 
 def build_multihost_index(local_descriptors, ids, mesh: Mesh | None = None,
-                          local_scales=None, **kw):
+                          local_scales=None, local_regional=None,
+                          local_regional_scales=None, **kw):
     """ShardedIndex spanning every participating process.
 
     ``local_descriptors`` ([N/P, D], this process's rows — see
     local_row_range), ``ids`` the host-global id vector ([N], identical on
     every process; ids are metadata and stay host-side for full rankings),
-    ``local_scales`` the matching [1, N/P] per-row scales for int8 storage.
+    ``local_scales`` the matching [1, N/P] per-row scales for int8 storage,
+    ``local_regional`` ([N/P, R, D]) + ``local_regional_scales`` ([N/P, R])
+    this process's slice of the regional re-rank store.
     """
     from .sharded_index import ShardedIndex
     mesh = mesh or global_shard_mesh()
@@ -96,4 +99,10 @@ def build_multihost_index(local_descriptors, ids, mesh: Mesh | None = None,
         from jax.sharding import NamedSharding, PartitionSpec as P
         scales = jax.make_array_from_process_local_data(
             NamedSharding(mesh, P(None, axis)), np.asarray(local_scales))
-    return ShardedIndex(desc, np.asarray(ids), mesh=mesh, scales=scales, **kw)
+    regional = (shard_local_rows(mesh, local_regional, axis)
+                if local_regional is not None else None)
+    regional_scales = (shard_local_rows(mesh, local_regional_scales, axis)
+                       if local_regional_scales is not None else None)
+    return ShardedIndex(desc, np.asarray(ids), mesh=mesh, scales=scales,
+                        regional=regional, regional_scales=regional_scales,
+                        **kw)

@@ -63,4 +63,15 @@ sidx8 = build_multihost_index(np.asarray(qr.values), ids,
 _, g8 = sidx8.search(Q, k=k)
 assert (np.asarray(g8)[:, 0] == np.arange(7)).all()
 
+# regional re-ranking across processes: each host commits only its slice
+# of the [N, R, D] store
+R = 3
+reg = rng.standard_normal((N, R, D)).astype(np.float32)
+reg /= np.linalg.norm(reg, axis=-1, keepdims=True)
+sidxr = build_multihost_index(X[lo:hi], ids, local_regional=reg[lo:hi], k=k)
+qreg = reg[:4]
+_, gr = sidxr.search_rerank(Q[:4], qreg, k=k, depth=16)
+assert np.asarray(gr).shape == (4, k)
+assert (np.asarray(gr)[:, 0] == np.arange(4)).all(), np.asarray(gr)
+
 print(f"MH_OK {pid}", flush=True)
