@@ -66,12 +66,8 @@ def main() -> int:
           "weights" if reloaded.extractor is not None else "no weights")
 
     # ---- 6. distributed serving + sharded protocol evaluation -------------
-    # config pins the shard count; otherwise shard over every device
-    from instsearch_tpu.parallel import make_mesh
-    import jax as _jax
-    mesh = (None if cfg.index.num_shards > 1 or len(_jax.devices()) == 1
-            else make_mesh())
-    sharded = index.to_sharded(mesh=mesh)
+    # default policy: config pins the shard count, else every device
+    sharded = index.to_sharded()
     q = np.asarray(index.descriptors[:1].astype("float32"))
     if index.scales is not None:
         q = q * np.asarray(index.scales)[0, :1, None]

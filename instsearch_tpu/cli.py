@@ -45,7 +45,9 @@ def cmd_build_index(args) -> int:
                 extract=cfg.extract.replace(
                     backbone=wmeta.get("backbone", cfg.extract.backbone),
                     pooling=wmeta.get("pooling", cfg.extract.pooling),
-                    gem_p=wmeta.get("gem_p", cfg.extract.gem_p)),
+                    gem_p=wmeta.get("gem_p", cfg.extract.gem_p),
+                    image_size=wmeta.get("image_size",
+                                         cfg.extract.image_size)),
                 index=cfg.index, search=cfg.search, eval=cfg.eval)
             if wmeta.get("whitening"):
                 # Lw whitening fit by `finetune --fit-lw` replaces the
@@ -105,9 +107,11 @@ def cmd_query(args) -> int:
         return 2
     scfg = idx.cfg.search.replace(k=args.k)
     scores, ids = idx.query_images(img[None], scfg)
+    # drop padded slots (id -1, score -inf): fewer valid rows than k —
+    # -inf also serializes as the non-standard JSON token -Infinity
     results = [{"rank": r, "name": idx.name_of(i), "id": int(i),
                 "score": float(s)}
-               for r, (s, i) in enumerate(zip(scores[0], ids[0]))]
+               for r, (s, i) in enumerate(zip(scores[0], ids[0])) if i >= 0]
     print(json.dumps({"query": args.image, "results": results}))
     return 0
 
@@ -139,15 +143,18 @@ def cmd_serve(args) -> int:
               "with a random-init extractor (wrong retrieval)",
               file=sys.stderr)
         return 2
-    sidx = None
-    if args.sharded:                                    # multi-chip serving
-        from .parallel import make_mesh
-        # config pins the shard count; otherwise use every device
-        mesh = None if idx.cfg.index.num_shards > 1 else make_mesh()
-        sidx = idx.to_sharded(mesh=mesh)
+    sidx = idx.to_sharded() if args.sharded else None   # multi-chip serving
     size = idx.cfg.extract.image_size
-    idx.query_images(np.zeros((1, size, size, 3), np.uint8),
-                     sharded_index=sidx)                # compile
+    # request batches pad up to fixed power-of-two buckets so a new list
+    # length never triggers a multi-second XLA recompile mid-request; the
+    # buckets are compiled here, before {"ready": true}
+    chunk = max(1, idx.cfg.search.query_chunk or 8)
+    buckets = [1]
+    while buckets[-1] < min(8, chunk):
+        buckets.append(buckets[-1] * 2)
+    for b in buckets:
+        idx.query_images(np.zeros((b, size, size, 3), np.uint8),
+                         sharded_index=sidx)            # compile
     ready = {"ready": True, "rows": idx.num_valid, "dim": idx.dim}
     if sidx is not None:
         ready["shards"] = int(sidx.mesh.shape[sidx.axis])
@@ -169,13 +176,22 @@ def cmd_serve(args) -> int:
             scfg = idx.cfg.search.replace(k=int(req.get("k",
                                                         idx.cfg.search.k)))
             t0 = time.perf_counter()
-            scores, ids = idx.query_images(np.stack(imgs), scfg,
+            batch = np.stack(imgs)
+            nreq = batch.shape[0]
+            bucket = next((b for b in buckets if b >= nreq), None)
+            if bucket and bucket > nreq:            # pad to a warm bucket
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], bucket - nreq, axis=0)])
+            scores, ids = idx.query_images(batch, scfg,
                                            sharded_index=sidx)
             latency = (time.perf_counter() - t0) * 1e3
+            # padded slots (id -1 / -inf) are dropped: -inf serializes as
+            # the non-standard JSON token -Infinity and breaks clients
             results = [[{"rank": r, "name": idx.name_of(i), "id": int(i),
                          "score": float(s)}
-                        for r, (s, i) in enumerate(zip(srow, irow))]
-                       for srow, irow in zip(scores, ids)]
+                        for r, (s, i) in enumerate(zip(srow, irow))
+                        if i >= 0]
+                       for srow, irow in zip(scores[:nreq], ids[:nreq])]
             print(json.dumps({"results": results,
                               "latency_ms": round(latency, 3)}), flush=True)
         except Exception as e:    # noqa: BLE001 — a long-lived server
@@ -196,12 +212,7 @@ def cmd_evaluate(args) -> int:
         from .eval.datasets import with_distractors
         ds = with_distractors(ds, args.distractors)
     idx = build_index_for_dataset(ds, cfg)
-    sidx = None
-    if args.sharded:
-        from .parallel import make_mesh
-        # config pins the shard count; otherwise use every device
-        mesh = None if cfg.index.num_shards > 1 else make_mesh()
-        sidx = idx.to_sharded(mesh=mesh)
+    sidx = idx.to_sharded() if args.sharded else None
     res = evaluate_index(idx, ds, args.protocol, sharded_index=sidx)
     res.pop("per_query_ap", None)
     if args.sharded:

@@ -495,7 +495,11 @@ class Index:
         rows."""
         from .parallel import ShardedIndex, make_mesh
         if mesh is None:
-            mesh = make_mesh(max(self.cfg.index.num_shards, 1))
+            # ONE policy (was copy-pasted per CLI site): the config pins
+            # the shard count when it names one; otherwise shard over
+            # every visible device
+            n = self.cfg.index.num_shards
+            mesh = make_mesh(n if n > 1 else None)
         if use_pallas is None:
             use_pallas = (self.cfg.search.use_pallas
                           and jax.devices()[0].platform == "tpu")

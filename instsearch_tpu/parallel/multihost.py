@@ -23,17 +23,52 @@ from ..utils import get_logger
 log = get_logger("instsearch.multihost")
 
 
+def _detect_cluster_env() -> "str | None":
+    """Name of the env signal indicating a MULTI-host managed cluster, or
+    None. Presence alone is not enough: a single TPU host also exports
+    TPU_WORKER_HOSTNAMES (one entry) — only >1 participants mean a
+    cluster."""
+    import os
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS"):
+        if os.environ.get(var):
+            return var
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        return "TPU_WORKER_HOSTNAMES"
+    for var in ("SLURM_JOB_NUM_NODES", "OMPI_COMM_WORLD_SIZE"):
+        try:
+            if int(os.environ.get(var, "1")) > 1:
+                return var
+        except ValueError:
+            pass
+    return None
+
+
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """``jax.distributed.initialize`` wrapper; no-op for single-process runs
-    (all arguments None and no cluster env detected)."""
-    if coordinator_address is None and num_processes in (None, 1):
-        log.info("single-process run; skipping jax.distributed.initialize")
-        return
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    """``jax.distributed.initialize`` wrapper.
+
+    With no arguments: initializes via JAX's cluster auto-detection when a
+    managed multi-host environment is detected (the canonical no-arg call
+    on TPU pods / SLURM / OpenMPI), and no-ops on a plain single host —
+    skipping auto-detection on a real pod would silently build a
+    single-host index that appears to succeed.
+    """
+    if coordinator_address is None and num_processes in (None, 1) \
+            and process_id is None:
+        detected = _detect_cluster_env()
+        if detected is None:
+            log.info("single host, no multi-host cluster env; skipping "
+                     "jax.distributed.initialize")
+            return
+        log.info("cluster env detected (%s); auto-initializing", detected)
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
     log.info("initialized process %d/%d", jax.process_index(),
              jax.process_count())
 

@@ -80,6 +80,25 @@ def _gather_rows_f32(X, pos, scales_s, *, int8: bool):
     return jnp.where((pos >= 0)[..., None], rows, 0.0)            # [Q, n, D]
 
 
+def _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw):
+    """Round-1 alpha-QE expansion inside a shard_map body: per-shard
+    top-qe_n + dequantized row gather -> two allgathers -> replicated
+    expanded queries [Q, D] f32 unit-norm (arXiv:1711.02512 §5). ONE
+    implementation shared by sharded_qe_topk_fn and sharded_expand_fn so
+    the weighting/normalization cannot drift between them."""
+    axis = kw["axis"]
+    s, pos, _ = _local_topk(X, ids_s, q, nv, qe_n, scales_s, **kw)
+    rows = _gather_rows_f32(X, pos, scales_s, int8=kw["int8"])  # [Q, n, D]
+    s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)     # [Q, S*n]
+    r_all = jax.lax.all_gather(rows, axis, axis=1, tiled=True)  # [Q, S*n, D]
+    top_s, top_j = jax.lax.top_k(s_all, qe_n)
+    top_rows = jnp.take_along_axis(r_all, top_j[..., None], axis=1)
+    w = jnp.clip(top_s, 0.0, None) ** alpha
+    q_exp = q.astype(jnp.float32) + jnp.einsum("qn,qnd->qd", w, top_rows)
+    return q_exp / jnp.maximum(
+        jnp.linalg.norm(q_exp, axis=-1, keepdims=True), 1e-6)
+
+
 def sharded_topk_fn(mesh: Mesh, k: int, axis: str = "shard",
                     use_pallas: bool = False, interpret: bool = False,
                     int8: bool = False):
@@ -132,18 +151,9 @@ def sharded_qe_topk_fn(mesh: Mesh, k: int, qe_n: int, alpha: float,
     def per_shard(X, ids_s, q, nv, scales_s=None):
         kw = dict(axis=axis, use_pallas=use_pallas, interpret=interpret,
                   int8=int8)
-        # ---- round 1: expansion candidates ----
-        s, pos, gids = _local_topk(X, ids_s, q, nv, qe_n, scales_s, **kw)
-        rows = _gather_rows_f32(X, pos, scales_s, int8=int8)      # [Q, n, D]
-        s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)     # [Q, S*n]
-        r_all = jax.lax.all_gather(rows, axis, axis=1, tiled=True)  # [Q, S*n, D]
-        top_s, top_j = jax.lax.top_k(s_all, qe_n)
-        top_rows = jnp.take_along_axis(r_all, top_j[..., None], axis=1)
-        w = jnp.clip(top_s, 0.0, None) ** alpha
-        q_exp = q.astype(jnp.float32) + jnp.einsum("qn,qnd->qd", w, top_rows)
-        q_exp = q_exp / jnp.maximum(
-            jnp.linalg.norm(q_exp, axis=-1, keepdims=True), 1e-6)
-        q_exp = q_exp.astype(q.dtype)
+        # ---- round 1: expansion candidates (shared _local_expand) ----
+        q_exp = _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw
+                              ).astype(q.dtype)
         # ---- round 2: final search with expanded query ----
         s2, _, gids2 = _local_topk(X, ids_s, q_exp, nv, k, scales_s, **kw)
         s2_all = jax.lax.all_gather(s2, axis, axis=1, tiled=True)
@@ -197,18 +207,9 @@ def sharded_expand_fn(mesh: Mesh, qe_n: int, alpha: float,
     it rather than taking a top-k)."""
 
     def per_shard(X, ids_s, q, nv, scales_s=None):
-        s, pos, _ = _local_topk(X, ids_s, q, nv, qe_n, scales_s, axis=axis,
-                                use_pallas=use_pallas, interpret=interpret,
-                                int8=int8)
-        rows = _gather_rows_f32(X, pos, scales_s, int8=int8)
-        s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)
-        r_all = jax.lax.all_gather(rows, axis, axis=1, tiled=True)
-        top_s, top_j = jax.lax.top_k(s_all, qe_n)
-        top_rows = jnp.take_along_axis(r_all, top_j[..., None], axis=1)
-        w = jnp.clip(top_s, 0.0, None) ** alpha
-        q_exp = q.astype(jnp.float32) + jnp.einsum("qn,qnd->qd", w, top_rows)
-        return q_exp / jnp.maximum(
-            jnp.linalg.norm(q_exp, axis=-1, keepdims=True), 1e-6)
+        kw = dict(axis=axis, use_pallas=use_pallas, interpret=interpret,
+                  int8=int8)
+        return _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw)
 
     in_specs = [P(axis, None), P(axis), P(None, None), P(None)]
     if int8:

@@ -55,6 +55,18 @@ def test_serve_loop(tmp_path, sharded):
         r = json.loads(p.stdout.readline())
         assert [row[0]["name"] for row in r["results"]] == \
             [mini.imlist[1], mini.imlist[2]]
+        assert len(r["results"]) == 2          # padded bucket rows dropped
+
+        # k beyond the row count: strictly valid JSON, padded slots
+        # (-Infinity / id -1) filtered out of the response (review r2)
+        p.stdin.write(json.dumps({"image": mini.db_paths[0],
+                                  "k": 60}) + "\n")
+        p.stdin.flush()
+        line_out = p.stdout.readline()
+        assert "Infinity" not in line_out
+        r = json.loads(line_out)
+        assert len(r["results"][0]) == len(mini.imlist)
+        assert all(e["id"] >= 0 for e in r["results"][0])
 
         # decode failure answers with error and keeps serving
         p.stdin.write(json.dumps({"image": "/nonexistent.jpg"}) + "\n")
