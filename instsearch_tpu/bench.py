@@ -468,7 +468,8 @@ def run_bench(what: str = "all") -> dict:
         out["query_int8"] = bench_query(dtype="int8")
         out["query_int8_b128"] = bench_query(q_batch=128, dtype="int8")
         out["query_e2e"] = bench_query_e2e()
-        out["hbm_bw_gbps"] = out["query"].get("hbm_bw_gbps")
+        if "hbm_bw_gbps" in out["query"]:   # absent on CPU / collapsed probes
+            out["hbm_bw_gbps"] = out["query"]["hbm_bw_gbps"]
         # QPS vs index size (SURVEY.md §3.5); 1M point reused from above
         out["query_sweep"] = [
             bench_query(n=nn) for nn in (65_536, 262_144)

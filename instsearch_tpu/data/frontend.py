@@ -66,11 +66,13 @@ def _iter_images(paths: Sequence[str], size: int,
     """Stream (decoded uint8 [S,S,3], original index); prefers the native
     C++ threaded loader (data/native_frontend.py), falls back to cv2."""
     from . import native_frontend as nf
+    from ..utils.observe import annotate
     if nf.available():
         chunk = 64
         for start in range(0, len(paths), chunk):
             sub = list(paths[start:start + chunk])
-            imgs, ok = nf.load_batch_native(sub, size)
+            with annotate("host_decode_native"):   # host-stage attribution
+                imgs, ok = nf.load_batch_native(sub, size)
             for j, good in enumerate(ok):
                 if good:
                     yield imgs[j], start + j
@@ -108,7 +110,13 @@ def batch_paths(paths: Sequence[str], size: int, batch: int,
 # ---------------------------------------------------------------------------
 
 def normalize(images: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
-    """uint8/float [N,H,W,3] -> normalized float [N,H,W,3] on device."""
+    """uint8/float [N,H,W,3] -> ImageNet-normalized float [N,H,W,3].
+
+    Input contract: uint8 images are pixel values [0, 255] (divided by 255
+    here); float images must ALREADY be scaled to [0, 1] — a float batch in
+    [0, 255] would silently produce garbage descriptors, so the user-facing
+    entry point (Index.query) rejects out-of-range float images before they
+    reach this jitted stage (it cannot branch on values itself)."""
     x = images.astype(jnp.float32) / 255.0 if images.dtype == jnp.uint8 \
         else images.astype(jnp.float32)
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)

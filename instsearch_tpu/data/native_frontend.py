@@ -32,9 +32,19 @@ def _load() -> "ctypes.CDLL | None":
         try:
             # run make unconditionally: it is a no-op when the .so is
             # fresh, and skipping it would silently load a STALE binary
-            # after a frontend.cc edit (the Makefile tracks the .cc dep)
-            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                           check=True, capture_output=True, timeout=120)
+            # after a frontend.cc edit (the Makefile tracks the .cc dep).
+            # A make failure (no toolchain on this host) downgrades to
+            # loading a prebuilt .so if one exists (ADVICE r2).
+            try:
+                subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                               check=True, capture_output=True, timeout=120)
+            except Exception as e:
+                if not os.path.exists(_SO_PATH):
+                    raise
+                import logging
+                logging.getLogger("instsearch.native").warning(
+                    "native frontend rebuild failed (%s); loading the "
+                    "existing %s — it may be stale", e, _SO_PATH)
             lib = ctypes.CDLL(_SO_PATH)
             lib.isf_load_one.argtypes = [
                 ctypes.c_char_p, ctypes.c_int,

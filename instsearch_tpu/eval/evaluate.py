@@ -79,12 +79,14 @@ def _splice_head(ranks: np.ndarray, top_ids: np.ndarray) -> np.ndarray:
     """Re-order: per query, ``top_ids`` first (re-ranked head), then the
     rest of ``ranks`` with the head removed, order preserved. Vectorized
     per query via np.isin — no O(N) python set scans in the protocol path."""
+    from ..utils.observe import annotate
     spliced = np.empty_like(ranks)
-    for qi in range(ranks.shape[0]):
-        head = top_ids[qi][top_ids[qi] >= 0].astype(ranks.dtype)
-        tail = ranks[qi][~np.isin(ranks[qi], head, assume_unique=True)]
-        spliced[qi, :len(head)] = head
-        spliced[qi, len(head):] = tail
+    with annotate("splice_head"):      # host-stage attribution in traces
+        for qi in range(ranks.shape[0]):
+            head = top_ids[qi][top_ids[qi] >= 0].astype(ranks.dtype)
+            tail = ranks[qi][~np.isin(ranks[qi], head, assume_unique=True)]
+            spliced[qi, :len(head)] = head
+            spliced[qi, len(head):] = tail
     return spliced
 
 

@@ -426,6 +426,16 @@ class Index:
         # crash deep inside the jitted extractor (review r2).
         is_image = q.ndim in (3, 4) and q.shape[-1] == 3
         if is_image:
+            if q.dtype != np.uint8:
+                # frontend.normalize assumes float images are pre-scaled to
+                # [0, 1]; a [0, 255] float batch would silently produce
+                # garbage descriptors (and confidently wrong neighbors)
+                lo, hi = float(jnp.min(q)), float(jnp.max(q))
+                if lo < 0.0 or hi > 1.0:
+                    raise ValueError(
+                        f"float image batch has values in [{lo:g}, {hi:g}]; "
+                        f"query() expects uint8 pixels [0, 255] or float "
+                        f"images pre-scaled to [0, 1]")
             return self.query_images(q if q.ndim == 4 else q[None], scfg)
         if q.ndim in (1, 2) and q.dtype != np.uint8:
             return self.search(q, scfg, **kw)

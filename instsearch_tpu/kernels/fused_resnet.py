@@ -48,8 +48,7 @@ weights exceed the VMEM group budget stay in plain XLA (lax convs with the
 same folded-BN math) — see ``fused_resnet_apply``.
 
 Parity: ``tests/kernels/test_fused_resnet.py`` (interpret mode vs the Flax
-``models.resnet`` forward), ``tests/parity/test_fused_extract.py``
-(descriptor-level cosine on the extraction pipeline).
+``models.resnet`` forward, block- and stage-level).
 """
 from __future__ import annotations
 

@@ -55,7 +55,13 @@ def place(mesh: Mesh, x, spec: P) -> jax.Array:
     """
     s = NamedSharding(mesh, spec)
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
-        assert x.sharding == s, (x.sharding, s)
+        # a global (multi-process) array can only pass through unchanged;
+        # re-placing it would need a collective this helper must not issue
+        if x.sharding != s:
+            raise ValueError(
+                f"global array already placed with sharding {x.sharding}, "
+                f"cannot re-place to {s}; reshard it inside a jitted "
+                f"program (or rebuild it with the target sharding)")
         return x
     if not s.is_fully_addressable:
         arr = np.asarray(x)

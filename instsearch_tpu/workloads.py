@@ -35,6 +35,10 @@ def load_preset(name: str) -> PipelineConfig:
 
 
 def _scaled(cfg: PipelineConfig, image_size: int, batch: int) -> PipelineConfig:
+    # NOTE: index.capacity is deliberately untouched — every preset ships
+    # capacity=0 (size to the dataset), so CI runs exercise the same
+    # padding/capacity code path at small row counts; the 1M-row sizing
+    # itself is covered on-chip (bench_query / query_capacity_int8_4M).
     return PipelineConfig(
         extract=cfg.extract.replace(image_size=image_size, batch_size=batch),
         index=cfg.index, search=cfg.search, eval=cfg.eval)

@@ -108,3 +108,18 @@ def test_query_dispatch_validation():
         idx.query(np.zeros((5, 16), np.uint8))   # uint8 2-D: ambiguous
     with pytest.raises(ValueError, match="query\\(\\) expects"):
         idx.query(np.zeros((2, 3, 16), np.float32))  # 3-D non-image
+
+
+def test_query_rejects_unscaled_float_images():
+    """Float image batches must be pre-scaled to [0, 1]
+    (frontend.normalize contract); [0, 255] floats would silently
+    produce garbage descriptors (review r2)."""
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((4, 16)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    cfg = PipelineConfig(search=SearchConfig(k=2, use_pallas=False))
+    idx = Index.from_descriptors(X, [str(i) for i in range(4)], cfg)
+    with pytest.raises(ValueError, match="pre-scaled to \\[0, 1\\]"):
+        idx.query(np.full((2, 8, 8, 3), 255.0, np.float32))
+    with pytest.raises(ValueError, match="pre-scaled to \\[0, 1\\]"):
+        idx.query(np.full((8, 8, 3), -0.5, np.float32))
