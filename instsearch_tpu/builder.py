@@ -62,9 +62,15 @@ class ResumableBuilder:
                 log.warning("manifest group size changed (%s -> %d); "
                             "restarting build", m.get("group"), self.group)
                 m = None
+            elif bool(m.get("regional")) != self.cfg.search.rerank_enabled:
+                # parts written without regional rows cannot serve a
+                # rerank-enabled finalize (and vice versa wastes space)
+                log.warning("manifest regional flag changed; restarting build")
+                m = None
             if m is not None:
                 return m
         return {"num_paths": len(self.paths), "group": self.group,
+                "regional": self.cfg.search.rerank_enabled,
                 "completed": [], "quarantined": []}
 
     def _save_manifest(self) -> None:
@@ -84,9 +90,19 @@ class ResumableBuilder:
                 continue
             chunk = self.paths[start:end]
             quarantine: list[str] = []
-            descs, kept = self.extractor.extract_paths(chunk, quarantine)
+            extra = {}
+            if self.cfg.search.rerank_enabled:
+                # single pass (same as Index.build): regional re-rank rows
+                # come from the same decode+backbone run, flushed into the
+                # part so finalize never re-extracts (review r2)
+                descs, reg, kept = \
+                    self.extractor.extract_paths_with_regional(chunk,
+                                                               quarantine)
+                extra["regional"] = reg
+            else:
+                descs, kept = self.extractor.extract_paths(chunk, quarantine)
             np.savez(self._part_path(start), descriptors=descs,
-                     kept=np.asarray(kept) + start)
+                     kept=np.asarray(kept) + start, **extra)
             # NOTE: extract_paths already counted images_extracted —
             # counting here again doubled the throughput metric
             self.manifest["completed"].append([start, end])
@@ -106,34 +122,42 @@ class ResumableBuilder:
         if ranges != expected:
             missing = set(expected) - set(ranges)
             raise RuntimeError(f"build incomplete; missing groups {sorted(missing)[:5]}")
-        descs, kept = [], []
+        descs, kept, regional = [], [], []
+        want_regional = self.cfg.search.rerank_enabled
         for s, _ in expected:
             part = np.load(self._part_path(s))
             descs.append(part["descriptors"])
             kept.append(part["kept"])
+            if want_regional:
+                regional.append(part["regional"])
         descs = np.concatenate(descs) if descs else np.zeros((0, 1), np.float32)
         kept = np.concatenate(kept) if kept else np.zeros((0,), np.int64)
+        regional = (np.concatenate(regional)
+                    if want_regional and regional else None)
 
         ex = self.extractor
         if whitening is not None or (self.cfg.extract.whiten
                                      and fit_whitening_now):
             import jax.numpy as jnp
-            from .ops.whitening import apply_whitening, fit_whitening
+            from .ops.whitening import (apply_whitening,
+                                        apply_whitening_regional,
+                                        fit_whitening)
             ex.whitening = whitening if whitening is not None else \
                 fit_whitening(jnp.asarray(descs),
                               dim=self.cfg.extract.whiten_dim or None)
             descs = np.asarray(apply_whitening(jnp.asarray(descs), ex.whitening))
+            if regional is not None and len(regional):
+                regional = apply_whitening_regional(regional, ex.whitening)
 
         names = [os.path.splitext(os.path.basename(self.paths[i]))[0]
                  for i in kept]
         idx = Index.from_descriptors(descs, names, self.cfg, extractor=ex,
                                      original_ids=kept)
         idx.quarantined = list(self.manifest["quarantined"])
-        if self.cfg.search.rerank_enabled:
-            # same regional re-rank store Index.build attaches — the
-            # resumable path previously skipped it, silently serving
-            # un-reranked results under a rerank-enabled config (review r2)
+        if regional is not None:
+            # same regional re-rank store Index.build attaches, assembled
+            # from the parts' single-pass rows — the resumable path
+            # previously re-extracted the whole corpus here (review r2/r3)
             from .index import attach_regional_store
-            attach_regional_store(idx, ex,
-                                  [self.paths[i] for i in kept])
+            attach_regional_store(idx, regional)
         return idx

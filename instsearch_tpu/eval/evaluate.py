@@ -140,13 +140,13 @@ def evaluate_index(index: Index, dataset: RetrievalDataset,
             _, top_ids = sharded_index.search_rerank(
                 q, jnp.asarray(query_regional), k=depth, depth=depth)
         else:
+            # the fused-kernel composite (no [Q, N] materialization):
+            # re-ranked head of size depth, QE already applied to q above
             depth = min(scfg.rerank_depth, index.descriptors.shape[0])
-            from ..search.rerank import regional_rerank_scores
-            scores = index._masked_scores(q)
-            _, top_ids = regional_rerank_scores(
-                index.regional, index.ids, scores,
-                jnp.asarray(query_regional), depth=depth, k=depth,
-                regional_scales=index.regional_scales)
+            _, top_ids = index.search(
+                q, scfg.replace(qe_enabled=False, rerank_enabled=True,
+                                k=depth, rerank_depth=depth),
+                query_regional=query_regional)
         ranks = _splice_head(ranks, np.asarray(top_ids))
 
     res = evaluate_ranks(ranks, dataset.gnd, protocol)

@@ -78,6 +78,53 @@ def build_regional_fn(cfg: ExtractConfig):
     return model, extract_regional
 
 
+def build_combined_fn(cfg: ExtractConfig):
+    """ONE jitted program emitting BOTH the global descriptor and the
+    regional re-rank rows: ``(variables, images, whitening) ->
+    ([N, D], [N, R, D])``. The scale-1.0 backbone pass is shared between
+    the global pooling and the regional R-MAC grid, so a rerank-enabled
+    index build decodes and runs the backbone over the corpus ONCE —
+    the previous two-pass build (extract_paths then
+    extract_paths_regional) doubled the most expensive offline step
+    (SURVEY.md §3.1: descriptors written once per batch; review r2)."""
+    from .ops.pooling import rmac_regional_descriptors
+
+    dtype = _DTYPES[cfg.dtype]
+    model, spec = get_backbone(cfg.backbone, dtype=dtype)
+
+    def extract_combined(variables, images,
+                         whitening: Optional[WhiteningParams] = None):
+        with jax.named_scope("frontend"):
+            x = frontend.normalize(images, dtype=dtype)
+        descs = []
+        fmap_s1 = None
+        for scale in cfg.scales:
+            with jax.named_scope(f"backbone_s{scale:g}"):
+                xs = frontend.rescale(x, scale)
+                fmap = model.apply(variables, xs)
+            if scale == 1.0:
+                fmap_s1 = fmap                    # shared with regional
+            with jax.named_scope("pool"):
+                d = pool(fmap, cfg)
+            descs.append(l2_normalize(d.astype(jnp.float32), axis=-1))
+        desc = (jnp.mean(jnp.stack(descs, 0), axis=0)
+                if len(descs) > 1 else descs[0])
+        desc = l2_normalize(desc, axis=-1)
+        if fmap_s1 is None:                       # 1.0 not among the scales
+            with jax.named_scope("backbone_regional"):
+                fmap_s1 = model.apply(variables, x)
+        with jax.named_scope("regional_pool"):
+            reg = rmac_regional_descriptors(fmap_s1, cfg.rmac_levels)
+            reg = l2_normalize(reg.astype(jnp.float32), axis=-1)
+        if whitening is not None:
+            with jax.named_scope("whiten"):
+                desc = apply_whitening(desc, whitening)
+                reg = apply_whitening(reg, whitening)
+        return desc, reg
+
+    return model, extract_combined
+
+
 class Extractor:
     """Convenience stateful wrapper holding variables + jitted extract fn.
 
@@ -117,6 +164,7 @@ class Extractor:
         self.whitening = whitening
         self._jit = jax.jit(self._fn)
         self._regional_jit = None
+        self._combined_jit = None
 
     def _place(self, images) -> jax.Array:
         """Commit the batch to the DP sharding (pad rows to the device
@@ -159,32 +207,69 @@ class Extractor:
         return iter_batches(paths, self.cfg.image_size, self.cfg.batch_size,
                             quarantine)
 
-    def extract_paths_regional(self, paths) -> np.ndarray:
-        out = []
-        for batch, idxs in self._batches(paths):
-            r = np.asarray(self.extract_regional(batch))
-            out.append(r[idxs >= 0])
-        return np.concatenate(out) if out else np.zeros((0, 0, 0), np.float32)
+    def _extract_loop(self, paths, quarantine, run):
+        """Prefetch-overlapped loop shared by every paths-based extraction:
+        host decodes batch i+1 in a background thread while the device runs
+        batch i (dispatch is async; the np.asarray readback of batch i-1 is
+        the only host sync). ``run(batch) -> array | tuple`` of per-row
+        outputs. Returns ``(list of np arrays per output, kept_indices)``."""
+        outs: "list[list] | None" = None
+        kept = []
+        pending = None
+
+        def drain(pending):
+            res, pidxs = pending
+            res = res if isinstance(res, tuple) else (res,)
+            keep = pidxs >= 0
+            for slot, r in zip(outs, res):
+                slot.append(np.asarray(r)[keep])
+            kept.append(pidxs[keep])
+
+        for batch, idxs in self._batches(paths, quarantine):
+            res = run(batch)                 # async dispatch; no host sync
+            if outs is None:
+                outs = [[] for _ in (res if isinstance(res, tuple) else (res,))]
+            if pending is not None:
+                drain(pending)
+            pending = (res, idxs)
+        if pending is not None:
+            drain(pending)
+        if outs is None:
+            return None, np.zeros((0,), np.int64)
+        from .utils import COUNTERS
+        kept = np.concatenate(kept)
+        COUNTERS.add("images_extracted", len(kept))
+        return [np.concatenate(o) for o in outs], kept
 
     def extract_paths(self, paths, quarantine: list | None = None):
         """Prefetch-overlapped loop: host decodes ahead in a background
         thread, device extracts. Returns
         ``(descriptors [N,D] f32 numpy, kept_indices [N])``."""
-        out, kept = [], []
-        pending = None                 # overlap device compute with decode
-        for batch, idxs in self._batches(paths, quarantine):
-            if pending is not None:
-                d, pidxs = np.asarray(pending[0]), pending[1]
-                out.append(d[pidxs >= 0])
-                kept.append(pidxs[pidxs >= 0])
-            pending = (self(batch), idxs)   # async dispatch; no host sync
-        if pending is not None:
-            d, pidxs = np.asarray(pending[0]), pending[1]
-            out.append(d[pidxs >= 0])
-            kept.append(pidxs[pidxs >= 0])
-        if not out:
-            return np.zeros((0, self.cfg.descriptor_dim), np.float32), np.zeros((0,), np.int64)
-        from .utils import COUNTERS
-        descs, kept = np.concatenate(out), np.concatenate(kept)
-        COUNTERS.add("images_extracted", len(kept))
-        return descs, kept
+        outs, kept = self._extract_loop(paths, quarantine, self)
+        if outs is None:
+            return (np.zeros((0, self.cfg.descriptor_dim), np.float32),
+                    np.zeros((0,), np.int64))
+        return outs[0], kept
+
+    def extract_paths_with_regional(self, paths,
+                                    quarantine: list | None = None):
+        """Single-pass build extraction: ONE decode + ONE backbone pass per
+        image yields both the global descriptor and the regional re-rank
+        rows (build_combined_fn). Returns ``(descriptors [N, D],
+        regional [N, R, Dr], kept_indices [N])`` — rows aligned by
+        construction, so no cross-pass misalignment can exist."""
+        if self._combined_jit is None:
+            _, fn = build_combined_fn(self.cfg)
+            self._combined_jit = jax.jit(fn)
+
+        def run(batch):
+            images, b = self._place(batch)
+            d, r = self._combined_jit(self.variables, images, self.whitening)
+            return (d if d.shape[0] == b else d[:b],
+                    r if r.shape[0] == b else r[:b])
+
+        outs, kept = self._extract_loop(paths, quarantine, run)
+        if outs is None:
+            return (np.zeros((0, self.cfg.descriptor_dim), np.float32),
+                    np.zeros((0, 0, 0), np.float32), np.zeros((0,), np.int64))
+        return outs[0], outs[1], kept

@@ -39,9 +39,13 @@ def _raw_scores(descriptors, queries, scales):
     return masked_scores(descriptors, queries, scales=scales)
 
 
-@partial(jax.jit, static_argnames=("k", "use_pallas"))
-def _topk_jit(descriptors, ids, queries, num_valid, scales,
+def _topk_raw(descriptors, ids, queries, num_valid, scales,
               *, k: int, use_pallas: bool):
+    """Top-k candidate selection: ``(scores [Q,k], pos [Q,k])`` where pos
+    indexes the padded row store (invalid slots score -inf; their pos is
+    safe to gather with via max(pos, 0)). Fused Pallas kernel on TPU, XLA
+    oracle elsewhere — trace-time body shared by every jitted search
+    program so the two backends cannot drift."""
     queries = jnp.asarray(queries)
     if use_pallas and descriptors.dtype == jnp.int8:
         from .kernels import topk_matmul_int8
@@ -55,8 +59,59 @@ def _topk_jit(descriptors, ids, queries, num_valid, scales,
         raw = _raw_scores(descriptors, queries, scales)
         raw = jnp.where(ids[None, :] >= 0, raw, -jnp.inf)
         scores, pos = jax.lax.top_k(raw, k)
-    out_ids = jnp.where(pos >= 0, jnp.take(ids, jnp.maximum(pos, 0)), -1)
-    return scores, out_ids
+    return scores, pos
+
+
+def _pos_to_ids(ids, scores, pos):
+    valid = (pos >= 0) & (scores > -jnp.inf)
+    return jnp.where(valid, jnp.take(ids, jnp.maximum(pos, 0)), -1)
+
+
+@partial(jax.jit, static_argnames=("k", "use_pallas"))
+def _topk_jit(descriptors, ids, queries, num_valid, scales,
+              *, k: int, use_pallas: bool):
+    scores, pos = _topk_raw(descriptors, ids, queries, num_valid, scales,
+                            k=k, use_pallas=use_pallas)
+    return scores, _pos_to_ids(ids, scores, pos)
+
+
+@partial(jax.jit, static_argnames=("k", "depth", "qe_n", "qe_alpha",
+                                   "use_pallas", "do_qe", "do_rerank"))
+def _search_composite_jit(descriptors, ids, queries, num_valid, scales,
+                          regional, regional_scales, query_regional,
+                          *, k: int, depth: int, qe_n: int, qe_alpha: float,
+                          use_pallas: bool, do_qe: bool, do_rerank: bool):
+    """ONE jitted program for the quality composite (SURVEY.md §3.2):
+    optional alpha-QE (fused top-n + row gather), optional regional
+    re-ranking (fused top-``depth`` candidate selection), final top-k.
+
+    Never materializes a [Q, N] score matrix — candidate selection runs
+    through the same fused kernel as plain search, so peak memory is
+    O(Q * depth * R * D), not O(Q * N) (512 MB per 128-query chunk at 1M
+    rows; review r2). The sharded path (parallel/sharded_index.py) has
+    always worked this way; this is its single-device mirror.
+    """
+    q = jnp.asarray(queries, jnp.float32)
+    if do_qe:
+        s, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
+                           k=qe_n, use_pallas=use_pallas)
+        rows = jnp.take(descriptors, jnp.maximum(pos, 0),
+                        axis=0).astype(jnp.float32)               # [Q, n, D]
+        if descriptors.dtype == jnp.int8:
+            rows = rows * jnp.take(scales[0], jnp.maximum(pos, 0))[..., None]
+        rows = jnp.where((s > -jnp.inf)[..., None], rows, 0.0)
+        from .search.qe import expand_from_candidates
+        q = expand_from_candidates(q, s, rows, qe_alpha)
+    if do_rerank:
+        g, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
+                           k=depth, use_pallas=use_pallas)
+        from .search.rerank import rerank_from_candidates
+        return rerank_from_candidates(
+            regional, ids, g, pos, query_regional, k=k,
+            regional_scales=regional_scales)
+    scores, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
+                            k=k, use_pallas=use_pallas)
+    return scores, _pos_to_ids(ids, scores, pos)
 
 
 @jax.jit
@@ -73,26 +128,17 @@ def _full_ranking_jit(descriptors, ids, queries, scales):
     return jnp.take(ids, order)
 
 
-def attach_regional_store(idx: "Index", ex: "Extractor",
-                          kept_paths) -> None:
-    """Extract + pad (+ int8-quantize) the [N_pad, R, D] regional re-rank
-    store for the index's rows — ONE implementation for Index.build and
-    ResumableBuilder.finalize (the resumable path previously skipped the
-    store entirely, silently disabling re-ranking; review r2).
-
-    STRICT row alignment: every path must decode. The regional pass
-    silently dropping a file that the global pass kept would shift every
-    later row onto the wrong image's regions.
-    """
-    reg = ex.extract_paths_regional(list(kept_paths))
-    if len(reg) != len(kept_paths):
-        raise RuntimeError(
-            f"regional extraction returned {len(reg)} rows for "
-            f"{len(kept_paths)} images — a file became undecodable between "
-            f"the global and regional passes; fix or remove it and rebuild")
+def attach_regional_store(idx: "Index", regional: np.ndarray) -> None:
+    """Pad (+ int8-quantize) the [N, R, D] regional rows into the index's
+    [N_pad, R, D] re-rank store — ONE implementation for Index.build,
+    ResumableBuilder.finalize and add(). ``regional`` rows come from the
+    SAME single extraction pass as the global descriptors
+    (Extractor.extract_paths_with_regional), so they are row-aligned by
+    construction — the old two-pass build needed a runtime misalignment
+    check here; that failure mode no longer exists (review r2)."""
     n_pad = idx.descriptors.shape[0]
-    reg_pad = np.zeros((n_pad,) + reg.shape[1:], np.float32)
-    reg_pad[:len(reg)] = reg
+    reg_pad = np.zeros((n_pad,) + regional.shape[1:], np.float32)
+    reg_pad[:len(regional)] = regional
     if idx.cfg.index.dtype == "int8":
         # quantize the store per (row, region) — it is R x the index
         # size, the system's biggest tensor
@@ -191,7 +237,15 @@ class Index:
         ex = Extractor(cfg.extract.replace(whiten=False), variables,
                        seed=seed, mesh=mesh)
         quarantine: list[str] = []
-        descs, kept = ex.extract_paths(paths, quarantine)
+        if cfg.search.rerank_enabled:
+            # single pass: ONE decode + backbone run per image yields both
+            # the global descriptors and the regional re-rank rows
+            # (SURVEY.md §3.1: descriptors written once per batch)
+            descs, regional, kept = ex.extract_paths_with_regional(
+                paths, quarantine)
+        else:
+            descs, kept = ex.extract_paths(paths, quarantine)
+            regional = None
         names = [os.path.splitext(os.path.basename(paths[i]))[0] for i in kept]
 
         if cfg.extract.whiten or whitening is not None:
@@ -204,15 +258,21 @@ class Index:
                     wdescs = descs
                 ex.whitening = fit_whitening(
                     jnp.asarray(wdescs), dim=cfg.extract.whiten_dim or None)
-            from .ops.whitening import apply_whitening
+            from .ops.whitening import (apply_whitening,
+                                        apply_whitening_regional)
             descs = np.asarray(apply_whitening(jnp.asarray(descs), ex.whitening))
+            if regional is not None and len(regional):
+                # the store was extracted before the fit existed (the fit
+                # consumes this run's own descriptors): whiten it now, in
+                # bounded device chunks
+                regional = apply_whitening_regional(regional, ex.whitening)
 
         idx = cls.from_descriptors(descs, names, cfg, extractor=ex,
                                    original_ids=kept)
         idx.quarantined = quarantine
 
-        if cfg.search.rerank_enabled:
-            attach_regional_store(idx, ex, [paths[i] for i in kept])
+        if regional is not None:
+            attach_regional_store(idx, regional)
         return idx
 
     # ------------------------------------------------------------------
@@ -226,23 +286,31 @@ class Index:
         ``descriptors`` + ``names``. Overflowing the padded capacity falls
         back to a re-pad (host round-trip, logged). Returns #rows added.
         """
+        reg_new = None
         if paths is not None:
             assert self.extractor is not None, "index has no extractor"
             quarantine: list[str] = []
-            descriptors, kept = self.extractor.extract_paths(paths, quarantine)
+            if self.regional is not None:
+                # single pass, same as build: regional rows come from the
+                # same decode+backbone run as the descriptors (whitening is
+                # already fit here, so it applies inside the program)
+                descriptors, reg_new, kept = \
+                    self.extractor.extract_paths_with_regional(paths,
+                                                               quarantine)
+            else:
+                descriptors, kept = self.extractor.extract_paths(paths,
+                                                                 quarantine)
             names = [os.path.splitext(os.path.basename(paths[i]))[0]
                      for i in kept]
-            kept_paths = [paths[i] for i in kept]
             self.quarantined = (list(getattr(self, "quarantined", []))
                                 + quarantine)
         else:
             assert descriptors is not None and names is not None
             descriptors = np.asarray(descriptors, np.float32)
-            kept_paths = None
         n_new = len(names)
         if n_new == 0:
             return 0
-        if self.regional is not None and kept_paths is None:
+        if self.regional is not None and reg_new is None:
             raise ValueError("index has a regional re-rank store; add() "
                              "needs image paths to extend it")
 
@@ -284,8 +352,7 @@ class Index:
             self.descriptors, self.ids = rebuilt.descriptors, rebuilt.ids
             self.scales, self.names = rebuilt.scales, rebuilt.names
             if self.regional is not None:
-                self._write_regional(start,
-                                     self._regional_checked(kept_paths),
+                self._write_regional(start, reg_new,
                                      n_pad_new=self.descriptors.shape[0])
             return n_new
 
@@ -305,18 +372,8 @@ class Index:
         self.ids = jax.lax.dynamic_update_slice(self.ids, new_ids, (start,))
         self.names = list(self.names) + list(names)
         if self.regional is not None:
-            self._write_regional(start, self._regional_checked(kept_paths))
+            self._write_regional(start, reg_new)
         return n_new
-
-    def _regional_checked(self, kept_paths) -> np.ndarray:
-        """Regional rows for add(), strict row alignment (a dropped
-        decode would shift later rows onto the wrong image's regions)."""
-        reg = self.extractor.extract_paths_regional(kept_paths)
-        if len(reg) != len(kept_paths):
-            raise RuntimeError(
-                f"regional extraction returned {len(reg)} rows for "
-                f"{len(kept_paths)} images; refusing misaligned store")
-        return reg
 
     def _write_regional(self, start: int, reg_new: np.ndarray,
                         n_pad_new: int | None = None) -> None:
@@ -390,21 +447,24 @@ class Index:
         do_rerank = (scfg.rerank_enabled and self.regional is not None
                      and query_regional is not None)
 
-        # the WHOLE composite is chunked, not just the top-k: QE and the
-        # re-rank scorer materialize [Q, N] score matrices, so an unchunked
-        # large batch would allocate GBs at million-row scale
+        # the WHOLE composite is chunked, not just the top-k: the re-rank
+        # stage gathers [chunk, depth, R, D] candidate regions, so an
+        # unchunked large batch would still allocate GBs at depth=100
         def run(qq, *qreg):
-            if scfg.qe_enabled:
-                from .search.qe import alpha_query_expansion
-                qq = alpha_query_expansion(self.descriptors, self.ids, qq,
-                                           n=scfg.qe_n, alpha=scfg.qe_alpha,
-                                           scales=self.scales)
-            if do_rerank:
-                from .search.rerank import regional_rerank
-                return regional_rerank(
-                    self, qq, self._masked_scores(qq),
-                    query_regional=qreg[0],
-                    depth=scfg.rerank_depth, k=scfg.k)
+            if scfg.qe_enabled or do_rerank:
+                use_pallas = (self.cfg.search.use_pallas
+                              and jax.devices()[0].platform == "tpu")
+                nv = jnp.asarray(self.num_valid, jnp.int32)
+                depth = (min(scfg.rerank_depth, self.descriptors.shape[0])
+                         if do_rerank else 0)
+                return _search_composite_jit(
+                    self.descriptors, self.ids, qq, nv, self.scales,
+                    self.regional if do_rerank else None,
+                    self.regional_scales if do_rerank else None,
+                    qreg[0] if do_rerank else None,
+                    k=scfg.k, depth=depth, qe_n=scfg.qe_n,
+                    qe_alpha=scfg.qe_alpha, use_pallas=use_pallas,
+                    do_qe=scfg.qe_enabled, do_rerank=do_rerank)
             return self._topk(qq, scfg.k, chunk=0)
 
         from .utils.chunking import run_chunked

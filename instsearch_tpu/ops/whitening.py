@@ -93,3 +93,35 @@ def apply_whitening(x: jax.Array, params: WhiteningParams,
     if renormalize:
         out = l2_normalize(out, axis=-1)
     return out
+
+
+def apply_whitening_regional(reg, params: WhiteningParams,
+                             chunk: int = 65536):
+    """Whiten an [N, R, D] regional store host->device in bounded chunks.
+
+    The self-whitening build extracts the store BEFORE the whitening fit
+    exists (the fit consumes the run's own global descriptors), so the
+    store is whitened here afterwards. One whole-array apply would move
+    N*R*D floats to the device at once — the store is R x the index size,
+    the system's biggest tensor — so rows stream through a fixed [chunk, D]
+    program (last chunk padded: one compiled shape)."""
+    import numpy as np
+    n, r, d = reg.shape
+    flat = np.asarray(reg, np.float32).reshape(-1, d)
+    m = flat.shape[0]
+    if m == 0:
+        return reg
+    if m <= chunk:
+        return np.asarray(apply_whitening(jnp.asarray(flat), params)
+                          ).reshape(n, r, -1)
+    out = None
+    for i in range(0, m, chunk):
+        piece = flat[i:i + chunk]
+        if piece.shape[0] < chunk:
+            piece = np.concatenate(
+                [piece, np.zeros((chunk - piece.shape[0], d), np.float32)])
+        w = np.asarray(apply_whitening(jnp.asarray(piece), params))
+        if out is None:
+            out = np.empty((m, w.shape[-1]), np.float32)
+        out[i:i + chunk] = w[:min(chunk, m - i)]
+    return out.reshape(n, r, -1)

@@ -93,10 +93,8 @@ def _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw):
     r_all = jax.lax.all_gather(rows, axis, axis=1, tiled=True)  # [Q, S*n, D]
     top_s, top_j = jax.lax.top_k(s_all, qe_n)
     top_rows = jnp.take_along_axis(r_all, top_j[..., None], axis=1)
-    w = jnp.clip(top_s, 0.0, None) ** alpha
-    q_exp = q.astype(jnp.float32) + jnp.einsum("qn,qnd->qd", w, top_rows)
-    return q_exp / jnp.maximum(
-        jnp.linalg.norm(q_exp, axis=-1, keepdims=True), 1e-6)
+    from ..search.qe import expand_from_candidates
+    return expand_from_candidates(q, top_s, top_rows, alpha)
 
 
 def sharded_topk_fn(mesh: Mesh, k: int, axis: str = "shard",
@@ -261,14 +259,12 @@ def sharded_rerank_fn(mesh: Mesh, k: int, depth: int, fuse_weight: float = 1.0,
         glob_ids = jnp.take_along_axis(g_all, glob_j, axis=1)     # [Q, depth]
         member = jnp.any(gids[:, :, None] == glob_ids[:, None, :], axis=2)
         member &= gids >= 0
-        # ---- regional match for local candidates ----
-        cand = jnp.take(reg_s, jnp.maximum(pos, 0), axis=0
-                        ).astype(jnp.float32)                     # [Q, d, R, D]
-        if regional_int8:
-            csc = jnp.take(reg_scales_s, jnp.maximum(pos, 0), axis=0)
-            cand = cand * csc[..., None]                          # [Q, d, R, 1]
-        sim = jnp.einsum("qrd,qcsd->qcrs", qreg.astype(jnp.float32), cand)
-        match = jnp.sum(jnp.max(sim, axis=-1), axis=-1) / qreg.shape[1]
+        # ---- regional match for local candidates (shared definition;
+        # int8 scales fold into the sim, not the gather) ----
+        from ..search.rerank import region_match_scores
+        match = region_match_scores(
+            reg_s, pos, qreg,
+            reg_scales_s if regional_int8 else None)
         fused = jnp.where(member, match + fuse_weight * s, -jnp.inf)
         # ---- final merge: always [Q, k] out (the caller's k, not a
         # depth-clamped one); candidates past the top-depth membership or

@@ -1,6 +1,8 @@
 from .bruteforce import all_scores, search_topk
-from .qe import alpha_query_expansion
-from .rerank import regional_rerank, regional_rerank_scores
+from .qe import alpha_query_expansion, expand_from_candidates
+from .rerank import (regional_rerank_scores, rerank_from_candidates,
+                     region_match_scores)
 
 __all__ = ["all_scores", "search_topk", "alpha_query_expansion",
-           "regional_rerank", "regional_rerank_scores"]
+           "expand_from_candidates", "regional_rerank_scores",
+           "rerank_from_candidates", "region_match_scores"]

@@ -15,6 +15,22 @@ import jax
 import jax.numpy as jnp
 
 
+def expand_from_candidates(queries: jax.Array, top_s: jax.Array,
+                           neighbors: jax.Array,
+                           alpha: float = 3.0) -> jax.Array:
+    """THE weighting/normalization definition: ``queries [Q, D]``,
+    ``top_s [Q, n]`` (invalid slots -inf), ``neighbors [Q, n, D]`` f32
+    (invalid rows zeroed) -> expanded queries [Q, D] f32 unit-norm.
+    Shared by the full-matrix oracle, the fused-kernel composite
+    (index.py) and the distributed _local_expand so the math cannot
+    drift between them."""
+    q = jnp.asarray(queries, jnp.float32)
+    w = jnp.clip(top_s, 0.0, None) ** alpha                       # [Q, n]
+    expanded = q + jnp.einsum("qn,qnd->qd", w, neighbors)
+    norm = jnp.linalg.norm(expanded, axis=-1, keepdims=True)
+    return expanded / jnp.maximum(norm, 1e-6)
+
+
 @partial(jax.jit, static_argnames=("n",))
 def alpha_query_expansion(descriptors: jax.Array, ids: jax.Array,
                           queries: jax.Array, n: int = 10,
@@ -22,7 +38,11 @@ def alpha_query_expansion(descriptors: jax.Array, ids: jax.Array,
                           scales: "jax.Array | None" = None) -> jax.Array:
     """``descriptors [N_pad, D]`` (padded rows masked via ``ids < 0``),
     ``queries [Q, D]`` -> expanded queries ``[Q, D]`` (f32, unit norm).
-    ``scales [1, N_pad]`` dequantizes an int8-stored index."""
+    ``scales [1, N_pad]`` dequantizes an int8-stored index.
+
+    Reference oracle (materializes the [Q, N] score matrix); the
+    production composite in Index.search selects the top-n with the fused
+    kernel instead and shares expand_from_candidates."""
     q = jnp.asarray(queries, jnp.float32)
     from .bruteforce import masked_scores
     scores = masked_scores(descriptors, q, scales=scales, ids=ids)  # [Q, N]
@@ -30,7 +50,5 @@ def alpha_query_expansion(descriptors: jax.Array, ids: jax.Array,
     neighbors = jnp.take(descriptors, top_pos, axis=0).astype(jnp.float32)
     if descriptors.dtype == jnp.int8:
         neighbors = neighbors * jnp.take(scales[0], top_pos)[..., None]
-    w = jnp.clip(top_s, 0.0, None) ** alpha                       # [Q, n]
-    expanded = q + jnp.einsum("qn,qnd->qd", w, neighbors)
-    norm = jnp.linalg.norm(expanded, axis=-1, keepdims=True)
-    return expanded / jnp.maximum(norm, 1e-6)
+    neighbors = jnp.where((top_s > -jnp.inf)[..., None], neighbors, 0.0)
+    return expand_from_candidates(q, top_s, neighbors, alpha)

@@ -18,35 +18,46 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("depth", "k"))
-def regional_rerank_scores(regional_store: jax.Array, ids: jax.Array,
-                           global_scores: jax.Array,
-                           query_regional: jax.Array,
-                           *, depth: int = 100, k: int = 10,
-                           fuse_weight: float = 1.0,
-                           regional_scales: "jax.Array | None" = None):
-    """``regional_store [N_pad, R, D]``, ``global_scores [Q, N_pad]``
-    (padding already -inf), ``query_regional [Q, Rq, D]`` ->
-    ``(scores [Q, k], ids [Q, k])`` re-ordered by fused score.
+def region_match_scores(regional_store: jax.Array, top_pos: jax.Array,
+                        query_regional: jax.Array,
+                        regional_scales: "jax.Array | None" = None
+                        ) -> jax.Array:
+    """Regional match for candidate rows ``top_pos [Q, depth]``:
+    gather [Q, depth, R, D] candidate regions, best-candidate-region per
+    query region, mean over query regions -> ``match [Q, depth]``.
 
-    Fused score = regional match + ``fuse_weight`` * global cosine.
-    ``regional_scales [N_pad, R]`` dequantizes an int8 regional store
-    (4x memory cut — the store is R x the index size, the system's
-    largest tensor).
+    THE region-match definition (arXiv:1511.05879 §4), shared by the
+    full-matrix, kernel-candidate and sharded stages. An int8 store is NOT
+    dequantized before the einsum — the per-(row, region) scale factors
+    out of the d-contraction, so it multiplies the [Q, depth, Rq, R] sim
+    instead, saving the 4x f32 materialization of the gather (the
+    system's largest intermediate at depth=100).
     """
-    top_g, top_pos = jax.lax.top_k(global_scores, depth)          # [Q, depth]
-    cand = jnp.take(regional_store, top_pos, axis=0)              # [Q, depth, R, D]
-    if regional_store.dtype == jnp.int8:
-        sc = jnp.take(regional_scales, top_pos, axis=0)           # [Q, depth, R]
-        cand = cand.astype(jnp.float32) * sc[..., None]
-    # region-match matrix: every query region vs every candidate region
+    cand = jnp.take(regional_store, jnp.maximum(top_pos, 0), axis=0)
     sim = jnp.einsum("qrd,qcsd->qcrs", query_regional.astype(jnp.float32),
-                     cand.astype(jnp.float32))                    # [Q, depth, Rq, R]
-    match = jnp.sum(jnp.max(sim, axis=-1), axis=-1)               # [Q, depth]
-    # normalize by region count so the fused scale is comparable
-    match = match / query_regional.shape[1]
+                     cand.astype(jnp.float32))    # [Q, depth, Rq, R]
+    if regional_scales is not None:
+        sc = jnp.take(regional_scales, jnp.maximum(top_pos, 0), axis=0)
+        sim = sim * sc[:, :, None, :]             # [Q, depth, 1, R]
+    match = jnp.sum(jnp.max(sim, axis=-1), axis=-1)      # [Q, depth]
+    return match / query_regional.shape[1]
+
+
+def rerank_from_candidates(regional_store: jax.Array, ids: jax.Array,
+                           top_g: jax.Array, top_pos: jax.Array,
+                           query_regional: jax.Array,
+                           *, k: int = 10, fuse_weight: float = 1.0,
+                           regional_scales: "jax.Array | None" = None):
+    """Re-rank pre-selected candidates: ``top_g/top_pos [Q, depth]`` from
+    any top-depth selector (fused Pallas kernel in the production
+    composite; lax.top_k in the oracle) -> ``(scores [Q, k], ids [Q, k])``
+    by fused score = regional match + ``fuse_weight`` * global cosine.
+    Invalid candidate slots (top_g = -inf) can never be promoted."""
+    match = region_match_scores(regional_store, top_pos, query_regional,
+                                regional_scales)
     fused = match + fuse_weight * top_g
-    fused = jnp.where(jnp.isfinite(top_g), fused, -jnp.inf)       # keep padding out
+    fused = jnp.where(jnp.isfinite(top_g), fused, -jnp.inf)
+    depth = top_g.shape[1]
     # k may exceed depth (e.g. query --k 150 with rerank_depth=100): the
     # output stays [Q, k], the tail past the candidate pool carrying
     # (-inf, -1) like every other stage (same contract as the sharded path)
@@ -61,17 +72,24 @@ def regional_rerank_scores(regional_store: jax.Array, ids: jax.Array,
     return new_s, new_ids
 
 
-def regional_rerank(index, queries, global_scores, query_regional=None,
-                    depth: int = 100, k: int = 10):
-    """Convenience wrapper over an Index with a regional store attached."""
-    assert index.regional is not None, "index has no regional store"
-    if query_regional is None:
-        raise ValueError(
-            "regional re-ranking needs query regional descriptors; use "
-            "Index.query_images(..) which extracts them, or pass "
-            "query_regional explicitly")
-    depth = min(depth, index.descriptors.shape[0])
-    return regional_rerank_scores(index.regional, index.ids, global_scores,
-                                  query_regional, depth=depth, k=k,
-                                  regional_scales=getattr(
-                                      index, "regional_scales", None))
+@partial(jax.jit, static_argnames=("depth", "k"))
+def regional_rerank_scores(regional_store: jax.Array, ids: jax.Array,
+                           global_scores: jax.Array,
+                           query_regional: jax.Array,
+                           *, depth: int = 100, k: int = 10,
+                           fuse_weight: float = 1.0,
+                           regional_scales: "jax.Array | None" = None):
+    """``regional_store [N_pad, R, D]``, ``global_scores [Q, N_pad]``
+    (padding already -inf), ``query_regional [Q, Rq, D]`` ->
+    ``(scores [Q, k], ids [Q, k])`` re-ordered by fused score.
+
+    Reference oracle over a full [Q, N] score matrix; the production
+    composite in Index.search selects candidates with the fused kernel
+    and calls rerank_from_candidates directly."""
+    top_g, top_pos = jax.lax.top_k(global_scores, depth)          # [Q, depth]
+    return rerank_from_candidates(regional_store, ids, top_g, top_pos,
+                                  query_regional, k=k,
+                                  fuse_weight=fuse_weight,
+                                  regional_scales=regional_scales)
+
+

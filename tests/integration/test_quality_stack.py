@@ -37,6 +37,32 @@ def test_regional_store_built(built, mini):
 
 
 @pytest.mark.slow
+def test_rerank_build_is_single_pass(mini):
+    """A rerank-enabled build decodes + runs the backbone over the corpus
+    ONCE — the combined program emits (global, regional) per batch, so the
+    images_extracted counter advances by exactly N, not 2N (review r2)."""
+    from instsearch_tpu.utils import COUNTERS
+    cfg = PipelineConfig(
+        extract=ExtractConfig(backbone="vgg16", pooling="rmac", image_size=64,
+                              batch_size=8, dtype="float32", whiten=True,
+                              whiten_dim=32),
+        search=SearchConfig(k=5, rerank_enabled=True, rerank_depth=16,
+                            use_pallas=False))
+    before = COUNTERS.dump().get("images_extracted", 0)
+    idx = Index.build(mini.db_paths, cfg, seed=0)
+    after = COUNTERS.dump()["images_extracted"]
+    assert after - before == len(mini.db_paths)
+    assert idx.regional is not None
+    # whitening applied to the store too: regional dim == whiten_dim
+    assert idx.regional.shape[2] == 32
+    # and the self-match still survives the whitened re-rank
+    from instsearch_tpu.data import frontend
+    img = frontend.load_square(mini.db_paths[1], 64)
+    _, ids = idx.query_images(img[None])
+    assert ids[0, 0] == 1
+
+
+@pytest.mark.slow
 def test_query_images_with_rerank(built, mini):
     from instsearch_tpu.data import frontend
     img = frontend.load_square(mini.db_paths[2], 64)
@@ -59,6 +85,40 @@ def test_eval_with_qe_and_rerank(built, mini):
     assert base["mAP"] > 70
     assert qe["mAP"] > 70
     assert rr["mAP"] > 70
+
+
+@pytest.mark.slow
+def test_composite_matches_full_matrix_oracle(built, mini):
+    """The production composite (fused top-depth candidate selection, no
+    [Q, N] materialization) must reproduce the full-matrix oracle
+    (alpha_query_expansion + regional_rerank_scores over masked scores)
+    exactly (review r2: the sharded path always selected candidates this
+    way; the single-device composite now mirrors it)."""
+    import jax.numpy as jnp
+    from instsearch_tpu.search.qe import alpha_query_expansion
+    from instsearch_tpu.search.rerank import regional_rerank_scores
+    rng = np.random.default_rng(13)
+    q = np.asarray(built.descriptors[:6], np.float32)
+    q += 0.01 * rng.standard_normal(q.shape).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    from instsearch_tpu.data import frontend
+    qreg = np.asarray(built.extractor.extract_regional(
+        np.stack([frontend.load_square(mini.db_paths[i], 64)
+                  for i in range(6)])))
+    scfg = built.cfg.search.replace(qe_enabled=True, qe_n=3,
+                                    rerank_enabled=True, rerank_depth=16)
+    got_s, got_i = built.search(q, scfg, query_regional=qreg)
+
+    q_exp = alpha_query_expansion(built.descriptors, built.ids,
+                                  jnp.asarray(q), n=3,
+                                  alpha=scfg.qe_alpha, scales=built.scales)
+    want_s, want_i = regional_rerank_scores(
+        built.regional, built.ids, built._masked_scores(q_exp),
+        jnp.asarray(qreg), depth=16, k=scfg.k,
+        regional_scales=built.regional_scales)
+    np.testing.assert_array_equal(got_i, np.asarray(want_i))
+    np.testing.assert_allclose(got_s, np.asarray(want_s), rtol=1e-5,
+                               atol=1e-6)
 
 
 @pytest.mark.slow
