@@ -116,12 +116,54 @@ def cmd_query(args) -> int:
     return 0
 
 
+def serve_buckets(query_chunk: int) -> list[int]:
+    """The warm bucket sizes for serving: powers of two up to
+    min(8, query_chunk). Small on purpose — each bucket is one compiled
+    program at startup (~90-110 s each through this environment's TPU
+    tunnel), and splitting covers every larger request (serve_batch)."""
+    buckets = [1]
+    while buckets[-1] < min(8, max(1, query_chunk or 8)):
+        buckets.append(buckets[-1] * 2)
+    return buckets
+
+
+def serve_batch(idx, sidx, batch, scfg, buckets):
+    """Serve an image batch of ANY size through warm bucket shapes only:
+    oversized requests are SPLIT into largest-bucket chunks (remainder
+    padded up to the smallest covering bucket), so no request length can
+    trigger an XLA recompile mid-request — ~90-110 s per cold program
+    through the axon tunnel, the exact stall the buckets exist to prevent
+    (review r2: padding only covered lengths <= max(buckets); 9..chunk
+    ran a cold shape)."""
+    import numpy as np
+    n = batch.shape[0]
+    out_s, out_i = [], []
+    pos = 0
+    while pos < n:
+        rem = n - pos
+        b = next((x for x in buckets if x >= rem), buckets[-1])
+        take = min(rem, b)
+        piece = batch[pos:pos + take]
+        if take < b:                       # pad up to the warm bucket
+            piece = np.concatenate(
+                [piece, np.repeat(piece[-1:], b - take, axis=0)])
+        s, i = idx.query_images(piece, scfg, sharded_index=sidx)
+        out_s.append(s[:take])
+        out_i.append(i[:take])
+        pos += take
+    return np.concatenate(out_s), np.concatenate(out_i)
+
+
 def cmd_serve(args) -> int:
     """JSON-lines serving loop: the online query path (SURVEY.md §3.2) as
     a long-lived process. One request per stdin line -> one response line
-    on stdout; the image->descriptor->top-k program is compiled once at
-    startup (the {"ready": true} line marks warm) so steady-state latency
-    is the jitted path only.
+    on stdout; the image->descriptor->top-k programs (one per warm bucket
+    size) are compiled at startup (the {"ready": true} line marks warm),
+    and any request length is served by splitting into warm buckets, so
+    steady-state latency is the jitted path only. The one remaining cold
+    shape is a request ``k`` LARGER than the index config's k (top-k width
+    is a static program shape): it compiles once, is cached for the rest
+    of the process, and smaller k's are served by slicing the warm width.
 
       request:  {"image": PATH} | {"images": [PATH, ...]}  [+ "k": int]
       response: {"results": [[{rank, name, id, score}, ...] per image],
@@ -145,13 +187,8 @@ def cmd_serve(args) -> int:
         return 2
     sidx = idx.to_sharded() if args.sharded else None   # multi-chip serving
     size = idx.cfg.extract.image_size
-    # request batches pad up to fixed power-of-two buckets so a new list
-    # length never triggers a multi-second XLA recompile mid-request; the
-    # buckets are compiled here, before {"ready": true}
-    chunk = max(1, idx.cfg.search.query_chunk or 8)
-    buckets = [1]
-    while buckets[-1] < min(8, chunk):
-        buckets.append(buckets[-1] * 2)
+    warm_k = idx.cfg.search.k
+    buckets = serve_buckets(idx.cfg.search.query_chunk)
     for b in buckets:
         idx.query_images(np.zeros((b, size, size, 3), np.uint8),
                          sharded_index=sidx)            # compile
@@ -173,25 +210,23 @@ def cmd_serve(args) -> int:
                 print(json.dumps({"error": f"cannot decode: {bad}"}),
                       flush=True)
                 continue
-            scfg = idx.cfg.search.replace(k=int(req.get("k",
-                                                        idx.cfg.search.k)))
+            req_k = int(req.get("k", warm_k))
+            # run at the warm top-k width when the request fits inside it
+            # (slice below); only k > warm_k compiles a new width (once)
+            k_run = warm_k if req_k <= warm_k else req_k
+            scfg = idx.cfg.search.replace(k=k_run)
             t0 = time.perf_counter()
-            batch = np.stack(imgs)
-            nreq = batch.shape[0]
-            bucket = next((b for b in buckets if b >= nreq), None)
-            if bucket and bucket > nreq:            # pad to a warm bucket
-                batch = np.concatenate(
-                    [batch, np.repeat(batch[-1:], bucket - nreq, axis=0)])
-            scores, ids = idx.query_images(batch, scfg,
-                                           sharded_index=sidx)
+            scores, ids = serve_batch(idx, sidx, np.stack(imgs), scfg,
+                                      buckets)
             latency = (time.perf_counter() - t0) * 1e3
             # padded slots (id -1 / -inf) are dropped: -inf serializes as
             # the non-standard JSON token -Infinity and breaks clients
             results = [[{"rank": r, "name": idx.name_of(i), "id": int(i),
                          "score": float(s)}
-                        for r, (s, i) in enumerate(zip(srow, irow))
+                        for r, (s, i) in enumerate(zip(srow[:req_k],
+                                                       irow[:req_k]))
                         if i >= 0]
-                       for srow, irow in zip(scores[:nreq], ids[:nreq])]
+                       for srow, irow in zip(scores, ids)]
             print(json.dumps({"results": results,
                               "latency_ms": round(latency, 3)}), flush=True)
         except Exception as e:    # noqa: BLE001 — a long-lived server

@@ -68,6 +68,18 @@ def test_serve_loop(tmp_path, sharded):
         assert len(r["results"][0]) == len(mini.imlist)
         assert all(e["id"] >= 0 for e in r["results"][0])
 
+        # oversized batch (9 > largest warm bucket): split into warm
+        # buckets, all rows answered in order (review r2)
+        p.stdin.write(json.dumps(
+            {"images": [mini.db_paths[i % len(mini.db_paths)]
+                        for i in range(9)], "k": 2}) + "\n")
+        p.stdin.flush()
+        r = json.loads(p.stdout.readline())
+        assert len(r["results"]) == 9
+        assert [row[0]["name"] for row in r["results"]] == \
+            [mini.imlist[i % len(mini.imlist)] for i in range(9)]
+        assert all(len(row) == 2 for row in r["results"])   # k sliced
+
         # decode failure answers with error and keeps serving
         p.stdin.write(json.dumps({"image": "/nonexistent.jpg"}) + "\n")
         p.stdin.flush()
@@ -90,3 +102,34 @@ def test_serve_loop(tmp_path, sharded):
     finally:
         if p.poll() is None:
             p.kill()
+
+
+@pytest.mark.slow
+def test_serve_batch_no_recompile(tmp_path):
+    """Any request size (9, 130, ...) is served through the warmed bucket
+    shapes ONLY — zero new XLA compilations after warm-up (a cold shape
+    costs ~90-110 s through the TPU tunnel mid-request; review r2)."""
+    import numpy as np
+    from instsearch_tpu.cli import serve_batch, serve_buckets
+    from tests.bench.test_no_recompile import _count_compiles
+
+    mini = make_mini_dataset(str(tmp_path / "mini"), seed=9)
+    cfg = PipelineConfig(
+        extract=ExtractConfig(backbone="vgg16", pooling="gem", image_size=64,
+                              batch_size=8, dtype="float32"),
+        search=SearchConfig(k=5, use_pallas=False))
+    idx = Index.build(mini.db_paths, cfg, seed=0)
+    buckets = serve_buckets(cfg.search.query_chunk)
+    assert buckets == [1, 2, 4, 8]
+    scfg = idx.cfg.search
+    for b in buckets:                                  # warm
+        idx.query_images(np.zeros((b, 64, 64, 3), np.uint8))
+
+    rng = np.random.default_rng(0)
+    def run():
+        for n in (9, 130):
+            batch = (rng.random((n, 64, 64, 3)) * 255).astype(np.uint8)
+            s, i = serve_batch(idx, None, batch, scfg, buckets)
+            assert s.shape == (n, scfg.k) and i.shape == (n, scfg.k)
+
+    assert _count_compiles(run) == 0
