@@ -17,29 +17,25 @@ def main() -> int:
     # NOTE: do NOT enable jax_compilation_cache_dir here — the axon TPU
     # backend hangs when the persistent compilation cache is active.
     from instsearch_tpu.bench import (bench_extraction, bench_extraction_e2e,
-                                      bench_query, bench_query_e2e)
+                                      bench_protocol_eval, bench_qe,
+                                      bench_query, bench_query_e2e,
+                                      bench_rerank)
+
+    def _try(fn, *a, **kw):
+        try:
+            return fn(*a, **kw)
+        except Exception:
+            return None
 
     ext = bench_extraction()
-    try:
-        e2e = bench_extraction_e2e()
-    except Exception:
-        e2e = None
-    try:
-        qry = bench_query()
-    except Exception:
-        qry = None
-    try:
-        qry8 = bench_query(dtype="int8")
-    except Exception:
-        qry8 = None
-    try:
-        qry8b = bench_query(dtype="int8", q_batch=128)
-    except Exception:
-        qry8b = None
-    try:
-        qe2e = bench_query_e2e()
-    except Exception:
-        qe2e = None
+    e2e = _try(bench_extraction_e2e)
+    qry = _try(bench_query)
+    qry8 = _try(bench_query, dtype="int8")
+    qry8b = _try(bench_query, dtype="int8", q_batch=128)
+    qe2e = _try(bench_query_e2e)
+    qe = _try(bench_qe)
+    rrk = _try(bench_rerank)
+    peval = _try(bench_protocol_eval)
 
     value = round(ext["images_per_sec"], 1)
     line = {
@@ -76,6 +72,18 @@ def main() -> int:
         line["query_int8_qps_b128"] = round(qry8b["qps"], 1)
     if qe2e is not None:
         line["query_e2e_p50_ms_1M"] = round(qe2e["p50_ms"], 3)
+    if qe is not None:
+        line["qe_p50_ms_1M"] = round(qe["p50_ms"], 3)
+        if "frac_of_roofline" in qe:
+            # reference = TWO full scans (expansion + final)
+            line["qe_frac_of_roofline"] = round(qe["frac_of_roofline"], 3)
+    if rrk is not None:
+        line["rerank_p50_ms_1M"] = round(rrk["p50_ms"], 3)
+        if "frac_of_roofline" in rrk:
+            line["rerank_frac_of_roofline"] = round(
+                rrk["frac_of_roofline"], 3)
+    if peval is not None:
+        line["eval105k_warm_sec"] = round(peval["total_warm_sec"], 3)
     print(json.dumps(line))
     return 0
 

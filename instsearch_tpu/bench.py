@@ -358,6 +358,276 @@ def bench_query(n: int = 1_048_576, d: int = 512, k: int = 10,
     return out
 
 
+def _make_index_device(n: int, d: int, q_batch: int, seed: int = 0):
+    """Unit-norm [n, d] bf16 index + [q_batch, d] queries generated ON
+    DEVICE (pushing GBs through the tunnel takes minutes, and content
+    doesn't matter for scan benchmarks)."""
+    @jax.jit
+    def make():
+        X = jax.random.normal(jax.random.PRNGKey(seed), (n, d), jnp.float32)
+        X = X / jnp.linalg.norm(X, axis=1, keepdims=True)
+        return X.astype(jnp.bfloat16), X[:q_batch].astype(jnp.float32)
+    Xd, q = make()
+    return jax.block_until_ready(Xd), jax.block_until_ready(q)
+
+
+def bench_qe(n: int = 1_048_576, d: int = 512, k: int = 10, qe_n: int = 10,
+             q_batch: int = 1, dtype: str = "bfloat16") -> dict:
+    """Alpha query expansion end-to-end (BASELINE workload 3's search
+    stage): the PRODUCTION composite program (index._search_composite_jit)
+    — fused top-qe_n candidate scan, neighbor gather + weighted expansion,
+    fused top-k re-scan — timed with the chained-marginal discipline.
+
+    Roofline: QE is TWO full index scans (expansion + final), so the
+    reference time is 2x the interleaved bf16 stream over the same matrix.
+    """
+    from .index import _search_composite_jit
+
+    Xd, q = _make_index_device(n, d, q_batch)
+    ids = jax.block_until_ready(jnp.arange(n, dtype=jnp.int32))
+    nv = jnp.asarray(n, jnp.int32)
+    scales = None
+    if dtype == "int8":
+        from .ops.quantize import quantize_rows
+        qr = quantize_rows(Xd.astype(jnp.float32))
+        Xd, scales = jax.block_until_ready(qr.values), qr.scales
+    item_bytes = 1 if dtype == "int8" else 2
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    def op(X, ids, qq, nv, scales):
+        return _search_composite_jit(
+            X, ids, qq, nv, scales, None, None, None,
+            k=k, depth=0, qe_n=qe_n, qe_alpha=3.0, use_pallas=on_tpu,
+            do_qe=True, do_rerank=False)
+
+    def make_chained(m):
+        def run(X, ids, qq, nv, scales):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(m):
+                s, _ = op(X, ids, qq + acc * 1e-30, nv, scales)
+                acc = acc + s[0, 0]
+            return acc
+        return jax.jit(run)
+
+    args = (Xd, ids, q, nv, scales)
+    scan_bytes = 2 * (n * d * item_bytes + (n * 4 if dtype == "int8" else 0))
+    out = {"n": n, "d": d, "k": k, "qe_n": qe_n, "q_batch": q_batch,
+           "dtype": dtype, "scans": 2}
+    if on_tpu:
+        q1 = jnp.ones((1, d), jnp.bfloat16)
+        Xp = Xd if dtype != "int8" else _make_index_device(n, d, 1)[0]
+        probe_ests, ests = interleaved_marginal(
+            [(make_stream_probe, (Xp, q1)), (make_chained, args)],
+            n1=3, n2=11)
+        probe_bytes = n * d * 2
+        p50 = float(np.median(ests))
+        valid = (probe_ests > 2e-9) & (ests > 2e-9)
+        if valid.any():
+            pv, kv = probe_ests[valid], ests[valid]
+            ratios = (pv * (scan_bytes / probe_bytes)) / kv
+            out["hbm_bw_gbps"] = probe_bytes / float(np.median(pv)) / 1e9
+            out["frac_of_roofline"] = float(np.median(ratios))
+    else:
+        ests = marginal_times(make_chained, args, n1=3, n2=11, reps=7)
+        p50 = float(np.median(ests))
+    out["p50_ms"] = p50 * 1e3
+    out["p99_ms"] = float(np.percentile(ests, 99)) * 1e3
+    out["qps"] = q_batch / p50
+    return out
+
+
+def bench_rerank(n: int = 1_048_576, d: int = 512, r: int = 16,
+                 depth: int = 100, k: int = 10, q_batch: int = 1,
+                 regional_dtype: str = "int8") -> dict:
+    """Top-``depth`` regional re-ranking with on-device score fusion
+    (BASELINE workload 5): the PRODUCTION composite — fused top-depth
+    candidate scan over the bf16 index, [Q, depth, R, D] regional gather,
+    region-match einsum, fused score top-k — timed chained-marginal.
+
+    The regional store is the system's biggest tensor (R x the index);
+    at 1M rows it is int8-with-per-(row,region)-scales by necessity
+    (bf16 would be 16+ GB > one chip's HBM). Store content is generated
+    on device via random bits (timing only — the gather/einsum cost does
+    not depend on values).
+
+    Roofline: ONE full index scan + the O(Q*depth*R*D) gather; the scan
+    dominates at B=1, so the reference is the interleaved bf16 stream.
+    """
+    from .index import _search_composite_jit
+
+    Xd, q = _make_index_device(n, d, q_batch)
+    ids = jax.block_until_ready(jnp.arange(n, dtype=jnp.int32))
+    nv = jnp.asarray(n, jnp.int32)
+
+    @jax.jit
+    def make_regional():
+        key = jax.random.PRNGKey(1)
+        if regional_dtype == "int8":
+            bits = jax.random.bits(key, (n, r, d), jnp.uint8)
+            vals = jax.lax.bitcast_convert_type(bits, jnp.int8)
+            scs = jax.random.uniform(jax.random.PRNGKey(2), (n, r),
+                                     jnp.float32, 0.004, 0.01)
+            return vals, scs
+        reg = jax.random.normal(key, (n, r, d), jnp.bfloat16)
+        return reg, None
+
+    regional, reg_scales = make_regional()
+    regional = jax.block_until_ready(regional)
+    qreg = jax.block_until_ready(
+        jax.jit(lambda: jax.random.normal(jax.random.PRNGKey(3),
+                                          (q_batch, r, d), jnp.float32))())
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    def op(X, ids, qq, nv, regional, reg_scales, qreg):
+        return _search_composite_jit(
+            X, ids, qq, nv, None, regional, reg_scales, qreg,
+            k=k, depth=depth, qe_n=0, qe_alpha=3.0, use_pallas=on_tpu,
+            do_qe=False, do_rerank=True)
+
+    def make_chained(m):
+        def run(X, ids, qq, nv, regional, reg_scales, qreg):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(m):
+                s, _ = op(X, ids, qq + acc * 1e-30, nv, regional,
+                          reg_scales, qreg)
+                acc = acc + s[0, 0]
+            return acc
+        return jax.jit(run)
+
+    args = (Xd, ids, q, nv, regional, reg_scales, qreg)
+    scan_bytes = n * d * 2
+    gather_bytes = q_batch * depth * r * d * (
+        1 if regional_dtype == "int8" else 2)
+    out = {"n": n, "d": d, "r": r, "depth": depth, "k": k,
+           "q_batch": q_batch, "regional_dtype": regional_dtype,
+           "regional_gb": round(regional.size * regional.dtype.itemsize
+                                / 2**30, 2),
+           "gather_mb": round(gather_bytes / 2**20, 2)}
+    if on_tpu:
+        q1 = jnp.ones((1, d), jnp.bfloat16)
+        probe_ests, ests = interleaved_marginal(
+            [(make_stream_probe, (Xd, q1)), (make_chained, args)],
+            n1=3, n2=11)
+        probe_bytes = n * d * 2
+        p50 = float(np.median(ests))
+        valid = (probe_ests > 2e-9) & (ests > 2e-9)
+        if valid.any():
+            pv, kv = probe_ests[valid], ests[valid]
+            ref_bytes = scan_bytes + gather_bytes
+            ratios = (pv * (ref_bytes / probe_bytes)) / kv
+            out["hbm_bw_gbps"] = probe_bytes / float(np.median(pv)) / 1e9
+            out["frac_of_roofline"] = float(np.median(ratios))
+    else:
+        ests = marginal_times(make_chained, args, n1=3, n2=11, reps=7)
+        p50 = float(np.median(ests))
+    out["p50_ms"] = p50 * 1e3
+    out["p99_ms"] = float(np.percentile(ests, 99)) * 1e3
+    out["qps"] = q_batch / p50
+    return out
+
+
+def bench_sharded_overhead(n: int = 1_048_576, d: int = 512,
+                           k: int = 10, q_batch: int = 1) -> dict:
+    """Distribution-layer overhead: the row-sharded search program
+    (shard_map + per-shard kernel + candidate allgather) on a 1-DEVICE
+    mesh vs the bare kernel — the same-code-path guarantee's price tag.
+    On one chip the allgather is a no-op copy, so the delta is the
+    shard_map machinery itself."""
+    from .parallel import ShardedIndex, make_mesh
+
+    Xd, q = _make_index_device(n, d, q_batch)
+    ids = jax.block_until_ready(jnp.arange(n, dtype=jnp.int32))
+    on_tpu = jax.devices()[0].platform == "tpu"
+    sidx = ShardedIndex(Xd, ids, mesh=make_mesh(1), k=k, use_pallas=on_tpu)
+    fn = None
+
+    def make_chained_sharded(m):
+        nonlocal fn
+        if fn is None:
+            from .parallel.sharded_index import sharded_topk_fn
+            fn = sharded_topk_fn(sidx.mesh, k, axis=sidx.axis,
+                                 use_pallas=on_tpu)
+
+        def run(X, ids, qq, nv):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(m):
+                s, _ = fn(X, ids, qq + acc * 1e-30, nv)
+                acc = acc + s[0, 0]
+            return acc
+        return jax.jit(run)
+
+    def make_chained_plain(m):
+        def run(X, qq):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(m):
+                if on_tpu:
+                    from .kernels import topk_matmul
+                    s, _ = topk_matmul(X, qq + acc * 1e-30, k=k)
+                else:
+                    from .search.bruteforce import search_topk
+                    s, _ = search_topk(X, qq + acc * 1e-30, k=k)
+                acc = acc + s[0, 0]
+            return acc
+        return jax.jit(run)
+
+    nv = jnp.asarray([n], jnp.int32)
+    sharded_ests, plain_ests = interleaved_marginal(
+        [(make_chained_sharded, (sidx.descriptors, sidx.ids, q, nv)),
+         (make_chained_plain, (Xd, q.astype(jnp.bfloat16)))],
+        n1=3, n2=11)
+    sp50 = float(np.median(sharded_ests))
+    pp50 = float(np.median(plain_ests))
+    return {"n": n, "d": d, "k": k, "q_batch": q_batch,
+            "sharded_p50_ms": sp50 * 1e3, "plain_p50_ms": pp50 * 1e3,
+            "overhead_ms": (sp50 - pp50) * 1e3,
+            "overhead_frac": (sp50 - pp50) / pp50 if pp50 > 0 else None}
+
+
+def bench_protocol_eval(n: int = 105_000, n_queries: int = 70,
+                        d: int = 512, depth: int = 100) -> dict:
+    """Protocol-evaluation wall-clock at Oxford105k scale (BASELINE
+    workload 4): the full-ranking argsort program, the re-rank head
+    splice, and the sharded-path ranking — descriptor-level (no
+    extraction), the part whose cost grows with distractors."""
+    from .eval.evaluate import _splice_head
+    from .index import Index
+    from .config import PipelineConfig, SearchConfig
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    cfg = PipelineConfig(search=SearchConfig(k=10, use_pallas=False))
+    idx = Index.from_descriptors(X, [f"im{i}" for i in range(n)], cfg)
+    q = X[:n_queries] + 0.01 * rng.standard_normal(
+        (n_queries, d)).astype(np.float32)
+
+    t0 = time.perf_counter()
+    ranks = idx.full_ranking(q)
+    t_rank = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ranks2 = idx.full_ranking(q)          # steady-state (compiled)
+    t_rank_warm = time.perf_counter() - t0
+    assert np.array_equal(ranks, ranks2)
+
+    top_ids = ranks[:, :depth].copy()     # worst-case head: all valid
+    t0 = time.perf_counter()
+    spliced = _splice_head(ranks, top_ids)
+    t_splice = time.perf_counter() - t0
+    assert np.array_equal(spliced, ranks)     # head==prefix -> identity
+
+    from .parallel import make_mesh
+    sidx = idx.to_sharded(mesh=make_mesh(1))
+    t0 = time.perf_counter()
+    ranks_sh = sidx.full_ranking(q)
+    t_rank_sharded = time.perf_counter() - t0
+    assert np.array_equal(ranks, ranks_sh), "sharded ranking differs"
+
+    return {"n": n, "n_queries": n_queries, "d": d,
+            "full_ranking_sec": t_rank, "full_ranking_warm_sec": t_rank_warm,
+            "splice_sec": t_splice, "full_ranking_sharded_sec": t_rank_sharded,
+            "total_warm_sec": t_rank_warm + t_splice}
+
+
 def bench_query_e2e(n: int = 1_048_576, d: int = 512, k: int = 10,
                     image_size: int = 224, backbone: str = "resnet50",
                     pooling: str = "gem") -> dict:
@@ -474,6 +744,14 @@ def run_bench(what: str = "all") -> dict:
         out["query_sweep"] = [
             bench_query(n=nn) for nn in (65_536, 262_144)
         ] + [out["query"]]
+        # quality stack at 1M rows (BASELINE workloads 3 and 5) + the
+        # distribution layer's same-code-path price + 105k protocol eval
+        out["qe"] = bench_qe()
+        out["qe_b128"] = bench_qe(q_batch=128)
+        out["rerank"] = bench_rerank()
+        out["rerank_b32"] = bench_rerank(q_batch=32)
+        out["sharded_overhead"] = bench_sharded_overhead()
+        out["protocol_eval_105k"] = bench_protocol_eval()
     if what == "extended":
         # breadth: every backbone/pooling family the reference serves
         # (BASELINE.json configs 1-3) + single-chip capacity headroom
