@@ -49,6 +49,44 @@ def test_add_overflow_repads():
     assert (i_old[:, 0] == np.arange(2)).all()
 
 
+def test_add_overflow_int8_drift_bounded():
+    """Capacity-overflow add() on int8 storage dequantizes and REQUANTIZES
+    every existing row; the compounding quantization error must stay below
+    one quantization step per element vs a fresh single-quantization build
+    (review r2: the code comment admitted the drift but nothing bounded
+    it). Double rounding adds at most half a step on top of the fresh
+    build's half step, so scores over unit vectors stay within
+    sqrt(D) * step."""
+    idx, X, Y = _mk(dtype="int8", capacity=48)
+    idx.add(descriptors=Y, names=[f"b{i}" for i in range(20)])  # re-pad
+
+    Z = np.concatenate([X, Y])
+    cfg = idx.cfg   # same (grown) capacity -> same padded shape
+    fresh = Index.from_descriptors(Z, [f"c{i}" for i in range(60)], cfg)
+
+    # element-level: dequantized rows within one quantization step
+    deq_re = (np.asarray(idx.descriptors[:60], np.float32)
+              * np.asarray(idx.scales)[0][:60, None])
+    deq_fr = (np.asarray(fresh.descriptors[:60], np.float32)
+              * np.asarray(fresh.scales)[0][:60, None])
+    step = np.maximum(np.asarray(idx.scales)[0][:60],
+                      np.asarray(fresh.scales)[0][:60])[:, None]
+    assert (np.abs(deq_re - deq_fr) <= step + 1e-7).all()
+
+    # score-level: same queries, same rows -> drift < sqrt(D) * step
+    rng = np.random.default_rng(17)
+    q = rng.standard_normal((8, X.shape[1])).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    s_re = np.asarray(idx._masked_scores(q))[:, :60]
+    s_fr = np.asarray(fresh._masked_scores(q))[:, :60]
+    bound = np.sqrt(X.shape[1]) * step.max()
+    assert np.abs(s_re - s_fr).max() < bound
+    # and retrieval agrees with the fresh build
+    _, i_re = idx.search(Z[:5])
+    _, i_fr = fresh.search(Z[:5])
+    np.testing.assert_array_equal(i_re[:, 0], i_fr[:, 0])
+
+
 def test_add_int8_scales_written():
     idx, X, Y = _mk(dtype="int8")
     idx.add(descriptors=Y, names=[f"b{i}" for i in range(20)])
