@@ -618,13 +618,18 @@ def bench_protocol_eval(n: int = 105_000, n_queries: int = 70,
     from .parallel import make_mesh
     sidx = idx.to_sharded(mesh=make_mesh(1))
     t0 = time.perf_counter()
-    ranks_sh = sidx.full_ranking(q)
+    ranks_sh = sidx.full_ranking(q)           # includes scorer compile
     t_rank_sharded = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ranks_sh2 = sidx.full_ranking(q)
+    t_rank_sharded_warm = time.perf_counter() - t0
     assert np.array_equal(ranks, ranks_sh), "sharded ranking differs"
+    assert np.array_equal(ranks_sh, ranks_sh2)
 
     return {"n": n, "n_queries": n_queries, "d": d,
             "full_ranking_sec": t_rank, "full_ranking_warm_sec": t_rank_warm,
             "splice_sec": t_splice, "full_ranking_sharded_sec": t_rank_sharded,
+            "full_ranking_sharded_warm_sec": t_rank_sharded_warm,
             "total_warm_sec": t_rank_warm + t_splice}
 
 

@@ -9,13 +9,16 @@ carried in VMEM scratch across the sequential TPU grid — the same
 online-reduction shape as flash-attention's running max (SURVEY.md §5
 long-context analog).
 
-Two tricks make it speed-of-light (HBM-bound):
-  * threshold skip — a tile only pays the O(k) merge when its max score
-    beats the current k-th best (rare after warm-up), so the steady-state
-    per-tile work is one matmul + one max-reduce;
-  * merge via k-round masked argmax (no sort support in Mosaic): each round
-    extracts one maximum with a one-hot select, O(k * (TILE_N + k)) VPU ops
-    only on the rare merging tiles.
+Three tricks make it speed-of-light (HBM-bound):
+  * threshold skip — a tile only pays a merge when its max score beats the
+    current k-th best (rare after warm-up), so the steady-state per-tile
+    work is one matmul + one max-reduce;
+  * tiered candidate extraction — merging tiles mostly carry 1-4 new
+    candidates, pulled with that many argmax rounds over [B, T];
+  * rank-based sorted insert (_insert_sorted) — candidates fold into the
+    sorted running top-k by rank arithmetic in O(B*k*m), with compile size
+    independent of k (no sort support in Mosaic; the k-round masked-argmax
+    merge remains only for the rare dense tiles, cmax > 4).
 
 Padding rows (id < num_valid is false) are masked to -inf before the merge
 so they can never enter a top-k.
@@ -31,6 +34,55 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = np.float32(-np.inf)  # plain numpy: jnp scalars become captured tracers
+
+
+def _insert_sorted(cand_s, cand_i, top_s, top_i, k: int):
+    """Insert m (descending, -inf-padded) candidates into the descending
+    [B, k] running top-k by RANK ARITHMETIC — no k-round loop:
+
+      new rank of top[i]  = i + #candidates strictly greater     (i + 0..m)
+      new rank of cand[j] = #top >= cand[j] + j   (ties: top wins, stable)
+
+    The ranks are a permutation, so the output scatters as m+1 static
+    right-shifts of the top list (each element moves right by its
+    candidate count) plus an m-element one-hot add. O(B*k*m) VPU work and
+    compile size independent of k — the k-round masked-argmax merge this
+    replaces for the insert tiers was O(k*(k+m)) per call and unrolled k
+    rounds into the program (k=100 rerank candidates made both costs
+    bite). -inf candidates rank past k by construction and drop out.
+    """
+    b, m = cand_s.shape
+    # everything below stays 2-D [B, k] / [B, 1] with the small m axis
+    # unrolled (m <= 4) — 3-D [B, m, k] intermediates would force
+    # layout-hostile tiny trailing dims through Mosaic
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)     # [B, k]
+    shift = jnp.zeros((b, k), jnp.int32)
+    cranks = []
+    for j in range(m):
+        cj = cand_s[:, j:j + 1]                              # [B, 1]
+        shift = shift + (cj > top_s).astype(jnp.int32)
+        cranks.append(jnp.sum((top_s >= cj).astype(jnp.int32),
+                              axis=1, keepdims=True) + j)    # [B, 1]
+    out_s = jnp.zeros_like(top_s)
+    out_i = jnp.zeros_like(top_i)
+    # a shift of s >= k pushes every element selected by it past rank k-1
+    # (rank = i + s >= s), so those contribute nothing (bites when m > k)
+    for s in range(min(m, k - 1) + 1):
+        sel = shift == s
+        vs = jnp.where(sel, top_s, 0.0)
+        vi = jnp.where(sel, top_i, 0)
+        if s:
+            vs = jnp.concatenate(
+                [jnp.zeros((b, s), top_s.dtype), vs[:, :-s]], axis=1)
+            vi = jnp.concatenate(
+                [jnp.zeros((b, s), top_i.dtype), vi[:, :-s]], axis=1)
+        out_s = out_s + vs
+        out_i = out_i + vi
+    for j in range(m):
+        onehot = col == cranks[j]                            # [B, k]
+        out_s = out_s + jnp.where(onehot, cand_s[:, j:j + 1], 0.0)
+        out_i = out_i + jnp.where(onehot, cand_i[:, j:j + 1], 0)
+    return out_s, out_i
 
 
 def _merge_topk(scores, ids, top_s, top_i, k: int):
@@ -131,7 +183,8 @@ def _kernel(num_valid_ref, x_ref, q_ref, out_s_ref, out_i_ref,
             has = n_above[:, None] > 0
             cand_s = jnp.where(has, row_max, NEG_INF)           # [B, 1]
             cand_i = jnp.where(has, cand_i, -1)
-            new_s, new_i = _merge_topk(cand_s, cand_i, top_s[:], top_i[:], k)
+            new_s, new_i = _insert_sorted(cand_s, cand_i,
+                                          top_s[:], top_i[:], k)
             top_s[:] = new_s
             top_i[:] = new_i
 
@@ -141,7 +194,8 @@ def _kernel(num_valid_ref, x_ref, q_ref, out_s_ref, out_i_ref,
             # over [B, T] + a [B, k+4] merge — ~2.5x cheaper than the
             # full k-round merge, and the common case at large B
             cand_s, cand_i = _extract_candidates(scores, row_ids, tau, 4)
-            new_s, new_i = _merge_topk(cand_s, cand_i, top_s[:], top_i[:], k)
+            new_s, new_i = _insert_sorted(cand_s, cand_i,
+                                          top_s[:], top_i[:], k)
             top_s[:] = new_s
             top_i[:] = new_i
 
@@ -201,14 +255,16 @@ def _kernel_int8(num_valid_ref, x_ref, scales_ref, q_ref, qs_ref,
             has = n_above[:, None] > 0
             cand_s = jnp.where(has, row_max, NEG_INF)
             cand_i = jnp.where(has, cand_i, -1)
-            new_s, new_i = _merge_topk(cand_s, cand_i, top_s[:], top_i[:], k)
+            new_s, new_i = _insert_sorted(cand_s, cand_i,
+                                          top_s[:], top_i[:], k)
             top_s[:] = new_s
             top_i[:] = new_i
 
         @pl.when((cmax > 1) & (cmax <= 4))
         def _insert_few():
             cand_s, cand_i = _extract_candidates(scores, row_ids, tau, 4)
-            new_s, new_i = _merge_topk(cand_s, cand_i, top_s[:], top_i[:], k)
+            new_s, new_i = _insert_sorted(cand_s, cand_i,
+                                          top_s[:], top_i[:], k)
             top_s[:] = new_s
             top_i[:] = new_i
 
