@@ -49,6 +49,10 @@ def main() -> int:
             e2e["images_per_sec_e2e"], 1)
         line["e2e_frac_of_transfer_bound"] = round(
             e2e["frac_of_transfer_bound"], 3)
+        # vs the serial decode+transfer composition on this box's ONE
+        # host core, bounds measured adjacent to the e2e loop
+        line["e2e_pipeline_efficiency"] = round(
+            e2e["pipeline_efficiency"], 3)
     if qry is not None:
         line["query_p50_ms_1M"] = round(qry["p50_ms"], 3)
         line["query_p99_ms_1M"] = round(qry["p99_ms"], 3)

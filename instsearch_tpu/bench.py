@@ -202,47 +202,65 @@ def bench_extraction_e2e(n_images: int = 512, image_size: int = 224,
                             dtype="bfloat16")
         ex = Extractor(cfg, seed=0)
         ex.extract_paths(paths[:batch])          # compile outside the clock
-        t0 = time.perf_counter()
-        descs, kept = ex.extract_paths(paths)
-        wall = time.perf_counter() - t0
-        assert len(kept) == n_images
 
-        # this dev box reaches the chip through a slow tunnel, so e2e is
-        # transfer/host bound here (uint8 batches are already the minimal
-        # encoding); measure the transfer bound so the number explains
-        # itself. Marginal between 1- and 3-batch fenced calls cancels the
-        # fixed dispatch overhead (same discipline as the op benches);
-        # fresh buffers each rep defeat any transfer caching.
+        # --- per-stage breakdown, ADJACENT per rep (review r3) ----------
+        # This box's host core and tunnel are shared with ambient load
+        # that swings decode 173-896 img/s and h2d 34-100 MB/s BETWEEN
+        # runs; a bound measured minutes away from the e2e loop produces
+        # meaningless fractions. Each rep measures decode, transfer and
+        # the e2e loop back-to-back; the reported rep is the best e2e
+        # (the least-contended window — same peak-of-reps reasoning as
+        # the HBM roofline probe).
+        from .data import frontend
         shape = (batch, image_size, image_size, 3)
-        f1 = jax.jit(lambda a: a[0, 0, 0, 0])
-        f3 = jax.jit(lambda a, b, c: a[0, 0, 0, 0] + b[0, 0, 0, 0]
-                     + c[0, 0, 0, 0])
         mk = lambda v: np.full(shape, v % 251, np.uint8)
-        np.asarray(f1(jnp.asarray(mk(255))))              # warm programs
-        np.asarray(f3(*(jnp.asarray(mk(250 + i)) for i in range(3))))
-        t1s, t3s = [], []
-        v = 0
-        for _ in range(3):
-            x = mk(v); v += 1
+        jax.block_until_ready(jax.device_put(mk(255)))    # warm path
+        n_xfer = max(4, n_images // batch)
+
+        reps = []
+        for rep in range(3):
+            # decode IN SITU: the device runtime's polling thread shares
+            # the ONE host core, so the standalone decoder rate (~1,000+
+            # img/s) is not what the pipeline sees
             t0 = time.perf_counter()
-            np.asarray(f1(jnp.asarray(x)))
-            t1s.append(time.perf_counter() - t0)
-            xs3 = [mk(v), mk(v + 1), mk(v + 2)]; v += 3
+            ndec = 0
+            for b, idxs in frontend.batch_paths(paths, image_size, batch):
+                ndec += int((idxs >= 0).sum())
+            decode_rate = ndec / (time.perf_counter() - t0)
+
+            # sustained h2d: producer-style device_put loop, one fence
+            bufs = [mk(rep * n_xfer + v) for v in range(n_xfer)]
             t0 = time.perf_counter()
-            np.asarray(f3(*(jnp.asarray(a) for a in xs3)))
-            t3s.append(time.perf_counter() - t0)
-        marginal = max((float(np.median(t3s)) - float(np.median(t1s))) / 2,
-                       1e-9)
-        h2d = (batch * image_size * image_size * 3) / marginal
-        bound = h2d / (image_size * image_size * 3)
+            xs = [jax.device_put(bb) for bb in bufs]
+            jax.block_until_ready(xs)
+            t_h2d = time.perf_counter() - t0
+            h2d_rate = n_xfer * batch / t_h2d
+            del xs, bufs
+
+            t0 = time.perf_counter()
+            descs, kept = ex.extract_paths(paths)
+            wall = time.perf_counter() - t0
+            assert len(kept) == n_images
+            reps.append((n_images / wall, wall, decode_rate, h2d_rate))
+
+        e2e, wall, decode_rate, h2d_rate = max(reps)
+        h2d_mbps = h2d_rate * image_size * image_size * 3 / 1e6
+        # both host stages share ONE core here, so the best possible e2e
+        # is their SERIAL composition; on a many-core host the bound is
+        # min(decode, transfer) instead
+        serial_bound = 1.0 / (1.0 / decode_rate + 1.0 / h2d_rate)
         return {
-            "images_per_sec_e2e": n_images / wall,
+            "images_per_sec_e2e": e2e,
             "wall_sec": wall, "n_images": n_images,
             "image_size": image_size, "src_size": src_size,
-            "backbone": backbone,
-            "host_to_device_mbps": h2d / 1e6,
-            "transfer_bound_images_per_sec": bound,
-            "frac_of_transfer_bound": (n_images / wall) / bound,
+            "backbone": backbone, "reps": len(reps),
+            "e2e_spread_img_s": [round(r[0], 1) for r in reps],
+            "decode_images_per_sec_insitu": decode_rate,
+            "host_to_device_mbps_sustained": h2d_mbps,
+            "transfer_bound_images_per_sec": h2d_rate,
+            "serial_host_bound_images_per_sec": serial_bound,
+            "frac_of_transfer_bound": e2e / h2d_rate,
+            "pipeline_efficiency": e2e / serial_bound,
         }
     finally:
         if workdir is None:

@@ -47,6 +47,19 @@ def _topk_raw(descriptors, ids, queries, num_valid, scales,
     oracle elsewhere — trace-time body shared by every jitted search
     program so the two backends cannot drift."""
     queries = jnp.asarray(queries)
+    if use_pallas:
+        # the kernel carries its running top-k in VMEM against each row
+        # tile, so k must fit one tile; a tiny index (or huge k) where it
+        # can't takes the oracle — [Q, N] is small exactly then
+        from .kernels.topk_matmul import default_tile_n
+        try:
+            tile = default_tile_n(descriptors.shape[0],
+                                  descriptors.shape[1],
+                                  descriptors.dtype, b=queries.shape[0])
+        except ValueError:
+            tile = 0
+        if k > tile:
+            use_pallas = False
     if use_pallas and descriptors.dtype == jnp.int8:
         from .kernels import topk_matmul_int8
         scores, pos = topk_matmul_int8(descriptors, scales, queries, k=k,
