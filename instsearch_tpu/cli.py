@@ -166,10 +166,20 @@ def cmd_serve(args) -> int:
     of the process, and smaller k's are served by slicing the warm width.
 
       request:  {"image": PATH} | {"images": [PATH, ...]}  [+ "k": int]
+                | {"add": [PATH, ...]} | {"remove": [NAME, ...]}
       response: {"results": [[{rank, name, id, score}, ...] per image],
-                 "latency_ms": float}  |  {"error": str}
+                 "latency_ms": float}
+                | {"added"|"removed": int, "rows": int, "latency_ms": float}
+                | {"error": str}
 
-    Decode failures answer with "error" and keep serving; EOF exits 0.
+    ``add``/``remove`` mutate the live index between queries (dynamic
+    corpus serving): both are in-place row writes at the padded shapes,
+    so no search program recompiles — UNLESS an ``add`` overflows
+    ``IndexConfig.capacity``, which re-pads and recompiles on the next
+    query (~90-110 s through this environment's tunnel; size capacity to
+    expected growth). Under ``--sharded`` the mesh view is re-placed
+    after each mutation. Decode failures answer with "error" and keep
+    serving; EOF exits 0.
     """
     import time
 
@@ -203,6 +213,21 @@ def cmd_serve(args) -> int:
             continue
         try:
             req = json.loads(line)
+            if "add" in req or "remove" in req:
+                t0 = time.perf_counter()
+                if "add" in req:
+                    n = idx.add(paths=list(req["add"]))
+                    resp = {"added": n}
+                else:
+                    n = idx.remove(list(req["remove"]))
+                    resp = {"removed": n}
+                if sidx is not None:       # re-place mutated rows on mesh
+                    sidx = idx.to_sharded()
+                resp["rows"] = idx.num_valid
+                resp["latency_ms"] = round(
+                    (time.perf_counter() - t0) * 1e3, 3)
+                print(json.dumps(resp), flush=True)
+                continue
             paths = req.get("images") or [req["image"]]
             imgs = [frontend.load_square(p, size) for p in paths]
             bad = [p for p, im in zip(paths, imgs) if im is None]

@@ -127,6 +127,29 @@ def _search_composite_jit(descriptors, ids, queries, num_valid, scales,
     return scores, _pos_to_ids(ids, scores, pos)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _compact_rows_jit(state, src, dst, new_valid):
+    """Move rows ``src`` -> ``dst`` across every per-row tensor, then
+    tombstone everything at positions >= ``new_valid`` to id -1 (the
+    oracle's mask; the kernel masks by position). Rows are gathered
+    BEFORE any write, so src/dst overlap is safe; padding entries are
+    self-moves of the last padding row (see Index.remove). The whole
+    state tuple is donated — removal never doubles HBM."""
+    X, ids, scales, regional, regional_scales = state
+    X = X.at[dst].set(X[src])
+    ids = ids.at[dst].set(ids[src])
+    pos = jnp.arange(ids.shape[0], dtype=jnp.int32)
+    ids = jnp.where(pos < new_valid, ids, -1)
+    if scales is not None:                      # [1, N_pad] int8 row scales
+        scales = scales.at[:, dst].set(scales[:, src])
+    if regional is not None:                    # [N_pad, R, D]
+        regional = regional.at[dst].set(regional[src])
+    if regional_scales is not None:             # [N_pad, R]
+        regional_scales = regional_scales.at[dst].set(
+            regional_scales[src])
+    return X, ids, scales, regional, regional_scales
+
+
 @jax.jit
 def _all_scores_jit(descriptors, ids, queries, scales):
     scores = _raw_scores(descriptors, queries, scales)
@@ -416,6 +439,68 @@ class Index:
             self.regional = jax.lax.dynamic_update_slice(
                 self.regional, jnp.asarray(reg_new, self.regional.dtype),
                 (start, 0, 0))
+
+    # ------------------------------------------------------------------
+    def remove(self, names: Sequence[str]) -> int:
+        """Remove indexed images by name, in place.
+
+        The Pallas kernel masks validity by row position
+        (``row < num_valid``, kernels/topk_matmul.py), so valid rows must
+        stay a contiguous prefix: removal COMPACTS by moving surviving
+        tail rows into the holes — at most ``len(names)`` row moves, done
+        by ONE jitted gather/scatter program (move lists are padded to
+        power-of-two buckets so repeated removals don't accumulate
+        compiles). int8 rows and their scales move verbatim — no
+        dequantize/requantize, so surviving scores are bit-identical to a
+        fresh build. The search programs never recompile: every array
+        keeps its padded shape, only ``num_valid`` (a traced scalar)
+        shrinks.
+
+        Raises ``KeyError`` for unknown names (the index is unchanged).
+        Returns the number of rows removed. A live ``to_sharded()`` view
+        holds its own row placement — rebuild it after mutating.
+        """
+        pos_by_name = {nm: i for i, nm in enumerate(self.names)}
+        missing = [nm for nm in names if nm not in pos_by_name]
+        if missing:
+            raise KeyError(f"not in index: {missing}")
+        rem = {pos_by_name[nm] for nm in names}
+        m = len(rem)
+        if m == 0:
+            return 0
+        n_valid = self.num_valid
+        new_valid = n_valid - m
+        # surviving rows now in the tail [new_valid, n_valid) move into
+        # the holes below new_valid; counts match by construction
+        holes = sorted(p for p in rem if p < new_valid)
+        tail_survivors = [p for p in range(new_valid, n_valid)
+                          if p not in rem]
+        n_pad = self.descriptors.shape[0]
+        n_moves = len(holes)
+        bucket = max(1, 1 << max(0, n_moves - 1).bit_length())
+        # pad with self-moves of the LAST padding row: never a hole
+        # (holes < new_valid <= n_pad - 1), so duplicate-dst scatter
+        # nondeterminism cannot arise
+        src = np.full((bucket,), n_pad - 1, np.int32)
+        dst = np.full((bucket,), n_pad - 1, np.int32)
+        src[:n_moves] = tail_survivors
+        dst[:n_moves] = holes
+
+        out = _compact_rows_jit(
+            (self.descriptors, self.ids, self.scales, self.regional,
+             self.regional_scales),
+            jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray(new_valid, jnp.int32))
+        (self.descriptors, self.ids, self.scales, self.regional,
+         self.regional_scales) = out
+
+        names_arr = np.array(self.names, dtype=object)
+        names_arr[holes] = names_arr[tail_survivors]
+        self.names = list(names_arr[:new_valid])
+        self._name_by_id_len = -1            # invalidate name_of() cache
+        from .utils import COUNTERS
+        COUNTERS.add("images_removed", m)
+        return m
 
     # ------------------------------------------------------------------
     def _masked_scores(self, queries: jax.Array) -> jax.Array:

@@ -97,6 +97,35 @@ def test_serve_loop(tmp_path, sharded):
         r = json.loads(p.stdout.readline())
         assert r["results"][0][0]["name"] == mini.imlist[3]
 
+        # dynamic corpus: remove a db image -> it stops matching itself
+        n_rows = len(mini.imlist)
+        p.stdin.write(json.dumps({"remove": [mini.imlist[0]]}) + "\n")
+        p.stdin.flush()
+        r = json.loads(p.stdout.readline())
+        assert r == {"removed": 1, "rows": n_rows - 1,
+                     "latency_ms": r["latency_ms"]}
+        p.stdin.write(json.dumps({"image": mini.db_paths[0], "k": 3}) + "\n")
+        p.stdin.flush()
+        r = json.loads(p.stdout.readline())
+        assert all(e["name"] != mini.imlist[0] for e in r["results"][0])
+
+        # add a query image as a new row -> it self-matches at rank 0
+        qpath = mini.image_path(mini.qimlist[0])
+        p.stdin.write(json.dumps({"add": [qpath]}) + "\n")
+        p.stdin.flush()
+        r = json.loads(p.stdout.readline())
+        assert r["added"] == 1 and r["rows"] == n_rows
+        p.stdin.write(json.dumps({"image": qpath, "k": 1}) + "\n")
+        p.stdin.flush()
+        r = json.loads(p.stdout.readline())
+        assert r["results"][0][0]["name"] == mini.qimlist[0]
+        assert r["results"][0][0]["score"] > 0.99
+
+        # removing an unknown name answers error, keeps serving
+        p.stdin.write(json.dumps({"remove": ["no-such-name"]}) + "\n")
+        p.stdin.flush()
+        assert "error" in json.loads(p.stdout.readline())
+
         p.stdin.close()                 # EOF -> clean exit
         assert p.wait(timeout=120) == 0
     finally:
