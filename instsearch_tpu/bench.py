@@ -28,22 +28,6 @@ from .config import ExtractConfig
 from .extractor import build_extract_fn
 
 
-def _timed(fn, *args, reps: int = 5) -> list[float]:
-    """Readback-fenced wall times (np.asarray forces completion).
-
-    IMPORTANT: ``fn`` must take its big operands as *arguments* — a jitted
-    closure over a device array embeds it as a constant, and constant
-    processing for GB-sized arrays hangs the compile in this environment.
-    """
-    np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])  # warm/compile
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])
-        ts.append(time.perf_counter() - t0)
-    return ts
-
-
 def marginal_times(make_chained, args, n1: int = 3, n2: int = 13,
                    reps: int = 7) -> np.ndarray:
     """Per-rep marginal per-op estimates from two chain lengths.
@@ -52,10 +36,28 @@ def marginal_times(make_chained, args, n1: int = 3, n2: int = 13,
     serial data dependency. Estimate_i = (t2_i - median(t1)) / (n2 - n1):
     the short-chain median anchors the fixed cost; the long-chain spread
     yields a distribution for p50/p99.
+
+    Short- and long-chain reps are INTERLEAVED in one loop (review r3):
+    collecting all t1 then all t2 lets a transient host/tunnel slowdown
+    during the t1 window inflate the anchor and deflate EVERY estimate by
+    overhead_shift/(n2-n1) — observed as a physically impossible
+    0.68 ms image->result over a 1M bf16 index whose scan alone streams
+    1.4 ms. Interleaving makes such shifts common-mode, the same
+    discipline as ``interleaved_marginal``.
     """
-    t1 = float(np.median(_timed(make_chained(n1), *args, reps=reps)))
-    t2 = np.asarray(_timed(make_chained(n2), *args, reps=reps))
-    return np.maximum((t2 - t1) / (n2 - n1), 1e-9)
+    f1, f2 = make_chained(n1), make_chained(n2)
+    np.asarray(jax.tree_util.tree_leaves(f1(*args))[0])   # warm/compile
+    np.asarray(jax.tree_util.tree_leaves(f2(*args))[0])
+    t1s, t2s = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(jax.tree_util.tree_leaves(f1(*args))[0])
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(jax.tree_util.tree_leaves(f2(*args))[0])
+        t2s.append(time.perf_counter() - t0)
+    t1 = float(np.median(t1s))
+    return np.maximum((np.asarray(t2s) - t1) / (n2 - n1), 1e-9)
 
 
 def marginal_time(make_chained, args, n1: int = 3, n2: int = 13,
@@ -701,8 +703,11 @@ def bench_query_e2e(n: int = 1_048_576, d: int = 512, k: int = 10,
             return acc
         return jax.jit(run)
 
+    # wider gap than the op benches: each iteration is ~1.7 ms against the
+    # tunnel's ~25 ms fixed cost, so a small gap leaves the estimate at
+    # the mercy of overhead jitter (review r3)
     ests = marginal_times(make_chained, (variables, P, mu, Xd, img),
-                          n1=3, n2=11, reps=7)
+                          n1=3, n2=15, reps=7)
     p50 = float(np.median(ests))
     return {
         "p50_ms": p50 * 1e3,
