@@ -55,7 +55,8 @@ def _topk_raw(descriptors, ids, queries, num_valid, scales,
         try:
             tile = default_tile_n(descriptors.shape[0],
                                   descriptors.shape[1],
-                                  descriptors.dtype, b=queries.shape[0])
+                                  descriptors.dtype, b=queries.shape[0],
+                                  k=k)
         except ValueError:
             tile = 0
         if k > tile:

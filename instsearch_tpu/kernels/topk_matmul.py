@@ -89,24 +89,48 @@ def _merge_topk(scores, ids, top_s, top_i, k: int):
     """Fold [B, T] tile scores into the running [B, k] top-k (descending).
 
     k rounds of masked argmax over the concatenation; returns new (top_s,
-    top_i). All shapes static; runs on the VPU.
-    """
+    top_i). All shapes static; runs on the VPU. For k > 16 the rounds are
+    ROLLED into a fori_loop (review r3): unrolling k=100 rounds stacked
+    ~20 MB of per-round temporaries in scoped VMEM against the 16 MB
+    limit — the rolled loop keeps one round's buffers live. Small k stays
+    unrolled (the dense tier is the only merge path there and straight-
+    line code measures faster)."""
     comb_s = jnp.concatenate([top_s, scores], axis=1)          # [B, k+T]
     comb_i = jnp.concatenate([top_i, ids], axis=1)
     b, m = comb_s.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
-    new_s = []
-    new_i = []
-    for _ in range(k):
-        best = jnp.max(comb_s, axis=1, keepdims=True)           # [B, 1]
-        am = jnp.argmax(comb_s, axis=1).astype(jnp.int32)       # [B]
-        sel = col == am[:, None]                                # one-hot
+    if k <= 16:
+        new_s = []
+        new_i = []
+        for _ in range(k):
+            best = jnp.max(comb_s, axis=1, keepdims=True)       # [B, 1]
+            am = jnp.argmax(comb_s, axis=1).astype(jnp.int32)   # [B]
+            sel = col == am[:, None]                            # one-hot
+            best_i = jnp.sum(jnp.where(sel, comb_i, 0), axis=1,
+                             keepdims=True)
+            new_s.append(best)
+            new_i.append(best_i)
+            comb_s = jnp.where(sel, NEG_INF, comb_s)
+        return (jnp.concatenate(new_s, axis=1),
+                jnp.concatenate(new_i, axis=1).astype(jnp.int32))
+
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)       # [B, k]
+
+    def body(j, carry):
+        cs, out_s, out_i = carry
+        best = jnp.max(cs, axis=1, keepdims=True)               # [B, 1]
+        am = jnp.argmax(cs, axis=1).astype(jnp.int32)           # [B]
+        sel = col == am[:, None]
         best_i = jnp.sum(jnp.where(sel, comb_i, 0), axis=1, keepdims=True)
-        new_s.append(best)
-        new_i.append(best_i)
-        comb_s = jnp.where(sel, NEG_INF, comb_s)
-    return (jnp.concatenate(new_s, axis=1),
-            jnp.concatenate(new_i, axis=1).astype(jnp.int32))
+        write = kcol == j                                       # column j
+        out_s = jnp.where(write, best, out_s)
+        out_i = jnp.where(write, best_i, out_i)
+        return jnp.where(sel, NEG_INF, cs), out_s, out_i
+
+    _, out_s, out_i = jax.lax.fori_loop(
+        0, k, body, (comb_s, jnp.full((b, k), NEG_INF, comb_s.dtype),
+                     jnp.full((b, k), -1, jnp.int32)))
+    return out_s, out_i.astype(jnp.int32)
 
 
 
@@ -131,6 +155,72 @@ def _extract_candidates(scores, row_ids, tau, n_cand: int):
     return jnp.concatenate(cs, axis=1), jnp.concatenate(ci, axis=1)
 
 
+def _fold_tile(scores, row_ids, tau, row_max, n_above, top_s, top_i,
+               *, k: int, tile_n: int):
+    """Tiered fold of one tile's [B, T] scores into the running top-k
+    scratch refs — shared by the bf16 and int8 kernels so the merge
+    discipline cannot drift between them.
+
+    Tiers by ``cmax`` (max candidates above tau for any query):
+      1        -> one argmax pass + rank insert
+      2..4     -> 4 extraction rounds + rank insert (common at large B)
+      5..16    -> 16 extraction rounds + rank insert, only when k > 16
+                  (review r3: at k=100 rerank depth, B>=32 pushes many
+                  tiles past cmax=4 and the dense fallback's k unrolled
+                  argmax rounds dominated the whole scan — 16 rounds are
+                  ~6x cheaper; at k <= 16 the dense merge is itself <= 16
+                  rounds, so the tier would only add compile size)
+      else     -> dense k-round masked-argmax merge (first tiles)
+    """
+    b = scores.shape[0]
+    cmax = jnp.max(n_above)
+
+    @pl.when(cmax == 1)
+    def _insert_one():
+        # common case: at most ONE new candidate per query. One argmax
+        # pass + a tiny [B, k+1] extraction — O(T) not O(k*T).
+        am = jnp.argmax(scores, axis=1).astype(jnp.int32)   # [B]
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+        sel = col == am[:, None]
+        cand_i = jnp.sum(jnp.where(sel, row_ids, 0), axis=1, keepdims=True)
+        has = n_above[:, None] > 0
+        cand_s = jnp.where(has, row_max, NEG_INF)           # [B, 1]
+        cand_i = jnp.where(has, cand_i, -1)
+        new_s, new_i = _insert_sorted(cand_s, cand_i,
+                                      top_s[:], top_i[:], k)
+        top_s[:] = new_s
+        top_i[:] = new_i
+
+    @pl.when((cmax > 1) & (cmax <= 4))
+    def _insert_few():
+        # 2-4 candidates somewhere in the batch: 4 extraction rounds
+        # over [B, T] + a [B, k+4] merge — ~2.5x cheaper than the
+        # full k-round merge
+        cand_s, cand_i = _extract_candidates(scores, row_ids, tau, 4)
+        new_s, new_i = _insert_sorted(cand_s, cand_i,
+                                      top_s[:], top_i[:], k)
+        top_s[:] = new_s
+        top_i[:] = new_i
+
+    if k > 16:
+        @pl.when((cmax > 4) & (cmax <= 16))
+        def _insert_mid():
+            cand_s, cand_i = _extract_candidates(scores, row_ids, tau, 16)
+            new_s, new_i = _insert_sorted(cand_s, cand_i,
+                                          top_s[:], top_i[:], k)
+            top_s[:] = new_s
+            top_i[:] = new_i
+
+    dense = (cmax > 16) if k > 16 else (cmax > 4)
+
+    @pl.when(dense)
+    def _merge_full():
+        ids_bt = jnp.broadcast_to(row_ids, (b, tile_n))   # merge-only
+        new_s, new_i = _merge_topk(scores, ids_bt, top_s[:], top_i[:], k)
+        top_s[:] = new_s
+        top_i[:] = new_i
+
+
 def _kernel(num_valid_ref, x_ref, q_ref, out_s_ref, out_i_ref,
             top_s, top_i, *, k: int, tile_n: int):
     step = pl.program_id(0)
@@ -147,7 +237,6 @@ def _kernel(num_valid_ref, x_ref, q_ref, out_s_ref, out_i_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    b = scores.shape[0]
     base = step * tile_n
     # [1, T] row ids / validity, broadcast against [B, T]: the epilogue
     # runs on EVERY tile, so per-element work there is the batched-mode
@@ -168,43 +257,9 @@ def _kernel(num_valid_ref, x_ref, q_ref, out_s_ref, out_i_ref,
 
     @pl.when(tile_interesting)
     def _maybe_merge():
-        above = scores > tau                                # [B, T]
-        n_above = jnp.sum(above, axis=1)                    # [B]
-        cmax = jnp.max(n_above)
-
-        @pl.when(cmax == 1)
-        def _insert_one():
-            # common case: at most ONE new candidate per query. One argmax
-            # pass + a tiny [B, k+1] extraction — O(T) not O(k*T).
-            am = jnp.argmax(scores, axis=1).astype(jnp.int32)   # [B]
-            col = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
-            sel = col == am[:, None]
-            cand_i = jnp.sum(jnp.where(sel, row_ids, 0), axis=1, keepdims=True)
-            has = n_above[:, None] > 0
-            cand_s = jnp.where(has, row_max, NEG_INF)           # [B, 1]
-            cand_i = jnp.where(has, cand_i, -1)
-            new_s, new_i = _insert_sorted(cand_s, cand_i,
-                                          top_s[:], top_i[:], k)
-            top_s[:] = new_s
-            top_i[:] = new_i
-
-        @pl.when((cmax > 1) & (cmax <= 4))
-        def _insert_few():
-            # 2-4 candidates somewhere in the batch: 4 extraction rounds
-            # over [B, T] + a [B, k+4] merge — ~2.5x cheaper than the
-            # full k-round merge, and the common case at large B
-            cand_s, cand_i = _extract_candidates(scores, row_ids, tau, 4)
-            new_s, new_i = _insert_sorted(cand_s, cand_i,
-                                          top_s[:], top_i[:], k)
-            top_s[:] = new_s
-            top_i[:] = new_i
-
-        @pl.when(cmax > 4)
-        def _merge_full():
-            ids_bt = jnp.broadcast_to(row_ids, (b, tile_n))   # merge-only
-            new_s, new_i = _merge_topk(scores, ids_bt, top_s[:], top_i[:], k)
-            top_s[:] = new_s
-            top_i[:] = new_i
+        n_above = jnp.sum(scores > tau, axis=1)             # [B]
+        _fold_tile(scores, row_ids, tau, row_max, n_above, top_s, top_i,
+                   k=k, tile_n=tile_n)
 
     @pl.when(step == num_steps - 1)
     def _emit():
@@ -230,7 +285,6 @@ def _kernel_int8(num_valid_ref, x_ref, scales_ref, q_ref, qs_ref,
         preferred_element_type=jnp.int32)                  # [B, T] int32
     scores = acc.astype(jnp.float32) * qs_ref[:] * scales_ref[:]
 
-    b = scores.shape[0]
     base = step * tile_n
     row_ids = base + jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
     valid = row_ids < num_valid_ref[0]       # [1, T], broadcasts (see _kernel)
@@ -242,38 +296,9 @@ def _kernel_int8(num_valid_ref, x_ref, scales_ref, q_ref, qs_ref,
 
     @pl.when(tile_interesting)
     def _maybe_merge():
-        above = scores > tau
-        n_above = jnp.sum(above, axis=1)
-        cmax = jnp.max(n_above)
-
-        @pl.when(cmax == 1)
-        def _insert_one():
-            am = jnp.argmax(scores, axis=1).astype(jnp.int32)
-            col = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
-            sel = col == am[:, None]
-            cand_i = jnp.sum(jnp.where(sel, row_ids, 0), axis=1, keepdims=True)
-            has = n_above[:, None] > 0
-            cand_s = jnp.where(has, row_max, NEG_INF)
-            cand_i = jnp.where(has, cand_i, -1)
-            new_s, new_i = _insert_sorted(cand_s, cand_i,
-                                          top_s[:], top_i[:], k)
-            top_s[:] = new_s
-            top_i[:] = new_i
-
-        @pl.when((cmax > 1) & (cmax <= 4))
-        def _insert_few():
-            cand_s, cand_i = _extract_candidates(scores, row_ids, tau, 4)
-            new_s, new_i = _insert_sorted(cand_s, cand_i,
-                                          top_s[:], top_i[:], k)
-            top_s[:] = new_s
-            top_i[:] = new_i
-
-        @pl.when(cmax > 4)
-        def _merge_full():
-            ids_bt = jnp.broadcast_to(row_ids, (b, tile_n))
-            new_s, new_i = _merge_topk(scores, ids_bt, top_s[:], top_i[:], k)
-            top_s[:] = new_s
-            top_i[:] = new_i
+        n_above = jnp.sum(scores > tau, axis=1)
+        _fold_tile(scores, row_ids, tau, row_max, n_above, top_s, top_i,
+                   k=k, tile_n=tile_n)
 
     @pl.when(step == num_steps - 1)
     def _emit():
@@ -297,7 +322,7 @@ def topk_matmul_int8(x_int8: jax.Array, scales: jax.Array, q: jax.Array,
     n, d = x_int8.shape
     b = q.shape[0]
     if tile_n is None:
-        tile_n = default_tile_n(n, d, jnp.int8, b=b)
+        tile_n = default_tile_n(n, d, jnp.int8, b=b, k=k)
     if n % tile_n:
         raise ValueError(f"N={n} not a multiple of tile_n={tile_n}")
     if k > tile_n:
@@ -346,17 +371,25 @@ def topk_matmul_int8(x_int8: jax.Array, scales: jax.Array, q: jax.Array,
     return out_s, out_i
 
 
-def default_tile_n(n: int, d: int, dtype=jnp.bfloat16, b: int = 1) -> int:
+def default_tile_n(n: int, d: int, dtype=jnp.bfloat16, b: int = 1,
+                   k: int = 10) -> int:
     """Pick a row tile: big enough to amortize, small enough that the
     double-buffered tile pair PLUS the per-tile [B, T] score/merge buffers
     stay under the ~16 MB VMEM budget (the merge concatenates ~3 [B, T]
-    f32 temporaries, which dominates for large query batches)."""
+    f32 temporaries, which dominates for large query batches).
+
+    ``k > 16`` enables the kernel's 16-round extraction tier, whose
+    [B, T] rounds make huge tiles merge-expensive at large B — measured
+    on-chip at B=128, k=100: int8 tile 4096 -> 6.8 ms, 2048 -> 5.9 ms —
+    so large-k selections cap B*T at the measured sweet spot. Every
+    k <= 16 path keeps the exact pre-existing tiling."""
     bytes_per = jnp.dtype(dtype).itemsize
     for tile in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
         tiles = 2 * tile * d * bytes_per            # double-buffered stream
         merge = 3 * b * tile * 4                    # [B, T] f32 temporaries
         if n % tile == 0 and tiles <= 6 * 1024 * 1024 \
-                and tiles + merge <= 10 * 1024 * 1024:
+                and tiles + merge <= 10 * 1024 * 1024 \
+                and (k <= 16 or b * tile <= 128 * 2048):
             return tile
     raise ValueError(f"no valid row tile for N={n}; pad rows to a multiple of 8")
 
@@ -374,7 +407,7 @@ def topk_matmul(x: jax.Array, q: jax.Array, k: int = 10,
     n, d = x.shape
     b = q.shape[0]
     if tile_n is None:
-        tile_n = default_tile_n(n, d, x.dtype, b=b)
+        tile_n = default_tile_n(n, d, x.dtype, b=b, k=k)
     if n % tile_n:
         raise ValueError(f"N={n} not a multiple of tile_n={tile_n}")
     if k > tile_n:

@@ -168,3 +168,42 @@ def test_multi_candidate_tiles(rng):
     ws, wi = _oracle(X, q, 10)
     np.testing.assert_array_equal(np.asarray(i), wi)
     np.testing.assert_allclose(np.asarray(s), ws, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("ascending", [False, True])
+def test_mid_tier_large_k(rng, ascending):
+    """k > 16 enables the 16-candidate extraction tier (review r3: the
+    k=100 rerank depth made the dense k-round fallback dominate batched
+    scans). Random data walks tiles through cmax 5..16 after the first
+    dense tile; the ascending variant keeps EVERY tile improving (the
+    adversarial worst case, constant merging through all tiers)."""
+    n, d, b, k, tile = 512, 64, 8, 24, 128
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    if ascending:
+        Q0 = rng.standard_normal((1, d)).astype(np.float32)
+        order = np.argsort((X @ Q0.T)[:, 0])        # worst-case row order
+        X = X[order]
+    Q = rng.standard_normal((b, d)).astype(np.float32)
+    s, i = topk_matmul(jnp.asarray(X), jnp.asarray(Q), k=k, tile_n=tile,
+                       **INTERP)
+    ws, wi = _oracle(X, Q, k)
+    np.testing.assert_array_equal(np.asarray(i), wi)
+    np.testing.assert_allclose(np.asarray(s), ws, rtol=1e-4, atol=1e-4)
+
+
+def test_mid_tier_large_k_int8(rng):
+    from instsearch_tpu.kernels import topk_matmul_int8
+    from instsearch_tpu.ops.quantize import quantize_rows
+    n, d, b, k, tile = 512, 64, 8, 24, 128
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    qr = quantize_rows(jnp.asarray(X))
+    Q = rng.standard_normal((b, d)).astype(np.float32)
+    s, i = topk_matmul_int8(qr.values, qr.scales, jnp.asarray(Q), k=k,
+                            tile_n=tile, **INTERP)
+    # oracle over the DEQUANTIZED matrix (same values the kernel scores)
+    Xdq = np.asarray(qr.values, np.float32) * np.asarray(qr.scales)[0][:, None]
+    from instsearch_tpu.ops.quantize import quantize_rows as qrows
+    qq = qrows(jnp.asarray(Q))
+    Qdq = np.asarray(qq.values, np.float32) * np.asarray(qq.scales)[0][:, None]
+    ws, wi = _oracle(Xdq, Qdq, k)
+    np.testing.assert_array_equal(np.asarray(i), wi)
