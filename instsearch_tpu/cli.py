@@ -89,6 +89,41 @@ def cmd_build_index(args) -> int:
     return 0
 
 
+def cmd_update_index(args) -> int:
+    """Offline index maintenance: add images / remove names on a saved
+    index, in place (the daemon counterpart is serve's {"add"}/{"remove"}
+    requests). Adds use the persisted extractor weights + fitted
+    whitening; removals compact in place (Index.remove), so the padded
+    shape — and every compiled search program a later `serve` warms —
+    is unchanged unless an add overflows IndexConfig.capacity."""
+    from .index import Index
+    idx = Index.load(args.index)
+    added = removed = 0
+    if args.remove:
+        removed = idx.remove(args.remove)
+    if args.add:
+        paths = []
+        for p in args.add:
+            if os.path.isdir(p):
+                paths += sorted(glob.glob(os.path.join(p, "*.jpg"))) + \
+                    sorted(glob.glob(os.path.join(p, "*.png")))
+            else:
+                paths.append(p)
+        if not paths:
+            print(f"error: no images found in {args.add}", file=sys.stderr)
+            return 2
+        if idx.extractor is None:
+            print("error: index has no extractor weights; cannot extract "
+                  "new images", file=sys.stderr)
+            return 2
+        added = idx.add(paths=paths)
+    idx.save(args.out or args.index)
+    print(json.dumps({"added": added, "removed": removed,
+                      "rows": idx.num_valid,
+                      "out": args.out or args.index}))
+    return 0
+
+
 def cmd_query(args) -> int:
     from .data import frontend
     from .index import Index
@@ -381,6 +416,18 @@ def main(argv=None) -> int:
                    help="orbax checkpoint from `finetune` (reads the "
                         ".meta.json sidecar for gem_p/backbone)")
     b.set_defaults(fn=cmd_build_index)
+
+    u = sub.add_parser("update-index", help="add/remove images on a "
+                       "saved index (offline counterpart of serve's "
+                       "add/remove requests)")
+    u.add_argument("--index", required=True, help="saved index directory")
+    u.add_argument("--add", nargs="*", default=[],
+                   help="image files or directories to index")
+    u.add_argument("--remove", nargs="*", default=[],
+                   help="image names (no extension) to remove")
+    u.add_argument("--out", default=None,
+                   help="write the updated index here (default: in place)")
+    u.set_defaults(fn=cmd_update_index)
 
     q = sub.add_parser("query", help="query an index with an image")
     q.add_argument("--index", required=True)

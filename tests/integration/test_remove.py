@@ -147,6 +147,61 @@ def test_remove_sharded_parity():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_remove_save_load_roundtrip(tmp_path):
+    idx, X = _mk(dtype="int8")
+    idx.remove(["a5", "a6", "a39"])
+    s0, i0 = idx.search(X[:6])
+    idx.save(str(tmp_path / "idx"))
+    loaded = Index.load(str(tmp_path / "idx"))
+    assert loaded.num_valid == 37
+    s1, i1 = loaded.search(X[:6])
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))
+    assert np.array_equal(np.asarray(s0), np.asarray(s1))
+    # the loaded index can keep mutating
+    loaded.remove(["a38"])
+    _, top = loaded.search(X[:6])
+    assert not np.isin(np.asarray(top), [5, 6, 38, 39]).any()
+
+
+def test_cli_update_index(tmp_path):
+    """`cli update-index`: the offline add/remove path over a saved
+    index (daemon counterpart: serve's add/remove requests)."""
+    import json as _json
+
+    from instsearch_tpu import ExtractConfig
+    from instsearch_tpu.cli import main
+    from instsearch_tpu.eval import make_mini_dataset
+
+    mini = make_mini_dataset(str(tmp_path / "mini"), seed=3)
+    cfg = PipelineConfig(
+        extract=ExtractConfig(backbone="vgg16", pooling="gem",
+                              image_size=64, batch_size=8, dtype="float32"),
+        search=SearchConfig(k=3, use_pallas=False))
+    idx = Index.build(mini.db_paths, cfg, seed=0)
+    idx_dir = str(tmp_path / "idx")
+    idx.save(idx_dir)
+
+    qpath = mini.image_path(mini.qimlist[0])
+    rc = main(["update-index", "--index", idx_dir,
+               "--remove", mini.imlist[0], mini.imlist[1],
+               "--add", qpath])
+    assert rc == 0
+    updated = Index.load(idx_dir)
+    assert updated.num_valid == len(mini.imlist) - 1
+    assert mini.qimlist[0] in updated.names
+    assert mini.imlist[0] not in updated.names
+
+    # the added image self-matches through the reloaded extractor
+    from instsearch_tpu.data import frontend
+    img = frontend.load_square(qpath, 64)[None]
+    _, ids = updated.query_images(img)
+    assert updated.name_of(int(np.asarray(ids)[0, 0])) == mini.qimlist[0]
+
+    # unknown name -> loud failure, index untouched
+    with pytest.raises(KeyError):
+        main(["update-index", "--index", idx_dir, "--remove", "nope"])
+
+
 def test_remove_everything_but_one():
     idx, X = _mk(n=16, k=1)
     idx.remove([f"a{i}" for i in range(15)])
