@@ -82,10 +82,16 @@ def cmd_build_index(args) -> int:
     else:
         idx = Index.build(paths, cfg, variables=variables,
                           whitening=whitening)
+    out = {"indexed": idx.num_valid,
+           "quarantined": len(getattr(idx, "quarantined", [])),
+           "dim": idx.dim, "out": args.out}
+    if args.ivf:
+        ivf = idx.build_ivf(n_clusters=args.ivf_clusters or None,
+                            nprobe=args.nprobe)
+        out["ivf"] = {"clusters": ivf.n_clusters, "nprobe": ivf.nprobe,
+                      "scan_fraction": round(ivf.scan_fraction(), 4)}
     idx.save(args.out)
-    print(json.dumps({"indexed": idx.num_valid,
-                      "quarantined": len(getattr(idx, "quarantined", [])),
-                      "dim": idx.dim, "out": args.out}))
+    print(json.dumps(out))
     return 0
 
 
@@ -98,6 +104,10 @@ def cmd_update_index(args) -> int:
     is unchanged unless an add overflows IndexConfig.capacity."""
     from .index import Index
     idx = Index.load(args.index)
+    # mutation drops an attached IVF view (row positions move); remember
+    # its sizing so it can be rebuilt over the updated rows before saving
+    ivf_params = ((idx.ivf.n_clusters, idx.ivf.nprobe)
+                  if idx.ivf is not None else None)
     added = removed = 0
     if args.remove:
         removed = idx.remove(args.remove)
@@ -117,6 +127,9 @@ def cmd_update_index(args) -> int:
                   "new images", file=sys.stderr)
             return 2
         added = idx.add(paths=paths)
+    if ivf_params is not None and idx.ivf is None and (added or removed):
+        idx.build_ivf(n_clusters=min(ivf_params[0], idx.num_valid),
+                      nprobe=ivf_params[1])
     idx.save(args.out or args.index)
     print(json.dumps({"added": added, "removed": removed,
                       "rows": idx.num_valid,
@@ -141,6 +154,8 @@ def cmd_query(args) -> int:
         print(f"error: cannot decode {args.image}", file=sys.stderr)
         return 2
     scfg = idx.cfg.search.replace(k=args.k)
+    if args.nprobe is not None:   # 0 = exact even when an IVF view exists
+        scfg = scfg.replace(ivf_nprobe=args.nprobe)
     scores, ids = idx.query_images(img[None], scfg)
     # drop padded slots (id -1, score -inf): fewer valid rows than k —
     # -inf also serializes as the non-standard JSON token -Infinity
@@ -415,6 +430,13 @@ def main(argv=None) -> int:
     b.add_argument("--weights", default=None,
                    help="orbax checkpoint from `finetune` (reads the "
                         ".meta.json sidecar for gem_p/backbone)")
+    b.add_argument("--ivf", action="store_true",
+                   help="attach an IVF ANN view (k-means coarse quantizer; "
+                        "query/serve then scan ~nprobe/clusters of the rows)")
+    b.add_argument("--ivf-clusters", type=int, default=0,
+                   help="IVF cluster count (default: ~sqrt(N))")
+    b.add_argument("--nprobe", type=int, default=32,
+                   help="IVF probes per query (with --ivf)")
     b.set_defaults(fn=cmd_build_index)
 
     u = sub.add_parser("update-index", help="add/remove images on a "
@@ -433,6 +455,8 @@ def main(argv=None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--image", required=True)
     q.add_argument("-k", type=int, default=10)
+    q.add_argument("--nprobe", type=int, default=None,
+                   help="IVF probes (indexes built with --ivf; 0 = exact)")
     q.set_defaults(fn=cmd_query)
 
     e = sub.add_parser("evaluate", help="protocol evaluation on a dataset")

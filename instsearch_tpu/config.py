@@ -109,6 +109,10 @@ class SearchConfig(_JsonMixin):
     # regional re-ranking (arXiv:1511.05879 §4)
     rerank_enabled: bool = False
     rerank_depth: int = 100
+    # IVF ANN tier (search/ivf.py): probes per query; 0 = exact brute
+    # force. Takes effect only when the index has an IVF view attached
+    # (Index.build_ivf, which sets this to its nprobe).
+    ivf_nprobe: int = 0
 
 
 @dataclass(frozen=True)

@@ -204,6 +204,7 @@ class Index:
         self.regional = regional            # [N_pad, R, D] for re-ranking, optional
         self.regional_scales = None         # [N_pad, R] when regional is int8
         self.scales = scales                # [1, N_pad] f32 when dtype=int8
+        self.ivf = None                     # search.ivf.IVFIndex ANN view
 
     # ------------------------------------------------------------------
     @property
@@ -347,6 +348,7 @@ class Index:
         n_new = len(names)
         if n_new == 0:
             return 0
+        self._drop_ivf("add()")   # the bucketed view would miss new rows
         if self.regional is not None and reg_new is None:
             raise ValueError("index has a regional re-rank store; add() "
                              "needs image paths to extend it")
@@ -442,6 +444,34 @@ class Index:
                 (start, 0, 0))
 
     # ------------------------------------------------------------------
+    def build_ivf(self, n_clusters: int | None = None, nprobe: int = 32,
+                  iters: int = 10, seed: int = 0, cap_factor: float = 4.0,
+                  sample: "int | None" = 262_144):
+        """Attach an IVF ANN view (search/ivf.py): k-means coarse quantizer
+        + cluster-pruned scan, reading ~nprobe/n_clusters of the index per
+        query. Routes ``search()`` (including QE / regional re-ranking —
+        candidate selection swaps, the quality math is shared) while the
+        exact path stays available via ``search_cfg.replace(ivf_nprobe=0)``.
+        Approximate by construction: measure with ``ivf.measure_recall``.
+        Single-device only (the sharded path keeps the exact fused scan);
+        ``add()``/``remove()`` invalidate the view — rebuild after
+        mutating. Returns the IVFIndex."""
+        from .search.ivf import IVFIndex
+        self.ivf = IVFIndex.from_index(self, n_clusters=n_clusters,
+                                       nprobe=nprobe, iters=iters, seed=seed,
+                                       cap_factor=cap_factor, sample=sample)
+        self.cfg = self.cfg.replace(
+            search=self.cfg.search.replace(ivf_nprobe=nprobe))
+        return self.ivf
+
+    def _drop_ivf(self, why: str) -> None:
+        if self.ivf is not None:
+            from .utils import get_logger
+            get_logger("instsearch.index").warning(
+                "IVF view invalidated by %s; rebuild with build_ivf()", why)
+            self.ivf = None
+
+    # ------------------------------------------------------------------
     def remove(self, names: Sequence[str]) -> int:
         """Remove indexed images by name, in place.
 
@@ -469,6 +499,7 @@ class Index:
         m = len(rem)
         if m == 0:
             return 0
+        self._drop_ivf("remove()")   # compaction moves row positions
         n_valid = self.num_valid
         new_valid = n_valid - m
         # surviving rows now in the tail [new_valid, n_valid) move into
@@ -546,6 +577,9 @@ class Index:
         do_rerank = (scfg.rerank_enabled and self.regional is not None
                      and query_regional is not None)
 
+        if self.ivf is not None and scfg.ivf_nprobe > 0:
+            return self._search_ivf(q, scfg, query_regional, do_rerank)
+
         # the WHOLE composite is chunked, not just the top-k: the re-rank
         # stage gathers [chunk, depth, R, D] candidate regions, so an
         # unchunked large batch would still allocate GBs at depth=100
@@ -569,6 +603,38 @@ class Index:
         from .utils.chunking import run_chunked
         args = (q, jnp.asarray(query_regional)) if do_rerank else (q,)
         top_scores, top_ids = run_chunked(run, scfg.query_chunk, *args)
+        return np.asarray(top_scores), np.asarray(top_ids)
+
+    def _search_ivf(self, q, scfg, query_regional, do_rerank: bool):
+        """Cluster-pruned search path (search/ivf.py): same composite
+        stages (QE -> re-rank -> top-k), candidate selection via the IVF
+        buckets instead of the full scan. Chunked so the per-query
+        [chunk, nprobe, M, D] bucket gather stays bounded."""
+        ivf = self.ivf
+        nprobe = min(scfg.ivf_nprobe, ivf.n_clusters)
+        depth = (min(scfg.rerank_depth, self.descriptors.shape[0])
+                 if do_rerank else 0)
+        from .search.ivf import _ivf_composite_jit
+
+        def run(qq, *qreg):
+            return _ivf_composite_jit(
+                ivf.centroids, ivf.buckets, ivf.bucket_scales,
+                ivf.bucket_pos, ivf.spill, ivf.spill_scales, ivf.spill_pos,
+                self.descriptors, self.ids, self.scales,
+                self.regional if do_rerank else None,
+                self.regional_scales if do_rerank else None,
+                qreg[0] if do_rerank else None, qq,
+                k=scfg.k, depth=depth, qe_n=scfg.qe_n,
+                qe_alpha=scfg.qe_alpha, nprobe=nprobe,
+                do_qe=scfg.qe_enabled, do_rerank=do_rerank)
+
+        row_bytes = ivf.buckets.shape[2] * ivf.buckets.dtype.itemsize
+        per_q = max(1, nprobe * ivf.bucket_capacity * row_bytes)
+        chunk = max(1, min(scfg.query_chunk or q.shape[0],
+                           (256 << 20) // per_q))
+        from .utils.chunking import run_chunked
+        args = (q, jnp.asarray(query_regional)) if do_rerank else (q,)
+        top_scores, top_ids = run_chunked(run, chunk, *args)
         return np.asarray(top_scores), np.asarray(top_ids)
 
     def query(self, queries, search_cfg: Optional[SearchConfig] = None,
@@ -731,6 +797,9 @@ class Index:
                 "format": "orbax" if streaming else "npz",
                 "dtypes": {k: str(v.dtype) for k, v in state.items()},
                 "seed": getattr(self.extractor, "seed", 0)}
+        if self.ivf is not None:
+            self.ivf.save(os.path.join(path, "ivf"))
+            meta["ivf"] = True
         if self.extractor is not None:
             from .utils.checkpoint import save_pytree
             save_pytree(os.path.join(path, "variables"),
@@ -806,4 +875,7 @@ class Index:
             idx = cls(data["descriptors"].astype(dtype), data["ids"],
                       list(meta["names"]), cfg, extractor, regional)
         idx.regional_scales = regional_scales
+        if meta.get("ivf"):
+            from .search.ivf import IVFIndex
+            idx.ivf = IVFIndex.load(os.path.join(path, "ivf"))
         return idx

@@ -1,8 +1,9 @@
 from .bruteforce import all_scores, search_topk
+from .ivf import IVFIndex
 from .qe import alpha_query_expansion, expand_from_candidates
 from .rerank import (regional_rerank_scores, rerank_from_candidates,
                      region_match_scores)
 
 __all__ = ["all_scores", "search_topk", "alpha_query_expansion",
            "expand_from_candidates", "regional_rerank_scores",
-           "rerank_from_candidates", "region_match_scores"]
+           "rerank_from_candidates", "region_match_scores", "IVFIndex"]
