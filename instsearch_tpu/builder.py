@@ -160,4 +160,6 @@ class ResumableBuilder:
             # previously re-extracted the whole corpus here (review r2/r3)
             from .index import attach_regional_store
             attach_regional_store(idx, regional)
+        if self.cfg.index.dba_n:
+            idx.augment_database()   # αDBA, same policy as Index.build
         return idx

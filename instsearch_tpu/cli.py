@@ -30,6 +30,9 @@ def _load_cfg(args) -> PipelineConfig:
 def cmd_build_index(args) -> int:
     from .index import Index
     cfg = _load_cfg(args)
+    if getattr(args, "dba_n", 0):
+        cfg = cfg.replace(index=cfg.index.replace(
+            dba_n=args.dba_n, dba_alpha=args.dba_alpha))
     variables = None
     whitening = None
     if args.weights:
@@ -85,6 +88,8 @@ def cmd_build_index(args) -> int:
     out = {"indexed": idx.num_valid,
            "quarantined": len(getattr(idx, "quarantined", [])),
            "dim": idx.dim, "out": args.out}
+    if cfg.index.dba_n:
+        out["dba_n"] = cfg.index.dba_n
     if args.ivf:
         ivf = idx.build_ivf(n_clusters=args.ivf_clusters or None,
                             nprobe=args.nprobe)
@@ -156,6 +161,8 @@ def cmd_query(args) -> int:
     scfg = idx.cfg.search.replace(k=args.k)
     if args.nprobe is not None:   # 0 = exact even when an IVF view exists
         scfg = scfg.replace(ivf_nprobe=args.nprobe)
+    if getattr(args, "diffusion", False):
+        scfg = scfg.replace(diffusion_enabled=True, rerank_enabled=False)
     scores, ids = idx.query_images(img[None], scfg)
     # drop padded slots (id -1, score -inf): fewer valid rows than k —
     # -inf also serializes as the non-standard JSON token -Infinity
@@ -430,6 +437,11 @@ def main(argv=None) -> int:
     b.add_argument("--weights", default=None,
                    help="orbax checkpoint from `finetune` (reads the "
                         ".meta.json sidecar for gem_p/backbone)")
+    b.add_argument("--dba-n", type=int, default=0,
+                   help="database-side augmentation: aggregate each row's "
+                        "top-n neighbors offline (0 = off)")
+    b.add_argument("--dba-alpha", type=float, default=3.0,
+                   help="αDBA similarity weighting exponent")
     b.add_argument("--ivf", action="store_true",
                    help="attach an IVF ANN view (k-means coarse quantizer; "
                         "query/serve then scan ~nprobe/clusters of the rows)")
@@ -457,6 +469,10 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--nprobe", type=int, default=None,
                    help="IVF probes (indexes built with --ivf; 0 = exact)")
+    q.add_argument("--diffusion", action="store_true",
+                   help="diffusion re-ranking over the top candidates' "
+                        "similarity graph (search/diffusion.py; depth etc. "
+                        "from the index's SearchConfig)")
     q.set_defaults(fn=cmd_query)
 
     e = sub.add_parser("evaluate", help="protocol evaluation on a dataset")

@@ -88,6 +88,11 @@ class IndexConfig(_JsonMixin):
     row_tile: int = 1024                # Pallas row-tile per top-k matmul step
     dtype: str = "bfloat16"             # stored descriptor dtype
     capacity: int = 0                   # 0 = size to the dataset, padded to tile
+    # database-side augmentation (αDBA, search/dba.py): each stored row is
+    # replaced offline by the s^alpha-weighted sum of its dba_n nearest
+    # database rows (itself included). 0 = off.
+    dba_n: int = 0
+    dba_alpha: float = 3.0
 
 
 @dataclass(frozen=True)
@@ -109,6 +114,17 @@ class SearchConfig(_JsonMixin):
     # regional re-ranking (arXiv:1511.05879 §4)
     rerank_enabled: bool = False
     rerank_depth: int = 100
+    # diffusion re-ranking (arXiv:1611.05113, truncated — search/diffusion.py):
+    # re-score the top-diffusion_depth candidates by diffusing the query's
+    # affinity through their mutual-knn similarity graph (CG solve of
+    # (I - alpha W) f = y, fixed iteration count). Mutually exclusive with
+    # rerank_enabled (one re-scoring stage per query).
+    diffusion_enabled: bool = False
+    diffusion_depth: int = 200
+    diffusion_knn: int = 10
+    diffusion_alpha: float = 0.99
+    diffusion_iters: int = 20
+    diffusion_seeds: int = 10
     # IVF ANN tier (search/ivf.py): probes per query; 0 = exact brute
     # force. Takes effect only when the index has an IVF view attached
     # (Index.build_ivf, which sets this to its nprobe).

@@ -90,11 +90,16 @@ def _topk_jit(descriptors, ids, queries, num_valid, scales,
 
 
 @partial(jax.jit, static_argnames=("k", "depth", "qe_n", "qe_alpha",
-                                   "use_pallas", "do_qe", "do_rerank"))
+                                   "use_pallas", "do_qe", "do_rerank",
+                                   "do_diffusion", "diff_knn", "diff_alpha",
+                                   "diff_iters", "diff_seeds"))
 def _search_composite_jit(descriptors, ids, queries, num_valid, scales,
                           regional, regional_scales, query_regional,
                           *, k: int, depth: int, qe_n: int, qe_alpha: float,
-                          use_pallas: bool, do_qe: bool, do_rerank: bool):
+                          use_pallas: bool, do_qe: bool, do_rerank: bool,
+                          do_diffusion: bool = False, diff_knn: int = 10,
+                          diff_alpha: float = 0.99, diff_iters: int = 20,
+                          diff_seeds: int = 10):
     """ONE jitted program for the quality composite (SURVEY.md §3.2):
     optional alpha-QE (fused top-n + row gather), optional regional
     re-ranking (fused top-``depth`` candidate selection), final top-k.
@@ -123,9 +128,56 @@ def _search_composite_jit(descriptors, ids, queries, num_valid, scales,
         return rerank_from_candidates(
             regional, ids, g, pos, query_regional, k=k,
             regional_scales=regional_scales)
+    if do_diffusion:
+        g, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
+                           k=depth, use_pallas=use_pallas)
+        cand = jnp.take(descriptors, jnp.maximum(pos, 0),
+                        axis=0).astype(jnp.float32)        # [Q, depth, D]
+        if descriptors.dtype == jnp.int8:
+            cand = cand * jnp.take(scales[0],
+                                   jnp.maximum(pos, 0))[..., None]
+        from .search.diffusion import diffusion_rerank_from_candidates
+        return diffusion_rerank_from_candidates(
+            ids, g, pos, cand, k=k, knn=diff_knn, alpha=diff_alpha,
+            iters=diff_iters, seeds=diff_seeds)
     scores, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
                             k=k, use_pallas=use_pallas)
     return scores, _pos_to_ids(ids, scores, pos)
+
+
+@partial(jax.jit, static_argnames=("n", "alpha", "use_pallas", "chunk"))
+def _dba_chunk_jit(descriptors, ids, num_valid, scales, start,
+                   *, n: int, alpha: float, use_pallas: bool, chunk: int):
+    """One DBA chunk (search/dba.py): rows [start, start+chunk) of the
+    ORIGINAL matrix act as queries against the whole original matrix;
+    returns their augmented replacements [chunk, D] f32. Candidate
+    selection is the same fused kernel as serving; the weighting is the
+    shared qe.expand_from_candidates (include_query=False — the row is
+    its own top-1 neighbor at weight 1)."""
+    rows_q = jax.lax.dynamic_slice(
+        descriptors, (start, 0), (chunk, descriptors.shape[1])
+    ).astype(jnp.float32)
+    if descriptors.dtype == jnp.int8:
+        sc = jax.lax.dynamic_slice(scales, (0, start), (1, chunk))
+        rows_q = rows_q * sc.reshape(-1, 1)
+    s, pos = _topk_raw(descriptors, ids, rows_q, num_valid, scales,
+                       k=n, use_pallas=use_pallas)
+    nbrs = jnp.take(descriptors, jnp.maximum(pos, 0),
+                    axis=0).astype(jnp.float32)                # [chunk, n, D]
+    if descriptors.dtype == jnp.int8:
+        nbrs = nbrs * jnp.take(scales[0], jnp.maximum(pos, 0))[..., None]
+    nbrs = jnp.where((s > -jnp.inf)[..., None], nbrs, 0.0)
+    from .search.qe import expand_from_candidates
+    out = expand_from_candidates(rows_q, s, nbrs, alpha, include_query=False)
+    # padding rows in the chunk tail: zero queries aggregate only
+    # zero-weight ties -> expand already returns 0, but make it explicit
+    row_ids = jax.lax.dynamic_slice(ids, (start,), (chunk,))
+    return jnp.where((row_ids >= 0)[:, None], out, 0.0)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _write_rows_jit(buf, rows, start):
+    return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -311,6 +363,8 @@ class Index:
 
         if regional is not None:
             attach_regional_store(idx, regional)
+        if cfg.index.dba_n:
+            idx.augment_database()
         return idx
 
     # ------------------------------------------------------------------
@@ -472,6 +526,53 @@ class Index:
             self.ivf = None
 
     # ------------------------------------------------------------------
+    def augment_database(self, n: int | None = None,
+                         alpha: float | None = None,
+                         chunk: int | None = None) -> None:
+        """αDBA (search/dba.py): replace every stored row, in place, by
+        the s^alpha-weighted sum of its ``n`` nearest database rows
+        (itself included at weight 1). One offline batched self-search:
+        every chunk of rows queries the ORIGINAL matrix through the same
+        fused top-k kernel as serving, results land in a device-resident
+        f32 buffer (donated in-place writes, ONE readback-free pass), and
+        the buffer replaces the matrix at the end — int8 storage is
+        re-quantized once from the f32 augmentation, not round-tripped.
+
+        Defaults come from ``IndexConfig.dba_n`` / ``dba_alpha``
+        (``Index.build`` applies them automatically). Drops an attached
+        IVF view (centroid geometry changed). The regional re-rank store
+        keeps its RAW per-region descriptors — only the global matrix
+        (and therefore the global cosine the re-rank fuses) is
+        augmented. Rows ``add()``-ed later are NOT retro-augmented; call
+        this again after bulk additions."""
+        n = n if n is not None else (self.cfg.index.dba_n or 10)
+        alpha = self.cfg.index.dba_alpha if alpha is None else alpha
+        if self.num_valid == 0:
+            return
+        n_pad, d = self.descriptors.shape
+        n = min(n, n_pad)
+        chunk = min(chunk or self.cfg.search.query_chunk or 128, n_pad)
+        use_pallas = (self.cfg.search.use_pallas
+                      and jax.devices()[0].platform == "tpu")
+        nv = jnp.asarray(self.num_valid, jnp.int32)
+        buf = jnp.zeros((n_pad, d), jnp.float32)
+        for start in range(0, self.num_valid, chunk):
+            s32 = jnp.asarray(min(start, n_pad - chunk), jnp.int32)
+            rows = _dba_chunk_jit(self.descriptors, self.ids, nv,
+                                  self.scales, s32, n=n, alpha=float(alpha),
+                                  use_pallas=use_pallas, chunk=chunk)
+            buf = _write_rows_jit(buf, rows, s32)
+        self._drop_ivf("augment_database()")
+        if self.descriptors.dtype == jnp.int8:
+            from .ops.quantize import quantize_rows
+            qr = quantize_rows(buf)
+            self.descriptors, self.scales = qr.values, qr.scales
+        else:
+            self.descriptors = buf.astype(self.descriptors.dtype)
+        from .utils import COUNTERS
+        COUNTERS.add("rows_dba_augmented", self.num_valid)
+
+    # ------------------------------------------------------------------
     def remove(self, names: Sequence[str]) -> int:
         """Remove indexed images by name, in place.
 
@@ -576,20 +677,34 @@ class Index:
         COUNTERS.add("queries_served", q.shape[0])
         do_rerank = (scfg.rerank_enabled and self.regional is not None
                      and query_regional is not None)
+        do_diffusion = scfg.diffusion_enabled
+        # guard on the CONFIG flags, not the effective do_rerank — an
+        # index without a regional store must still reject the ambiguous
+        # config instead of silently taking the diffusion branch
+        if scfg.rerank_enabled and do_diffusion:
+            raise ValueError(
+                "rerank_enabled and diffusion_enabled are mutually "
+                "exclusive (one re-scoring stage per query); disable one")
 
-        if self.ivf is not None and scfg.ivf_nprobe > 0:
+        if self.ivf is not None and scfg.ivf_nprobe > 0 and not do_diffusion:
+            # diffusion needs the exact top-depth neighborhood (the graph
+            # IS the result) — it always takes the exact fused scan
             return self._search_ivf(q, scfg, query_regional, do_rerank)
 
         # the WHOLE composite is chunked, not just the top-k: the re-rank
         # stage gathers [chunk, depth, R, D] candidate regions, so an
         # unchunked large batch would still allocate GBs at depth=100
         def run(qq, *qreg):
-            if scfg.qe_enabled or do_rerank:
+            if scfg.qe_enabled or do_rerank or do_diffusion:
                 use_pallas = (self.cfg.search.use_pallas
                               and jax.devices()[0].platform == "tpu")
                 nv = jnp.asarray(self.num_valid, jnp.int32)
-                depth = (min(scfg.rerank_depth, self.descriptors.shape[0])
-                         if do_rerank else 0)
+                depth = 0
+                if do_rerank:
+                    depth = min(scfg.rerank_depth, self.descriptors.shape[0])
+                elif do_diffusion:
+                    depth = min(scfg.diffusion_depth,
+                                self.descriptors.shape[0])
                 return _search_composite_jit(
                     self.descriptors, self.ids, qq, nv, self.scales,
                     self.regional if do_rerank else None,
@@ -597,7 +712,12 @@ class Index:
                     qreg[0] if do_rerank else None,
                     k=scfg.k, depth=depth, qe_n=scfg.qe_n,
                     qe_alpha=scfg.qe_alpha, use_pallas=use_pallas,
-                    do_qe=scfg.qe_enabled, do_rerank=do_rerank)
+                    do_qe=scfg.qe_enabled, do_rerank=do_rerank,
+                    do_diffusion=do_diffusion,
+                    diff_knn=scfg.diffusion_knn,
+                    diff_alpha=scfg.diffusion_alpha,
+                    diff_iters=scfg.diffusion_iters,
+                    diff_seeds=scfg.diffusion_seeds)
             return self._topk(qq, scfg.k, chunk=0)
 
         from .utils.chunking import run_chunked

@@ -294,6 +294,58 @@ def sharded_rerank_fn(mesh: Mesh, k: int, depth: int, fuse_weight: float = 1.0,
     return jax.jit(mapped)
 
 
+def sharded_diffusion_fn(mesh: Mesh, k: int, depth: int, knn: int = 10,
+                         alpha: float = 0.99, iters: int = 20,
+                         seeds: int = 10, axis: str = "shard",
+                         use_pallas: bool = False, interpret: bool = False,
+                         int8: bool = False):
+    """Distributed diffusion re-ranking (search/diffusion.py on the
+    sharded path), exact vs the single-device stage:
+
+      1. per-shard global top-``depth`` + dequantized candidate-row gather
+      2. allgather of (score, id, row) candidates over ICI — the one
+         heavy collective, S*depth*(D+2) elements per query
+      3. replicated merge to the global top-depth set, then the shared
+         ``diffuse_from_candidates`` graph/solve on every shard
+         (redundant compute, zero extra traffic — the [depth, depth]
+         solve is tiny next to the scan)
+    """
+
+    def per_shard(X, ids_s, q, nv, scales_s=None):
+        local_k = min(depth, X.shape[0])
+        s, pos, gids = _local_topk(X, ids_s, q, nv, local_k, scales_s,
+                                   axis=axis, use_pallas=use_pallas,
+                                   interpret=interpret, int8=int8)
+        rows = _gather_rows_f32(X, pos, scales_s, int8=int8)  # [Q, lk, D]
+        s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)
+        g_all = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
+        r_all = jax.lax.all_gather(rows, axis, axis=1, tiled=True)
+        dd = min(depth, s_all.shape[1])
+        top_g, j = jax.lax.top_k(s_all, dd)                   # [Q, depth]
+        top_ids = jnp.take_along_axis(g_all, j, axis=1)
+        cand = jnp.take_along_axis(r_all, j[..., None], axis=1)
+        from ..search.diffusion import diffuse_from_candidates
+        f = diffuse_from_candidates(cand, top_g, knn=knn, alpha=alpha,
+                                    iters=iters, seeds=seeds)
+        kk = min(k, dd)
+        fs, fj = jax.lax.top_k(f, kk)
+        fi = jnp.take_along_axis(top_ids, fj, axis=1)
+        fi = jnp.where(fs > -jnp.inf, fi, -1)
+        if kk < k:
+            padw = ((0, 0), (0, k - kk))
+            fs = jnp.pad(fs, padw, constant_values=-jnp.inf)
+            fi = jnp.pad(fi, padw, constant_values=-1)
+        return fs, fi
+
+    in_specs = [P(axis, None), P(axis), P(None, None), P(None)]
+    if int8:
+        in_specs.append(P(None, axis))
+    mapped = shard_map(per_shard, mesh=mesh, in_specs=tuple(in_specs),
+                       out_specs=(P(None, None), P(None, None)),
+                       check_vma=False)
+    return jax.jit(mapped)
+
+
 class ShardedIndex:
     """Thin distribution layer over Index storage.
 
@@ -397,6 +449,30 @@ class ShardedIndex:
             return self._fns[key](*operands)
 
         return self._run_chunked(run, queries, query_regional)
+
+    def search_diffusion(self, queries: jax.Array, k: int | None = None,
+                         depth: int = 200, knn: int = 10,
+                         alpha: float = 0.99, iters: int = 20,
+                         seeds: int = 10):
+        """Distributed diffusion re-ranking (one program, three ICI
+        allgathers; equals Index.search with diffusion_enabled)."""
+        k = k or self.default_k
+        depth = min(depth, self.descriptors.shape[0])
+        key = ("diffusion", k, depth, knn, alpha, iters, seeds)
+        if key not in self._fns:
+            self._fns[key] = sharded_diffusion_fn(
+                self.mesh, k, depth, knn, alpha, iters, seeds,
+                axis=self.axis, use_pallas=self.use_pallas,
+                interpret=self.interpret, int8=self.int8)
+
+        def run(qq):
+            q, nv = self._common_operands(qq)
+            if self.int8:
+                return self._fns[key](self.descriptors, self.ids, q, nv,
+                                      self.scales)
+            return self._fns[key](self.descriptors, self.ids, q, nv)
+
+        return self._run_chunked(run, queries)
 
     def search_qe(self, queries: jax.Array, k: int | None = None,
                   qe_n: int = 10, alpha: float = 3.0):

@@ -1,4 +1,5 @@
 from .bruteforce import all_scores, search_topk
+from .dba import dba_augment
 from .ivf import IVFIndex
 from .qe import alpha_query_expansion, expand_from_candidates
 from .rerank import (regional_rerank_scores, rerank_from_candidates,
@@ -6,4 +7,5 @@ from .rerank import (regional_rerank_scores, rerank_from_candidates,
 
 __all__ = ["all_scores", "search_topk", "alpha_query_expansion",
            "expand_from_candidates", "regional_rerank_scores",
-           "rerank_from_candidates", "region_match_scores", "IVFIndex"]
+           "rerank_from_candidates", "region_match_scores", "IVFIndex",
+           "dba_augment"]

@@ -17,16 +17,23 @@ import jax.numpy as jnp
 
 def expand_from_candidates(queries: jax.Array, top_s: jax.Array,
                            neighbors: jax.Array,
-                           alpha: float = 3.0) -> jax.Array:
+                           alpha: float = 3.0,
+                           include_query: bool = True) -> jax.Array:
     """THE weighting/normalization definition: ``queries [Q, D]``,
     ``top_s [Q, n]`` (invalid slots -inf), ``neighbors [Q, n, D]`` f32
     (invalid rows zeroed) -> expanded queries [Q, D] f32 unit-norm.
     Shared by the full-matrix oracle, the fused-kernel composite
     (index.py) and the distributed _local_expand so the math cannot
-    drift between them."""
+    drift between them.
+
+    ``include_query=False`` drops the ``+ q`` term — the database-side
+    augmentation (αDBA, search/dba.py) aggregates a row's neighbors
+    where the row ITSELF is among them (self-similarity 1 -> weight 1),
+    so adding the query separately would double-count it."""
     q = jnp.asarray(queries, jnp.float32)
     w = jnp.clip(top_s, 0.0, None) ** alpha                       # [Q, n]
-    expanded = q + jnp.einsum("qn,qnd->qd", w, neighbors)
+    agg = jnp.einsum("qn,qnd->qd", w, neighbors)
+    expanded = q + agg if include_query else agg
     norm = jnp.linalg.norm(expanded, axis=-1, keepdims=True)
     return expanded / jnp.maximum(norm, 1e-6)
 

@@ -31,6 +31,12 @@ def test_two_process_distributed_search():
         port = s.getsockname()[1]
     worker = os.path.join(os.path.dirname(__file__), "mh_worker.py")
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # the worker runs `python mh_worker.py`, whose sys.path[0] is the
+    # SCRIPT dir, not this repo — an uninstalled checkout needs the repo
+    # root on PYTHONPATH explicitly (a fresh venv has no editable install)
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen([sys.executable, worker, str(p), "2", str(port)],
                               stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                               text=True, env=env)
