@@ -16,7 +16,8 @@ import sys
 def main() -> int:
     # NOTE: do NOT enable jax_compilation_cache_dir here — the axon TPU
     # backend hangs when the persistent compilation cache is active.
-    from instsearch_tpu.bench import (bench_extraction, bench_extraction_e2e,
+    from instsearch_tpu.bench import (bench_diffusion, bench_extraction,
+                                      bench_extraction_e2e,
                                       bench_protocol_eval, bench_qe,
                                       bench_query, bench_query_e2e,
                                       bench_rerank)
@@ -35,6 +36,8 @@ def main() -> int:
     qe2e = _try(bench_query_e2e)
     qe = _try(bench_qe)
     rrk = _try(bench_rerank)
+    qry4 = _try(bench_query, dtype="int4")
+    diff = _try(bench_diffusion)
     peval = _try(bench_protocol_eval)
 
     value = round(ext["images_per_sec"], 1)
@@ -86,6 +89,16 @@ def main() -> int:
         if "frac_of_roofline" in rrk:
             line["rerank_frac_of_roofline"] = round(
                 rrk["frac_of_roofline"], 3)
+    if qry4 is not None:
+        line["query_int4_p50_ms_1M"] = round(qry4["p50_ms"], 3)
+        if "effective_gbps" in qry4:
+            line["query_int4_effective_gbps"] = round(
+                qry4["effective_gbps"], 1)
+    if diff is not None:
+        line["diffusion_p50_ms_1M"] = round(diff["p50_ms"], 3)
+        if "frac_of_roofline" in diff:
+            line["diffusion_frac_of_roofline"] = round(
+                diff["frac_of_roofline"], 3)
     if peval is not None:
         line["eval105k_warm_sec"] = round(peval["total_warm_sec"], 3)
     print(json.dumps(line))

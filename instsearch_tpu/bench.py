@@ -283,15 +283,28 @@ def bench_query(n: int = 1_048_576, d: int = 512, k: int = 10,
     fractions > 1 (seen at ±15% run-to-run on this chip). ``hbm_bw`` is the
     fallback reference when the interleaved probe is off."""
     # generate the index ON DEVICE: pushing GBs through the tunnel takes
-    # minutes, and the content doesn't matter for a scan benchmark
-    @jax.jit
-    def make_index():
-        X = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.float32)
-        X = X / jnp.linalg.norm(X, axis=1, keepdims=True)
-        return X.astype(jnp.bfloat16), X[:q_batch].astype(jnp.bfloat16)
+    # minutes, and the content doesn't matter for a scan benchmark.
+    # Capacity-scale int4 (8M rows): the f32 generation intermediate
+    # (16 GB) cannot coexist with anything else in 16 GB HBM — stream
+    # random packed bytes instead and skip the interleaved probe.
+    int4_capacity = dtype == "int4" and n * d * 4 > 6 * 1024**3
+    if int4_capacity:
+        @jax.jit
+        def make_index():
+            bits = jax.random.bits(jax.random.PRNGKey(0), (q_batch, d),
+                                   jnp.uint8)
+            q = (bits.astype(jnp.float32) - 127.0) / 128.0
+            return None, q.astype(jnp.bfloat16)
+        roofline = False
+    else:
+        @jax.jit
+        def make_index():
+            X = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.float32)
+            X = X / jnp.linalg.norm(X, axis=1, keepdims=True)
+            return X.astype(jnp.bfloat16), X[:q_batch].astype(jnp.bfloat16)
 
     Xd, q = make_index()
-    Xd, q = jax.block_until_ready(Xd), jax.block_until_ready(q)
+    q = jax.block_until_ready(q)
     on_tpu = jax.devices()[0].platform == "tpu"
     item_bytes = 2
 
@@ -304,6 +317,24 @@ def bench_query(n: int = 1_048_576, d: int = 512, k: int = 10,
         args = (values, scales, q.astype(jnp.float32))
         path = "pallas-int8"
         item_bytes = 1
+    elif dtype == "int4":
+        from .kernels.topk_matmul import topk_matmul_int4
+        if int4_capacity:
+            @jax.jit
+            def make_packed():
+                bits = jax.random.bits(jax.random.PRNGKey(1), (n, d // 2),
+                                       jnp.uint8)
+                vals = jax.lax.bitcast_convert_type(bits, jnp.int8)
+                return vals, jnp.full((1, n), 1.0 / 112.0, jnp.float32)
+            values, scales = jax.block_until_ready(make_packed())
+        else:
+            from .ops.quantize import quantize_rows_int4
+            qr = quantize_rows_int4(Xd.astype(jnp.float32))
+            values, scales = jax.block_until_ready(qr.values), qr.scales
+        op = lambda V, S, qq: topk_matmul_int4(V, S, qq, k=k)
+        args = (values, scales, q.astype(jnp.float32))
+        path = "pallas-int4"
+        item_bytes = 0.5           # two components per streamed byte
     elif use_pallas and on_tpu:
         from .kernels.topk_matmul import topk_matmul
         op = lambda X, qq: topk_matmul(X, qq, k=k)
@@ -327,8 +358,9 @@ def bench_query(n: int = 1_048_576, d: int = 512, k: int = 10,
         return jax.jit(run)
 
     # scan bytes: the index matrix itself (queries/outputs negligible;
-    # int8 also streams the [1, N] f32 row scales)
-    scan_bytes = n * d * item_bytes + (n * 4 if dtype == "int8" else 0)
+    # int8/int4 also stream the [1, N] f32 row scales)
+    scan_bytes = int(n * d * item_bytes) + (
+        n * 4 if dtype in ("int8", "int4") else 0)
     out = {"n": n, "d": d, "k": k, "q_batch": q_batch, "path": path}
 
     if roofline and on_tpu:
@@ -454,6 +486,99 @@ def bench_qe(n: int = 1_048_576, d: int = 512, k: int = 10, qe_n: int = 10,
     out["p99_ms"] = float(np.percentile(ests, 99)) * 1e3
     out["qps"] = q_batch / p50
     return out
+
+
+def bench_diffusion(n: int = 1_048_576, d: int = 512, k: int = 10,
+                    depth: int = 200, q_batch: int = 1,
+                    knn: int = 10, iters: int = 20) -> dict:
+    """Diffusion re-ranking end-to-end (beyond-reference quality stage):
+    the PRODUCTION composite — fused top-``depth`` candidate scan,
+    [Q, depth, D] row gather, mutual-kNN graph build ([Q, depth, depth]
+    batched matmul), ``iters`` CG steps, re-rank — timed chained-marginal.
+
+    Roofline: ONE full index scan dominates at B=1 (the [depth, depth]
+    solve is ~depth²·iters flops ≈ 1000x smaller than the scan), so the
+    reference is the interleaved bf16 stream over the same matrix.
+    """
+    from .index import _search_composite_jit
+
+    Xd, q = _make_index_device(n, d, q_batch)
+    ids = jax.block_until_ready(jnp.arange(n, dtype=jnp.int32))
+    nv = jnp.asarray(n, jnp.int32)
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    def op(X, ids, qq, nv):
+        return _search_composite_jit(
+            X, ids, qq, nv, None, None, None, None,
+            k=k, depth=depth, qe_n=0, qe_alpha=3.0, use_pallas=on_tpu,
+            do_qe=False, do_rerank=False, do_diffusion=True,
+            diff_knn=knn, diff_iters=iters)
+
+    def make_chained(m):
+        def run(X, ids, qq, nv):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(m):
+                s, _ = op(X, ids, qq + acc * 1e-30, nv)
+                acc = acc + s[0, 0]
+            return acc
+        return jax.jit(run)
+
+    args = (Xd, ids, q, nv)
+    scan_bytes = n * d * 2
+    out = {"n": n, "d": d, "k": k, "depth": depth, "knn": knn,
+           "iters": iters, "q_batch": q_batch}
+    if on_tpu:
+        q1 = jnp.ones((1, d), jnp.bfloat16)
+        probe_ests, ests = interleaved_marginal(
+            [(make_stream_probe, (Xd, q1)), (make_chained, args)],
+            n1=3, n2=11)
+        p50 = float(np.median(ests))
+        valid = (probe_ests > 2e-9) & (ests > 2e-9)
+        if valid.any():
+            pv, kv = probe_ests[valid], ests[valid]
+            out["hbm_bw_gbps"] = scan_bytes / float(np.median(pv)) / 1e9
+            out["frac_of_roofline"] = float(np.median(pv / kv))
+    else:
+        ests = marginal_times(make_chained, args, n1=3, n2=11, reps=7)
+        p50 = float(np.median(ests))
+    out["p50_ms"] = p50 * 1e3
+    out["p99_ms"] = float(np.percentile(ests, 99)) * 1e3
+    out["qps"] = q_batch / p50
+    return out
+
+
+def bench_dba(n: int = 1_048_576, d: int = 512, dba_n: int = 10,
+              chunk: int = 1024) -> dict:
+    """αDBA offline augmentation throughput: rows/s through the chunked
+    self-search (one fused top-n scan per chunk against the full matrix +
+    neighbor gather/aggregate). Total work is n/chunk full index scans —
+    an OFFLINE build step, reported as wall-clock for 1M rows and rows/s.
+    Timed over a row SLICE (first `sample` chunks) and extrapolated —
+    the per-chunk program is identical across chunks."""
+    from .index import _dba_chunk_jit
+
+    Xd, _ = _make_index_device(n, d, 1)
+    ids = jax.block_until_ready(jnp.arange(n, dtype=jnp.int32))
+    nv = jnp.asarray(n, jnp.int32)
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    def one_chunk(start):
+        return _dba_chunk_jit(Xd, ids, nv, None, start, n=dba_n,
+                              alpha=3.0, use_pallas=on_tpu, chunk=chunk)
+
+    # warm + time a handful of chunks, fenced
+    s0 = jnp.asarray(0, jnp.int32)
+    np.asarray(one_chunk(s0))
+    sample = 4
+    t0 = time.perf_counter()
+    for i in range(sample):
+        np.asarray(one_chunk(jnp.asarray(i * chunk, jnp.int32)))
+    per_chunk = (time.perf_counter() - t0) / sample
+    total_s = per_chunk * (n / chunk)
+    return {"n": n, "d": d, "dba_n": dba_n, "chunk": chunk,
+            "per_chunk_ms": per_chunk * 1e3,
+            "rows_per_sec": chunk / per_chunk,
+            "est_total_sec_1M": total_s}
 
 
 def bench_rerank(n: int = 1_048_576, d: int = 512, r: int = 16,
@@ -765,6 +890,8 @@ def run_bench(what: str = "all") -> dict:
         out["query_b128"] = bench_query(q_batch=128)
         out["query_int8"] = bench_query(dtype="int8")
         out["query_int8_b128"] = bench_query(q_batch=128, dtype="int8")
+        out["query_int4"] = bench_query(dtype="int4")
+        out["query_int4_b128"] = bench_query(q_batch=128, dtype="int4")
         out["query_e2e"] = bench_query_e2e()
         if "hbm_bw_gbps" in out["query"]:   # absent on CPU / collapsed probes
             out["hbm_bw_gbps"] = out["query"]["hbm_bw_gbps"]
@@ -778,6 +905,7 @@ def run_bench(what: str = "all") -> dict:
         out["qe_b128"] = bench_qe(q_batch=128)
         out["rerank"] = bench_rerank()
         out["rerank_b32"] = bench_rerank(q_batch=32)
+        out["diffusion"] = bench_diffusion()
         out["sharded_overhead"] = bench_sharded_overhead()
         out["protocol_eval_105k"] = bench_protocol_eval()
     if what == "extended":
@@ -792,8 +920,12 @@ def run_bench(what: str = "all") -> dict:
                              scales=(1.0, 0.7071, 0.5)),
         ]
         # 4M int8 rows = 2 GB + scales on ONE chip: the capacity story the
-        # reference (single-GPU RAM matrix) cannot tell
+        # reference (single-GPU RAM matrix) cannot tell; int4 doubles it
+        # again (8M rows = 2 GB packed)
         out["query_capacity_int8_4M"] = bench_query(n=4_194_304,
                                                     dtype="int8")
+        out["query_capacity_int4_8M"] = bench_query(n=8_388_608,
+                                                    dtype="int4")
+        out["dba_1M"] = bench_dba()
         out["train"] = bench_train()
     return out

@@ -86,7 +86,10 @@ class IndexConfig(_JsonMixin):
 
     num_shards: int = 1                 # row shards across the device mesh
     row_tile: int = 1024                # Pallas row-tile per top-k matmul step
-    dtype: str = "bfloat16"             # stored descriptor dtype
+    dtype: str = "bfloat16"             # stored descriptor dtype: bfloat16 /
+                                        # float32 / int8 (per-row scales) /
+                                        # int4 (packed nibble pairs, 4x the
+                                        # rows of bf16 per chip)
     capacity: int = 0                   # 0 = size to the dataset, padded to tile
     # database-side augmentation (αDBA, search/dba.py): each stored row is
     # replaced offline by the s^alpha-weighted sum of its dba_n nearest

@@ -121,7 +121,7 @@ def evaluate_index(index: Index, dataset: RetrievalDataset,
     queries = _batched_apply(ex, qimgs, ex.cfg.batch_size)
     scfg = search_cfg or index.cfg.search
     import jax.numpy as jnp
-    q = jnp.asarray(queries)
+    q = index._match_query_dim(jnp.asarray(queries))
     if scfg.qe_enabled:
         if sharded_index is not None:
             q = sharded_index.expand_queries(q, qe_n=scfg.qe_n,
@@ -130,7 +130,8 @@ def evaluate_index(index: Index, dataset: RetrievalDataset,
             from ..search.qe import alpha_query_expansion
             q = alpha_query_expansion(index.descriptors, index.ids, q,
                                       n=scfg.qe_n, alpha=scfg.qe_alpha,
-                                      scales=index.scales)
+                                      scales=index.scales,
+                                      int4=index.is_int4)
     if sharded_index is not None:
         ranks = sharded_index.full_ranking(q)
     else:

@@ -32,36 +32,65 @@ def _pad_rows(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
-def _raw_scores(descriptors, queries, scales):
+def _raw_scores(descriptors, queries, scales, *, int4: bool = False):
     """[Q, N] f32 scores (delegates to search.bruteforce.masked_scores —
-    one scoring definition for float and int8 storage)."""
+    one scoring definition for float, int8 and packed-int4 storage)."""
     from .search.bruteforce import masked_scores
-    return masked_scores(descriptors, queries, scales=scales)
+    return masked_scores(descriptors, queries, scales=scales, int4=int4)
+
+
+def _gather_rows_f32(descriptors, pos, scales, *, int4: bool = False):
+    """Gather stored rows at padded positions ``pos [...,]`` -> f32,
+    dequantized (int8) / unpacked+dequantized (int4). THE one
+    row-materialization definition for every composite stage (QE neighbor
+    gather, diffusion candidates, DBA aggregation) so the storage-format
+    semantics cannot drift between them. ``pos`` must already be clamped
+    non-negative (callers use ``jnp.maximum(pos, 0)``)."""
+    rows = jnp.take(descriptors, pos, axis=0)
+    if int4:
+        from .ops.quantize import unpack_int4
+        return (unpack_int4(rows).astype(jnp.float32)
+                * jnp.take(scales[0], pos)[..., None])
+    rows = rows.astype(jnp.float32)
+    if descriptors.dtype == jnp.int8:
+        rows = rows * jnp.take(scales[0], pos)[..., None]
+    return rows
 
 
 def _topk_raw(descriptors, ids, queries, num_valid, scales,
-              *, k: int, use_pallas: bool):
+              *, k: int, use_pallas: bool, int4: bool = False):
     """Top-k candidate selection: ``(scores [Q,k], pos [Q,k])`` where pos
     indexes the padded row store (invalid slots score -inf; their pos is
     safe to gather with via max(pos, 0)). Fused Pallas kernel on TPU, XLA
     oracle elsewhere — trace-time body shared by every jitted search
-    program so the two backends cannot drift."""
+    program so the two backends cannot drift. ``int4`` marks descriptors
+    as packed nibble pairs [N, D//2] (ops/quantize.quantize_rows_int4);
+    they cannot be told apart from int8 by dtype."""
     queries = jnp.asarray(queries)
     if use_pallas:
         # the kernel carries its running top-k in VMEM against each row
         # tile, so k must fit one tile; a tiny index (or huge k) where it
         # can't takes the oracle — [Q, N] is small exactly then
-        from .kernels.topk_matmul import default_tile_n
+        from .kernels.topk_matmul import default_tile_n, default_tile_n_int4
         try:
-            tile = default_tile_n(descriptors.shape[0],
-                                  descriptors.shape[1],
-                                  descriptors.dtype, b=queries.shape[0],
-                                  k=k)
+            if int4:
+                tile = default_tile_n_int4(descriptors.shape[0],
+                                           descriptors.shape[1],
+                                           b=queries.shape[0], k=k)
+            else:
+                tile = default_tile_n(descriptors.shape[0],
+                                      descriptors.shape[1],
+                                      descriptors.dtype, b=queries.shape[0],
+                                      k=k)
         except ValueError:
             tile = 0
         if k > tile:
             use_pallas = False
-    if use_pallas and descriptors.dtype == jnp.int8:
+    if use_pallas and int4:
+        from .kernels import topk_matmul_int4
+        scores, pos = topk_matmul_int4(descriptors, scales, queries, k=k,
+                                       num_valid=num_valid)
+    elif use_pallas and descriptors.dtype == jnp.int8:
         from .kernels import topk_matmul_int8
         scores, pos = topk_matmul_int8(descriptors, scales, queries, k=k,
                                        num_valid=num_valid)
@@ -70,7 +99,7 @@ def _topk_raw(descriptors, ids, queries, num_valid, scales,
         scores, pos = topk_matmul(descriptors, queries, k=k,
                                   num_valid=num_valid)
     else:
-        raw = _raw_scores(descriptors, queries, scales)
+        raw = _raw_scores(descriptors, queries, scales, int4=int4)
         raw = jnp.where(ids[None, :] >= 0, raw, -jnp.inf)
         scores, pos = jax.lax.top_k(raw, k)
     return scores, pos
@@ -81,25 +110,25 @@ def _pos_to_ids(ids, scores, pos):
     return jnp.where(valid, jnp.take(ids, jnp.maximum(pos, 0)), -1)
 
 
-@partial(jax.jit, static_argnames=("k", "use_pallas"))
+@partial(jax.jit, static_argnames=("k", "use_pallas", "int4"))
 def _topk_jit(descriptors, ids, queries, num_valid, scales,
-              *, k: int, use_pallas: bool):
+              *, k: int, use_pallas: bool, int4: bool = False):
     scores, pos = _topk_raw(descriptors, ids, queries, num_valid, scales,
-                            k=k, use_pallas=use_pallas)
+                            k=k, use_pallas=use_pallas, int4=int4)
     return scores, _pos_to_ids(ids, scores, pos)
 
 
 @partial(jax.jit, static_argnames=("k", "depth", "qe_n", "qe_alpha",
                                    "use_pallas", "do_qe", "do_rerank",
                                    "do_diffusion", "diff_knn", "diff_alpha",
-                                   "diff_iters", "diff_seeds"))
+                                   "diff_iters", "diff_seeds", "int4"))
 def _search_composite_jit(descriptors, ids, queries, num_valid, scales,
                           regional, regional_scales, query_regional,
                           *, k: int, depth: int, qe_n: int, qe_alpha: float,
                           use_pallas: bool, do_qe: bool, do_rerank: bool,
                           do_diffusion: bool = False, diff_knn: int = 10,
                           diff_alpha: float = 0.99, diff_iters: int = 20,
-                          diff_seeds: int = 10):
+                          diff_seeds: int = 10, int4: bool = False):
     """ONE jitted program for the quality composite (SURVEY.md §3.2):
     optional alpha-QE (fused top-n + row gather), optional regional
     re-ranking (fused top-``depth`` candidate selection), final top-k.
@@ -113,41 +142,38 @@ def _search_composite_jit(descriptors, ids, queries, num_valid, scales,
     q = jnp.asarray(queries, jnp.float32)
     if do_qe:
         s, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
-                           k=qe_n, use_pallas=use_pallas)
-        rows = jnp.take(descriptors, jnp.maximum(pos, 0),
-                        axis=0).astype(jnp.float32)               # [Q, n, D]
-        if descriptors.dtype == jnp.int8:
-            rows = rows * jnp.take(scales[0], jnp.maximum(pos, 0))[..., None]
+                           k=qe_n, use_pallas=use_pallas, int4=int4)
+        rows = _gather_rows_f32(descriptors, jnp.maximum(pos, 0), scales,
+                                int4=int4)                    # [Q, n, D]
         rows = jnp.where((s > -jnp.inf)[..., None], rows, 0.0)
         from .search.qe import expand_from_candidates
         q = expand_from_candidates(q, s, rows, qe_alpha)
     if do_rerank:
         g, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
-                           k=depth, use_pallas=use_pallas)
+                           k=depth, use_pallas=use_pallas, int4=int4)
         from .search.rerank import rerank_from_candidates
         return rerank_from_candidates(
             regional, ids, g, pos, query_regional, k=k,
             regional_scales=regional_scales)
     if do_diffusion:
         g, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
-                           k=depth, use_pallas=use_pallas)
-        cand = jnp.take(descriptors, jnp.maximum(pos, 0),
-                        axis=0).astype(jnp.float32)        # [Q, depth, D]
-        if descriptors.dtype == jnp.int8:
-            cand = cand * jnp.take(scales[0],
-                                   jnp.maximum(pos, 0))[..., None]
+                           k=depth, use_pallas=use_pallas, int4=int4)
+        cand = _gather_rows_f32(descriptors, jnp.maximum(pos, 0), scales,
+                                int4=int4)                    # [Q, depth, D]
         from .search.diffusion import diffusion_rerank_from_candidates
         return diffusion_rerank_from_candidates(
             ids, g, pos, cand, k=k, knn=diff_knn, alpha=diff_alpha,
             iters=diff_iters, seeds=diff_seeds)
     scores, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
-                            k=k, use_pallas=use_pallas)
+                            k=k, use_pallas=use_pallas, int4=int4)
     return scores, _pos_to_ids(ids, scores, pos)
 
 
-@partial(jax.jit, static_argnames=("n", "alpha", "use_pallas", "chunk"))
+@partial(jax.jit, static_argnames=("n", "alpha", "use_pallas", "chunk",
+                                   "int4"))
 def _dba_chunk_jit(descriptors, ids, num_valid, scales, start,
-                   *, n: int, alpha: float, use_pallas: bool, chunk: int):
+                   *, n: int, alpha: float, use_pallas: bool, chunk: int,
+                   int4: bool = False):
     """One DBA chunk (search/dba.py): rows [start, start+chunk) of the
     ORIGINAL matrix act as queries against the whole original matrix;
     returns their augmented replacements [chunk, D] f32. Candidate
@@ -155,17 +181,21 @@ def _dba_chunk_jit(descriptors, ids, num_valid, scales, start,
     shared qe.expand_from_candidates (include_query=False — the row is
     its own top-1 neighbor at weight 1)."""
     rows_q = jax.lax.dynamic_slice(
-        descriptors, (start, 0), (chunk, descriptors.shape[1])
-    ).astype(jnp.float32)
-    if descriptors.dtype == jnp.int8:
+        descriptors, (start, 0), (chunk, descriptors.shape[1]))
+    if int4:
+        from .ops.quantize import unpack_int4
+        rows_q = unpack_int4(rows_q).astype(jnp.float32)
         sc = jax.lax.dynamic_slice(scales, (0, start), (1, chunk))
         rows_q = rows_q * sc.reshape(-1, 1)
+    else:
+        rows_q = rows_q.astype(jnp.float32)
+        if descriptors.dtype == jnp.int8:
+            sc = jax.lax.dynamic_slice(scales, (0, start), (1, chunk))
+            rows_q = rows_q * sc.reshape(-1, 1)
     s, pos = _topk_raw(descriptors, ids, rows_q, num_valid, scales,
-                       k=n, use_pallas=use_pallas)
-    nbrs = jnp.take(descriptors, jnp.maximum(pos, 0),
-                    axis=0).astype(jnp.float32)                # [chunk, n, D]
-    if descriptors.dtype == jnp.int8:
-        nbrs = nbrs * jnp.take(scales[0], jnp.maximum(pos, 0))[..., None]
+                       k=n, use_pallas=use_pallas, int4=int4)
+    nbrs = _gather_rows_f32(descriptors, jnp.maximum(pos, 0), scales,
+                            int4=int4)                     # [chunk, n, D]
     nbrs = jnp.where((s > -jnp.inf)[..., None], nbrs, 0.0)
     from .search.qe import expand_from_candidates
     out = expand_from_candidates(rows_q, s, nbrs, alpha, include_query=False)
@@ -203,15 +233,17 @@ def _compact_rows_jit(state, src, dst, new_valid):
     return X, ids, scales, regional, regional_scales
 
 
-@jax.jit
-def _all_scores_jit(descriptors, ids, queries, scales):
-    scores = _raw_scores(descriptors, queries, scales)
+@partial(jax.jit, static_argnames=("int4",))
+def _all_scores_jit(descriptors, ids, queries, scales, *,
+                    int4: bool = False):
+    scores = _raw_scores(descriptors, queries, scales, int4=int4)
     return jnp.where(ids[None, :] >= 0, scores, -jnp.inf)
 
 
-@jax.jit
-def _full_ranking_jit(descriptors, ids, queries, scales):
-    scores = _raw_scores(descriptors, queries, scales)
+@partial(jax.jit, static_argnames=("int4",))
+def _full_ranking_jit(descriptors, ids, queries, scales, *,
+                      int4: bool = False):
+    scores = _raw_scores(descriptors, queries, scales, int4=int4)
     scores = jnp.where(ids[None, :] >= 0, scores, -jnp.inf)
     order = jnp.argsort(-scores, axis=1)
     return jnp.take(ids, order)
@@ -228,9 +260,12 @@ def attach_regional_store(idx: "Index", regional: np.ndarray) -> None:
     n_pad = idx.descriptors.shape[0]
     reg_pad = np.zeros((n_pad,) + regional.shape[1:], np.float32)
     reg_pad[:len(regional)] = regional
-    if idx.cfg.index.dtype == "int8":
+    if idx.cfg.index.dtype in ("int8", "int4"):
         # quantize the store per (row, region) — it is R x the index
-        # size, the system's biggest tensor
+        # size, the system's biggest tensor. An int4 index keeps an int8
+        # regional store: re-ranking is precision-sensitive and the store
+        # is gathered per-candidate, not streamed, so nibble packing
+        # would save little and cost ranking quality.
         from .ops.quantize import quantize_rows
         flat = reg_pad.reshape(-1, reg_pad.shape[-1])
         qr = quantize_rows(jnp.asarray(flat))
@@ -264,8 +299,16 @@ class Index:
         return len(self.names)
 
     @property
+    def is_int4(self) -> bool:
+        """Packed-nibble storage (two components per byte): the stored
+        matrix is [N_pad, D//2] int8 and every scoring/gather path must
+        be told — the dtype alone cannot distinguish it from int8."""
+        return self.cfg.index.dtype == "int4"
+
+    @property
     def dim(self) -> int:
-        return self.descriptors.shape[1]
+        return (2 * self.descriptors.shape[1] if self.is_int4
+                else self.descriptors.shape[1])
 
     def name_of(self, dataset_id: int) -> "str | None":
         """Dataset-position id (the values search() returns) -> image name.
@@ -289,7 +332,6 @@ class Index:
         """``original_ids`` maps descriptor rows back to dataset positions
         (differs from arange when images were quarantined during build)."""
         n, d = descriptors.shape
-        dtype = _DTYPES[cfg.index.dtype]
         tile = max(cfg.index.row_tile, 8) * max(cfg.index.num_shards, 1)
         # capacity pre-sizes the padded matrix so rows can be appended later
         # without re-padding/re-sharding (0 = size to the dataset)
@@ -299,6 +341,19 @@ class Index:
         ids = np.full((n_pad,), -1, np.int32)
         ids[:n] = (np.arange(n, dtype=np.int32) if original_ids is None
                    else np.asarray(original_ids, np.int32))
+        if cfg.index.dtype == "int4":
+            from .ops.quantize import quantize_rows_int4
+            if d % 2:
+                # nibbles pack in pairs: an odd descriptor dim (e.g. a
+                # rank-clamped whitening) gains one zero column, which
+                # never changes a dot product; queries are padded to
+                # match at search time (_match_query_dim)
+                padded = np.concatenate(
+                    [padded, np.zeros((n_pad, 1), np.float32)], axis=1)
+            qr = quantize_rows_int4(jnp.asarray(padded))
+            return cls(qr.values, jnp.asarray(ids), list(names), cfg,
+                       extractor, scales=qr.scales)
+        dtype = _DTYPES[cfg.index.dtype]
         if dtype == jnp.int8:
             from .ops.quantize import quantize_rows
             qr = quantize_rows(jnp.asarray(padded))
@@ -399,6 +454,11 @@ class Index:
         else:
             assert descriptors is not None and names is not None
             descriptors = np.asarray(descriptors, np.float32)
+        if self.is_int4 and np.shape(descriptors)[-1] == self.dim - 1:
+            # odd-dim store was zero-padded at build (nibble pairs)
+            descriptors = np.concatenate(
+                [np.asarray(descriptors, np.float32),
+                 np.zeros((len(descriptors), 1), np.float32)], axis=1)
         n_new = len(names)
         if n_new == 0:
             return 0
@@ -422,7 +482,12 @@ class Index:
             get_logger("instsearch.index").warning(
                 "capacity %d exceeded (%d + %d); re-padding",
                 n_pad, start, n_new)
-            if self.descriptors.dtype == jnp.int8:
+            if self.is_int4:
+                from .ops.quantize import QuantizedRowsInt4, \
+                    dequantize_rows_int4
+                old = np.asarray(dequantize_rows_int4(
+                    QuantizedRowsInt4(self.descriptors, self.scales)))
+            elif self.descriptors.dtype == jnp.int8:
                 old = np.asarray(self.descriptors.astype(jnp.float32)
                                  ) * np.asarray(self.scales)[0][:, None]
             else:
@@ -451,7 +516,14 @@ class Index:
 
         rows = jnp.asarray(descriptors)
         new_ids = jnp.arange(next_id, next_id + n_new, dtype=jnp.int32)
-        if self.descriptors.dtype == jnp.int8:
+        if self.is_int4:
+            from .ops.quantize import quantize_rows_int4
+            qr = quantize_rows_int4(rows)
+            self.descriptors = jax.lax.dynamic_update_slice(
+                self.descriptors, qr.values, (start, 0))
+            self.scales = jax.lax.dynamic_update_slice(
+                self.scales, qr.scales, (0, start))
+        elif self.descriptors.dtype == jnp.int8:
             from .ops.quantize import quantize_rows
             qr = quantize_rows(rows)
             self.descriptors = jax.lax.dynamic_update_slice(
@@ -510,6 +582,12 @@ class Index:
         Single-device only (the sharded path keeps the exact fused scan);
         ``add()``/``remove()`` invalidate the view — rebuild after
         mutating. Returns the IVFIndex."""
+        if self.is_int4:
+            raise ValueError(
+                "IVF views are not supported on int4 storage (the bucket "
+                "gather re-materializes rows; use int8 for IVF, or int4 "
+                "with the exact fused scan — it reads a quarter of bf16's "
+                "bytes, which is the same latency class IVF targets)")
         from .search.ivf import IVFIndex
         self.ivf = IVFIndex.from_index(self, n_clusters=n_clusters,
                                        nprobe=nprobe, iters=iters, seed=seed,
@@ -549,21 +627,26 @@ class Index:
         alpha = self.cfg.index.dba_alpha if alpha is None else alpha
         if self.num_valid == 0:
             return
-        n_pad, d = self.descriptors.shape
+        n_pad = self.descriptors.shape[0]
         n = min(n, n_pad)
         chunk = min(chunk or self.cfg.search.query_chunk or 128, n_pad)
         use_pallas = (self.cfg.search.use_pallas
                       and jax.devices()[0].platform == "tpu")
         nv = jnp.asarray(self.num_valid, jnp.int32)
-        buf = jnp.zeros((n_pad, d), jnp.float32)
+        buf = jnp.zeros((n_pad, self.dim), jnp.float32)
         for start in range(0, self.num_valid, chunk):
             s32 = jnp.asarray(min(start, n_pad - chunk), jnp.int32)
             rows = _dba_chunk_jit(self.descriptors, self.ids, nv,
                                   self.scales, s32, n=n, alpha=float(alpha),
-                                  use_pallas=use_pallas, chunk=chunk)
+                                  use_pallas=use_pallas, chunk=chunk,
+                                  int4=self.is_int4)
             buf = _write_rows_jit(buf, rows, s32)
         self._drop_ivf("augment_database()")
-        if self.descriptors.dtype == jnp.int8:
+        if self.is_int4:
+            from .ops.quantize import quantize_rows_int4
+            qr = quantize_rows_int4(buf)
+            self.descriptors, self.scales = qr.values, qr.scales
+        elif self.descriptors.dtype == jnp.int8:
             from .ops.quantize import quantize_rows
             qr = quantize_rows(buf)
             self.descriptors, self.scales = qr.values, qr.scales
@@ -636,9 +719,19 @@ class Index:
         return m
 
     # ------------------------------------------------------------------
+    def _match_query_dim(self, q: jax.Array) -> jax.Array:
+        """int4 stores pad an odd descriptor dim with one zero column
+        (nibbles pack in pairs); queries must match that width. The zero
+        column never changes a dot product."""
+        if self.is_int4 and q.shape[-1] == self.dim - 1:
+            q = jnp.pad(jnp.asarray(q), ((0, 0), (0, 1)))
+        return q
+
     def _masked_scores(self, queries: jax.Array) -> jax.Array:
+        queries = self._match_query_dim(jnp.asarray(queries))
         scores = _all_scores_jit(self.descriptors, self.ids,
-                                 jnp.asarray(queries), self.scales)
+                                 jnp.asarray(queries), self.scales,
+                                 int4=self.is_int4)
         return scores
 
     def _topk(self, queries: jax.Array, k: int, chunk: int | None = None):
@@ -657,7 +750,8 @@ class Index:
                       and jax.devices()[0].platform == "tpu")
         nv = jnp.asarray(self.num_valid, jnp.int32)
         run = lambda qq: _topk_jit(self.descriptors, self.ids, qq, nv,
-                                   self.scales, k=k, use_pallas=use_pallas)
+                                   self.scales, k=k, use_pallas=use_pallas,
+                                   int4=self.is_int4)
         if chunk is None:
             chunk = self.cfg.search.query_chunk
         return run_chunked(run, chunk, queries)
@@ -673,6 +767,7 @@ class Index:
         q = jnp.asarray(queries)
         if q.ndim == 1:
             q = q[None]
+        q = self._match_query_dim(q)
         from .utils import COUNTERS
         COUNTERS.add("queries_served", q.shape[0])
         do_rerank = (scfg.rerank_enabled and self.regional is not None
@@ -717,7 +812,8 @@ class Index:
                     diff_knn=scfg.diffusion_knn,
                     diff_alpha=scfg.diffusion_alpha,
                     diff_iters=scfg.diffusion_iters,
-                    diff_seeds=scfg.diffusion_seeds)
+                    diff_seeds=scfg.diffusion_seeds,
+                    int4=self.is_int4)
             return self._topk(qq, scfg.k, chunk=0)
 
         from .utils.chunking import run_chunked
@@ -836,8 +932,10 @@ class Index:
     def full_ranking(self, queries) -> np.ndarray:
         """[Q, N] ranked original dataset ids best-first (valid rows only),
         for protocol evaluation. Padding (-inf) sorts last and is cut."""
+        queries = self._match_query_dim(jnp.asarray(queries))
         ranked_ids = _full_ranking_jit(self.descriptors, self.ids,
-                                       jnp.asarray(queries), self.scales)
+                                       jnp.asarray(queries), self.scales,
+                                       int4=self.is_int4)
         return np.asarray(ranked_ids)[:, :self.num_valid]
 
     # ------------------------------------------------------------------
@@ -862,7 +960,8 @@ class Index:
                             k=self.cfg.search.k, use_pallas=use_pallas,
                             scales=self.scales, regional=self.regional,
                             regional_scales=self.regional_scales,
-                            query_chunk=self.cfg.search.query_chunk)
+                            query_chunk=self.cfg.search.query_chunk,
+                            int4=self.is_int4)
 
     # ------------------------------------------------------------------
     # Persistence. Two storage formats behind one API:
@@ -879,7 +978,10 @@ class Index:
 
     def _array_state(self) -> dict:
         state = {"ids": self.ids}
-        if self.descriptors.dtype == jnp.int8:
+        if self.is_int4:
+            state["descriptors_int4"] = self.descriptors    # packed [N, D//2]
+            state["scales"] = self.scales
+        elif self.descriptors.dtype == jnp.int8:
             state["descriptors_int8"] = self.descriptors
             state["scales"] = self.scales
         else:
@@ -937,7 +1039,7 @@ class Index:
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         cfg = PipelineConfig.from_json(json.dumps(meta["config"]))
-        dtype = _DTYPES[cfg.index.dtype]
+        dtype = _DTYPES.get(cfg.index.dtype)   # None for packed int4
         seed = int(meta.get("seed", 0))
 
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -946,7 +1048,7 @@ class Index:
             rows = NamedSharding(mesh, P(axis))
             rep = NamedSharding(mesh, P())
             spec = {"ids": rows, "descriptors": rows,
-                    "descriptors_int8": rows,
+                    "descriptors_int8": rows, "descriptors_int4": rows,
                     "scales": NamedSharding(mesh, P(None, axis)),
                     "regional": rows, "regional_int8": rows,
                     "regional_scales": rows,
@@ -987,7 +1089,11 @@ class Index:
         if "regional_int8" in data:
             regional = data["regional_int8"]
             regional_scales = data["regional_scales"]
-        if "descriptors_int8" in data:
+        if "descriptors_int4" in data:
+            idx = cls(data["descriptors_int4"], data["ids"],
+                      list(meta["names"]), cfg, extractor, regional,
+                      scales=data["scales"])
+        elif "descriptors_int8" in data:
             idx = cls(data["descriptors_int8"], data["ids"],
                       list(meta["names"]), cfg, extractor, regional,
                       scales=data["scales"])

@@ -306,6 +306,135 @@ def _kernel_int8(num_valid_ref, x_ref, scales_ref, q_ref, qs_ref,
         out_i_ref[:] = top_i[:]
 
 
+def _kernel_int4(num_valid_ref, x_ref, scales_ref, q_ref, qoff_ref, qs_ref,
+                 out_s_ref, out_i_ref, top_s, top_i, *, k: int, tile_n: int):
+    """int4 variant: the tile streams PACKED [T, D/2] bytes (half the int8
+    bytes, quarter of bf16). The offset nibble layout
+    (ops/quantize.quantize_rows_int4: byte = 16*hi + lo + 8) moves the
+    unpack onto the MXU — the only per-tile VPU op is ONE arithmetic
+    shift for the high nibble; the low nibble never materializes:
+
+        q_lo·lo + q_hi·hi = q_lo·byte + (q_hi)·hi − 16·(q_lo·hi) − 8·Σq_lo
+
+    i.e. three int8 MXU matmuls (free in a bandwidth-bound scan — the MXU
+    idles between tiles) and a per-query constant ``qoff = 8·Σq_lo``
+    computed outside. Measured on-chip: the previous 7-pass VPU unpack
+    erased the packed stream's bandwidth win over int8; this form keeps
+    it. Merge discipline is the shared _fold_tile."""
+    step = pl.program_id(0)
+    num_steps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _init():
+        top_s[:] = jnp.full_like(top_s, NEG_INF)
+        top_i[:] = jnp.full_like(top_i, -1)
+
+    packed = x_ref[:]                                   # [T, D/2] int8
+    # Mosaic has no i8 vector shift (arith.shrsi fails to legalize) —
+    # route through int32; three elementwise passes, the whole unpack
+    hi = (packed.astype(jnp.int32) >> 4).astype(jnp.int8)  # comp. j + D/2
+    dp = packed.shape[1]
+    q_lo = q_ref[:, :dp]
+    q_hi = q_ref[:, dp:]
+    dn = (((1,), (1,)), ((), ()))
+    m1 = jax.lax.dot_general(q_lo, packed, dimension_numbers=dn,
+                             preferred_element_type=jnp.int32)
+    m2 = jax.lax.dot_general(q_hi, hi, dimension_numbers=dn,
+                             preferred_element_type=jnp.int32)
+    m3 = jax.lax.dot_general(q_lo, hi, dimension_numbers=dn,
+                             preferred_element_type=jnp.int32)  # [B, T]
+    acc = m1 + m2 - 16 * m3 - qoff_ref[:]
+    scores = acc.astype(jnp.float32) * qs_ref[:] * scales_ref[:]
+
+    base = step * tile_n
+    row_ids = base + jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
+    valid = row_ids < num_valid_ref[0]
+    scores = jnp.where(valid, scores, NEG_INF)
+
+    tau = jnp.min(top_s[:], axis=1, keepdims=True)
+    row_max = jnp.max(scores, axis=1, keepdims=True)
+    tile_interesting = jnp.any(row_max > tau)   # NaN-free; see _kernel
+
+    @pl.when(tile_interesting)
+    def _maybe_merge():
+        n_above = jnp.sum(scores > tau, axis=1)
+        _fold_tile(scores, row_ids, tau, row_max, n_above, top_s, top_i,
+                   k=k, tile_n=tile_n)
+
+    @pl.when(step == num_steps - 1)
+    def _emit():
+        out_s_ref[:] = top_s[:]
+        out_i_ref[:] = top_i[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def topk_matmul_int4(x_packed: jax.Array, scales: jax.Array, q: jax.Array,
+                     k: int = 10,
+                     num_valid: "jax.Array | int | None" = None,
+                     tile_n: int | None = None, interpret: bool = False):
+    """Fused top-k over a per-row int4-quantized index
+    (ops/quantize.quantize_rows_int4): ``x_packed [N, D//2]`` int8 nibble
+    pairs, ``scales [1, N]``, ``q [B, D]`` float ->
+    ``(scores [B,k] f32, row_ids [B,k] i32)``.
+
+    The HBM scan reads a QUARTER of bf16's bytes; the query is quantized
+    to int8 on the fly (finer than the rows — costs nothing, halves the
+    quantization noise of the product). ``qoff = 8·Σq_lo`` corrects the
+    stored low-nibble offset (see _kernel_int4)."""
+    n, dp = x_packed.shape
+    b, d = q.shape
+    if d != 2 * dp:
+        raise ValueError(f"query dim {d} != 2 * packed dim {dp}")
+    if tile_n is None:
+        tile_n = default_tile_n_int4(n, dp, b=b, k=k)
+    if n % tile_n:
+        raise ValueError(f"N={n} not a multiple of tile_n={tile_n}")
+    if k > tile_n:
+        raise ValueError(f"k={k} > tile_n={tile_n}")
+    nv = jnp.asarray([n if num_valid is None else num_valid], jnp.int32)
+
+    from ..ops.quantize import quantize_rows
+    q_qr = quantize_rows(q)                 # int8 query at /127 resolution
+    q_int8, q_scale = q_qr.values, q_qr.scales.reshape(-1, 1)    # [B,1]
+    qoff = 8 * jnp.sum(q_int8[:, :dp].astype(jnp.int32), axis=1,
+                       keepdims=True)                            # [B,1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, dp), lambda i, nv_ref: (i, 0)),
+            pl.BlockSpec((1, tile_n), lambda i, nv_ref: (0, i)),
+            pl.BlockSpec((b, d), lambda i, nv_ref: (0, 0)),
+            pl.BlockSpec((b, 1), lambda i, nv_ref: (0, 0)),
+            pl.BlockSpec((b, 1), lambda i, nv_ref: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, k), lambda i, nv_ref: (0, 0)),
+            pl.BlockSpec((b, k), lambda i, nv_ref: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(_kernel_int4, k=k, tile_n=tile_n)
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * b * n * d,
+            bytes_accessed=n * dp + n * 4 + b * d + 2 * b * k * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(nv, x_packed, scales, q_int8, qoff, q_scale)
+    return out_s, out_i
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
 def topk_matmul_int8(x_int8: jax.Array, scales: jax.Array, q: jax.Array,
                      k: int = 10,
@@ -392,6 +521,21 @@ def default_tile_n(n: int, d: int, dtype=jnp.bfloat16, b: int = 1,
                 and (k <= 16 or b * tile <= 128 * 2048):
             return tile
     raise ValueError(f"no valid row tile for N={n}; pad rows to a multiple of 8")
+
+
+def default_tile_n_int4(n: int, dp: int, b: int = 1, k: int = 10) -> int:
+    """Row tile for the packed-int4 kernel: the stream budget counts
+    packed bytes (dp per row; measured on-chip, tile 4096 beat 2048 by
+    ~15% at 1M×512). On top of default_tile_n's stream+merge budget the
+    kernel holds the shifted high-nibble tile ([T, dp] int8, ~2 more
+    dp-bytes per row with double buffering) and three [B, T] int32 matmul
+    accumulators — halve while those would crowd the ~16 MB VMEM."""
+    tile = default_tile_n(n, dp, jnp.int8, b=b, k=k)
+    while tile > 8 and tile * dp * 4 + 7 * b * tile * 4 > 12 * 1024 * 1024:
+        tile //= 2
+    if n % tile:
+        raise ValueError(f"N={n} not a multiple of tile_n={tile}")
+    return tile
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))

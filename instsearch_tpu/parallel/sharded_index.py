@@ -7,8 +7,9 @@ the only cross-chip traffic is one [Q, S*k] candidate all-gather over ICI,
 merged redundantly on every chip (k is tiny). This is the TPU-native
 replacement for the reference's single-matrix in-RAM scan.
 
-Every stage supports the full storage matrix {f32/bf16, int8-with-row-scales}
-x {XLA oracle, fused Pallas kernel}; int8 rows are dequantized with their
+Every stage supports the full storage matrix {f32/bf16,
+int8-with-row-scales, packed-int4-with-row-scales} x {XLA oracle, fused
+Pallas kernel}; quantized rows are dequantized (int4: unpacked) with their
 per-row scales (which shard alongside the rows) before any score or gathered
 row leaves a shard.
 """
@@ -26,7 +27,8 @@ from .mesh import make_mesh, place, replicate, shard_rows
 
 
 def _local_topk(X, ids_s, q, nv, kk, scales_s, *, axis: str,
-                use_pallas: bool, interpret: bool, int8: bool):
+                use_pallas: bool, interpret: bool, int8: bool,
+                int4: bool = False):
     """Per-shard scoring + top-kk, shared by all three distributed stages.
 
     Returns ``(scores [Q,kk], pos [Q,kk], gids [Q,kk])`` where invalid
@@ -38,13 +40,20 @@ def _local_topk(X, ids_s, q, nv, kk, scales_s, *, axis: str,
     shards, e.g. qe_n=10 over 8-row shards): the local top-k is then
     clamped to C and the output padded back to kk columns with (-inf, -1),
     keeping every caller's gather width at S*kk.
+
+    ``int4`` marks X as packed nibble pairs [C, D//2] (always with row
+    scales — callers also set int8 so the scales operand binds).
     """
     c = X.shape[0]
     kk_req, kk = kk, min(kk, c)
     if use_pallas:
         shard_i = jax.lax.axis_index(axis)
         nv_local = jnp.clip(nv[0] - shard_i * c, 0, c)
-        if int8:
+        if int4:
+            from ..kernels import topk_matmul_int4
+            s, pos = topk_matmul_int4(X, scales_s, q, k=kk,
+                                      num_valid=nv_local, interpret=interpret)
+        elif int8:
             from ..kernels import topk_matmul_int8
             s, pos = topk_matmul_int8(X, scales_s, q, k=kk,
                                       num_valid=nv_local, interpret=interpret)
@@ -53,7 +62,12 @@ def _local_topk(X, ids_s, q, nv, kk, scales_s, *, axis: str,
             s, pos = topk_matmul(X, q, k=kk, num_valid=nv_local,
                                  interpret=interpret)
     else:
-        if int8:
+        if int4:
+            from ..ops.quantize import unpack_int4
+            xf = unpack_int4(X).astype(jnp.float32)
+            scores = jnp.dot(q.astype(jnp.float32), xf.T,
+                             preferred_element_type=jnp.float32) * scales_s
+        elif int8:
             scores = jnp.dot(q.astype(jnp.float32), X.T.astype(jnp.float32),
                              preferred_element_type=jnp.float32) * scales_s
         else:
@@ -71,10 +85,15 @@ def _local_topk(X, ids_s, q, nv, kk, scales_s, *, axis: str,
     return s, pos, gids
 
 
-def _gather_rows_f32(X, pos, scales_s, *, int8: bool):
-    """Dequantized f32 rows at ``pos`` [Q, n] (zeros for invalid slots)."""
-    rows = jnp.take(X, jnp.maximum(pos, 0), axis=0).astype(jnp.float32)
-    if int8:
+def _gather_rows_f32(X, pos, scales_s, *, int8: bool, int4: bool = False):
+    """Dequantized f32 rows at ``pos`` [Q, n] (zeros for invalid slots);
+    packed-int4 rows are unpacked after the (half-width) gather."""
+    rows = jnp.take(X, jnp.maximum(pos, 0), axis=0)
+    if int4:
+        from ..ops.quantize import unpack_int4
+        rows = unpack_int4(rows)
+    rows = rows.astype(jnp.float32)
+    if int8 or int4:
         rsc = jnp.take(scales_s[0], jnp.maximum(pos, 0))          # [Q, n]
         rows = rows * rsc[..., None]
     return jnp.where((pos >= 0)[..., None], rows, 0.0)            # [Q, n, D]
@@ -88,7 +107,8 @@ def _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw):
     the weighting/normalization cannot drift between them."""
     axis = kw["axis"]
     s, pos, _ = _local_topk(X, ids_s, q, nv, qe_n, scales_s, **kw)
-    rows = _gather_rows_f32(X, pos, scales_s, int8=kw["int8"])  # [Q, n, D]
+    rows = _gather_rows_f32(X, pos, scales_s, int8=kw["int8"],
+                            int4=kw.get("int4", False))         # [Q, n, D]
     s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)     # [Q, S*n]
     r_all = jax.lax.all_gather(rows, axis, axis=1, tiled=True)  # [Q, S*n, D]
     top_s, top_j = jax.lax.top_k(s_all, qe_n)
@@ -99,7 +119,7 @@ def _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw):
 
 def sharded_topk_fn(mesh: Mesh, k: int, axis: str = "shard",
                     use_pallas: bool = False, interpret: bool = False,
-                    int8: bool = False):
+                    int8: bool = False, int4: bool = False):
     """Build the jitted sharded search: (descriptors, ids, queries, nv
     [, scales]) -> (scores [Q,k], global_ids [Q,k]), all-replicated output.
 
@@ -111,7 +131,7 @@ def sharded_topk_fn(mesh: Mesh, k: int, axis: str = "shard",
     def per_shard(X, ids_s, q, nv, scales_s=None):
         s, pos, gids = _local_topk(X, ids_s, q, nv, k, scales_s, axis=axis,
                                    use_pallas=use_pallas, interpret=interpret,
-                                   int8=int8)
+                                   int8=int8, int4=int4)
         # ---- ICI boundary: gather S*k candidates per query ----
         s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)     # [Q, S*k]
         g_all = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
@@ -132,7 +152,8 @@ def sharded_topk_fn(mesh: Mesh, k: int, axis: str = "shard",
 
 def sharded_qe_topk_fn(mesh: Mesh, k: int, qe_n: int, alpha: float,
                        axis: str = "shard", use_pallas: bool = False,
-                       interpret: bool = False, int8: bool = False):
+                       interpret: bool = False, int8: bool = False,
+                       int4: bool = False):
     """Distributed search with alpha query expansion (SURVEY.md C12 on the
     sharded path), all inside ONE shard_map program:
 
@@ -148,7 +169,7 @@ def sharded_qe_topk_fn(mesh: Mesh, k: int, qe_n: int, alpha: float,
 
     def per_shard(X, ids_s, q, nv, scales_s=None):
         kw = dict(axis=axis, use_pallas=use_pallas, interpret=interpret,
-                  int8=int8)
+                  int8=int8, int4=int4)
         # ---- round 1: expansion candidates (shared _local_expand) ----
         q_exp = _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw
                               ).astype(q.dtype)
@@ -171,7 +192,8 @@ def sharded_qe_topk_fn(mesh: Mesh, k: int, qe_n: int, alpha: float,
     return jax.jit(mapped)
 
 
-def sharded_scores_fn(mesh: Mesh, axis: str = "shard", int8: bool = False):
+def sharded_scores_fn(mesh: Mesh, axis: str = "shard", int8: bool = False,
+                      int4: bool = False):
     """Full [Q, N] score matrix, replicated via one row-axis allgather —
     what protocol evaluation needs (AP consumes the complete ranking,
     SURVEY.md §3.3). Padding rows come back -inf. The per-shard matmul is
@@ -179,7 +201,12 @@ def sharded_scores_fn(mesh: Mesh, axis: str = "shard", int8: bool = False):
     gathered matrix equals the single-device one exactly."""
 
     def per_shard(X, ids_s, q, scales_s=None):
-        if int8:
+        if int4:
+            from ..ops.quantize import unpack_int4
+            xf = unpack_int4(X).astype(jnp.float32)
+            scores = jnp.dot(q.astype(jnp.float32), xf.T,
+                             preferred_element_type=jnp.float32) * scales_s
+        elif int8:
             scores = jnp.dot(q.astype(jnp.float32), X.T.astype(jnp.float32),
                              preferred_element_type=jnp.float32) * scales_s
         else:
@@ -198,7 +225,8 @@ def sharded_scores_fn(mesh: Mesh, axis: str = "shard", int8: bool = False):
 
 def sharded_expand_fn(mesh: Mesh, qe_n: int, alpha: float,
                       axis: str = "shard", use_pallas: bool = False,
-                      interpret: bool = False, int8: bool = False):
+                      interpret: bool = False, int8: bool = False,
+                      int4: bool = False):
     """Alpha-QE expansion only (round 1 of sharded_qe_topk_fn): returns the
     expanded queries [Q, D] f32 replicated, for callers that need the
     expanded query itself (protocol evaluation ranks the FULL index with
@@ -206,7 +234,7 @@ def sharded_expand_fn(mesh: Mesh, qe_n: int, alpha: float,
 
     def per_shard(X, ids_s, q, nv, scales_s=None):
         kw = dict(axis=axis, use_pallas=use_pallas, interpret=interpret,
-                  int8=int8)
+                  int8=int8, int4=int4)
         return _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw)
 
     in_specs = [P(axis, None), P(axis), P(None, None), P(None)]
@@ -220,7 +248,7 @@ def sharded_expand_fn(mesh: Mesh, qe_n: int, alpha: float,
 def sharded_rerank_fn(mesh: Mesh, k: int, depth: int, fuse_weight: float = 1.0,
                       axis: str = "shard", use_pallas: bool = False,
                       interpret: bool = False, int8: bool = False,
-                      regional_int8: bool = False):
+                      regional_int8: bool = False, int4: bool = False):
     """Distributed regional re-ranking (SURVEY.md C13 on the sharded path),
     exact vs the single-device stage:
 
@@ -298,7 +326,7 @@ def sharded_diffusion_fn(mesh: Mesh, k: int, depth: int, knn: int = 10,
                          alpha: float = 0.99, iters: int = 20,
                          seeds: int = 10, axis: str = "shard",
                          use_pallas: bool = False, interpret: bool = False,
-                         int8: bool = False):
+                         int8: bool = False, int4: bool = False):
     """Distributed diffusion re-ranking (search/diffusion.py on the
     sharded path), exact vs the single-device stage:
 
@@ -315,8 +343,9 @@ def sharded_diffusion_fn(mesh: Mesh, k: int, depth: int, knn: int = 10,
         local_k = min(depth, X.shape[0])
         s, pos, gids = _local_topk(X, ids_s, q, nv, local_k, scales_s,
                                    axis=axis, use_pallas=use_pallas,
-                                   interpret=interpret, int8=int8)
-        rows = _gather_rows_f32(X, pos, scales_s, int8=int8)  # [Q, lk, D]
+                                   interpret=interpret, int8=int8, int4=int4)
+        rows = _gather_rows_f32(X, pos, scales_s, int8=int8,
+                                int4=int4)                    # [Q, lk, D]
         s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)
         g_all = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
         r_all = jax.lax.all_gather(rows, axis, axis=1, tiled=True)
@@ -360,7 +389,7 @@ class ShardedIndex:
                  regional: "jax.Array | None" = None,
                  scales: "jax.Array | None" = None,
                  regional_scales: "jax.Array | None" = None,
-                 query_chunk: int = 128):
+                 query_chunk: int = 128, int4: bool = False):
         self.mesh = mesh or make_mesh()
         # on a 2-D (data x shard) mesh, rows shard over the 'shard' axis
         # and every stage replicates over the others
@@ -371,7 +400,7 @@ class ShardedIndex:
         if n % s:
             raise ValueError(f"padded rows {n} not divisible by {s} shards")
         if descriptors.dtype == jnp.int8 and scales is None:
-            raise ValueError("int8 descriptors need per-row scales")
+            raise ValueError("int8/int4 descriptors need per-row scales")
         if regional is not None and regional.dtype == jnp.int8 \
                 and regional_scales is None:
             raise ValueError("int8 regional store needs per-region scales")
@@ -380,7 +409,11 @@ class ShardedIndex:
         self._ids_np = ids_np                  # host copy for full rankings
         self.descriptors = shard_rows(self.mesh, descriptors, self.axis)
         self.ids = shard_rows(self.mesh, ids, self.axis)
+        # packed int4 stores as int8 dtype: self.int8 stays True for it
+        # (it gates the scales-operand binding), self.int4 refines the
+        # scoring/gather math inside every stage
         self.int8 = descriptors.dtype == jnp.int8
+        self.int4 = int4
         self.scales = (place(self.mesh, scales, P(None, self.axis))
                        if scales is not None else None)
         self.regional = (shard_rows(self.mesh, regional, self.axis)
@@ -397,7 +430,13 @@ class ShardedIndex:
         self.query_chunk = query_chunk
 
     def _common_operands(self, queries):
-        q = replicate(self.mesh, jnp.asarray(queries))
+        q = jnp.asarray(queries)
+        if self.int4 and q.shape[-1] == 2 * self.descriptors.shape[1] - 1:
+            # odd-dim int4 store carries one zero pad column (nibble
+            # pairs); match the query width — a zero column never
+            # changes a dot product
+            q = jnp.pad(q, ((0, 0), (0, 1)))
+        q = replicate(self.mesh, q)
         nv = replicate(self.mesh, jnp.asarray([self.num_valid], jnp.int32))
         return q, nv
 
@@ -413,7 +452,7 @@ class ShardedIndex:
             self._fns[k] = sharded_topk_fn(self.mesh, k, axis=self.axis,
                                            use_pallas=self.use_pallas,
                                            interpret=self.interpret,
-                                           int8=self.int8)
+                                           int8=self.int8, int4=self.int4)
 
         def run(qq):
             q, nv = self._common_operands(qq)
@@ -436,7 +475,8 @@ class ShardedIndex:
             self._fns[key] = sharded_rerank_fn(
                 self.mesh, k, depth, fuse_weight, axis=self.axis,
                 use_pallas=self.use_pallas, interpret=self.interpret,
-                int8=self.int8, regional_int8=self.regional_int8)
+                int8=self.int8, regional_int8=self.regional_int8,
+                int4=self.int4)
         def run(qq, qqreg):
             q, nv = self._common_operands(qq)
             qreg = replicate(self.mesh, qqreg)
@@ -463,7 +503,7 @@ class ShardedIndex:
             self._fns[key] = sharded_diffusion_fn(
                 self.mesh, k, depth, knn, alpha, iters, seeds,
                 axis=self.axis, use_pallas=self.use_pallas,
-                interpret=self.interpret, int8=self.int8)
+                interpret=self.interpret, int8=self.int8, int4=self.int4)
 
         def run(qq):
             q, nv = self._common_operands(qq)
@@ -484,7 +524,7 @@ class ShardedIndex:
             self._fns[key] = sharded_qe_topk_fn(
                 self.mesh, k, qe_n, alpha, axis=self.axis,
                 use_pallas=self.use_pallas, interpret=self.interpret,
-                int8=self.int8)
+                int8=self.int8, int4=self.int4)
         def run(qq):
             q, nv = self._common_operands(qq)
             if self.int8:
@@ -503,7 +543,7 @@ class ShardedIndex:
             self._fns[key] = sharded_expand_fn(
                 self.mesh, qe_n, alpha, axis=self.axis,
                 use_pallas=self.use_pallas, interpret=self.interpret,
-                int8=self.int8)
+                int8=self.int8, int4=self.int4)
         def run(qq):
             q, nv = self._common_operands(qq)
             if self.int8:
@@ -517,7 +557,7 @@ class ShardedIndex:
         """Replicated full [Q, N_pad] score matrix (padding -inf)."""
         if "scores" not in self._fns:
             self._fns["scores"] = sharded_scores_fn(
-                self.mesh, axis=self.axis, int8=self.int8)
+                self.mesh, axis=self.axis, int8=self.int8, int4=self.int4)
 
         def run(qq):
             q = replicate(self.mesh, qq)

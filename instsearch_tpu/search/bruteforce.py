@@ -14,13 +14,21 @@ import jax.numpy as jnp
 
 def masked_scores(descriptors: jax.Array, queries: jax.Array,
                   scales: "jax.Array | None" = None,
-                  ids: "jax.Array | None" = None) -> jax.Array:
-    """[Q, N] f32 scores — THE one scoring definition (float or
-    int8-with-row-scales storage; padding rows masked to -inf when ``ids``
-    is given). index.py and search/qe.py delegate here so the int8 dequant
-    and padding-mask semantics cannot drift between paths.
-    """
-    if descriptors.dtype == jnp.int8:
+                  ids: "jax.Array | None" = None,
+                  int4: bool = False) -> jax.Array:
+    """[Q, N] f32 scores — THE one scoring definition (float,
+    int8-with-row-scales, or packed-int4 storage; padding rows masked to
+    -inf when ``ids`` is given). index.py and search/qe.py delegate here
+    so the dequant and padding-mask semantics cannot drift between paths.
+    ``int4=True`` marks ``descriptors`` as [N, D//2] nibble pairs
+    (ops/quantize.quantize_rows_int4) — indistinguishable from int8 by
+    dtype."""
+    if int4:
+        from ..ops.quantize import unpack_int4
+        rows = unpack_int4(descriptors).astype(jnp.float32)
+        scores = jnp.dot(queries.astype(jnp.float32), rows.T,
+                         preferred_element_type=jnp.float32) * scales
+    elif descriptors.dtype == jnp.int8:
         scores = jnp.dot(queries.astype(jnp.float32),
                          descriptors.T.astype(jnp.float32),
                          preferred_element_type=jnp.float32) * scales

@@ -38,24 +38,34 @@ def expand_from_candidates(queries: jax.Array, top_s: jax.Array,
     return expanded / jnp.maximum(norm, 1e-6)
 
 
-@partial(jax.jit, static_argnames=("n",))
+@partial(jax.jit, static_argnames=("n", "int4"))
 def alpha_query_expansion(descriptors: jax.Array, ids: jax.Array,
                           queries: jax.Array, n: int = 10,
                           alpha: float = 3.0,
-                          scales: "jax.Array | None" = None) -> jax.Array:
+                          scales: "jax.Array | None" = None,
+                          int4: bool = False) -> jax.Array:
     """``descriptors [N_pad, D]`` (padded rows masked via ``ids < 0``),
     ``queries [Q, D]`` -> expanded queries ``[Q, D]`` (f32, unit norm).
-    ``scales [1, N_pad]`` dequantizes an int8-stored index.
+    ``scales [1, N_pad]`` dequantizes an int8-stored index; ``int4``
+    marks packed nibble-pair storage (queries then match the UNPACKED
+    width 2 * descriptors.shape[1]).
 
     Reference oracle (materializes the [Q, N] score matrix); the
     production composite in Index.search selects the top-n with the fused
     kernel instead and shares expand_from_candidates."""
     q = jnp.asarray(queries, jnp.float32)
     from .bruteforce import masked_scores
-    scores = masked_scores(descriptors, q, scales=scales, ids=ids)  # [Q, N]
+    scores = masked_scores(descriptors, q, scales=scales, ids=ids,
+                           int4=int4)                             # [Q, N]
     top_s, top_pos = jax.lax.top_k(scores, n)                     # [Q, n]
-    neighbors = jnp.take(descriptors, top_pos, axis=0).astype(jnp.float32)
-    if descriptors.dtype == jnp.int8:
-        neighbors = neighbors * jnp.take(scales[0], top_pos)[..., None]
+    neighbors = jnp.take(descriptors, top_pos, axis=0)
+    if int4:
+        from ..ops.quantize import unpack_int4
+        neighbors = (unpack_int4(neighbors).astype(jnp.float32)
+                     * jnp.take(scales[0], top_pos)[..., None])
+    else:
+        neighbors = neighbors.astype(jnp.float32)
+        if descriptors.dtype == jnp.int8:
+            neighbors = neighbors * jnp.take(scales[0], top_pos)[..., None]
     neighbors = jnp.where((top_s > -jnp.inf)[..., None], neighbors, 0.0)
     return expand_from_candidates(q, top_s, neighbors, alpha)

@@ -24,6 +24,10 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped on purpose: a session-scoped generator makes every
+    # test's data depend on which rng-consuming tests ran BEFORE it, so
+    # adding a test anywhere could flip an unlucky draw in an unrelated
+    # file (review r3: the k-means blob test flaked exactly this way).
     return np.random.default_rng(0)
