@@ -393,7 +393,6 @@ def bench_query(n: int = 1_048_576, d: int = 512, k: int = 10,
             # kernel reaches ~0.75-0.9 TB/s effective). bf16 sits at
             # ratio ~1.0 — kernel == stream parity.
             out["frac_of_roofline"] = float(np.median(ratios))
-        out["effective_gbps"] = scan_bytes / p50 / 1e9
     else:
         # long chains: short ones (<=8 ops) showed ±10% drift on this chip
         ests = marginal_times(make_chained, args, n1=4, n2=20, reps=9)
@@ -404,6 +403,7 @@ def bench_query(n: int = 1_048_576, d: int = 512, k: int = 10,
             out["hbm_roofline_ms"] = roofline_ms
             out["frac_of_roofline"] = roofline_ms / (p50 * 1e3)
 
+    out["effective_gbps"] = scan_bytes / p50 / 1e9
     out["p50_ms"] = p50 * 1e3
     out["p99_ms"] = float(np.percentile(ests, 99)) * 1e3
     out["qps"] = q_batch / p50
@@ -548,13 +548,15 @@ def bench_diffusion(n: int = 1_048_576, d: int = 512, k: int = 10,
 
 
 def bench_dba(n: int = 1_048_576, d: int = 512, dba_n: int = 10,
-              chunk: int = 1024) -> dict:
+              chunk: int = 128) -> dict:
     """αDBA offline augmentation throughput: rows/s through the chunked
     self-search (one fused top-n scan per chunk against the full matrix +
     neighbor gather/aggregate). Total work is n/chunk full index scans —
     an OFFLINE build step, reported as wall-clock for 1M rows and rows/s.
     Timed over a row SLICE (first `sample` chunks) and extrapolated —
-    the per-chunk program is identical across chunks."""
+    the per-chunk program is identical across chunks. ``chunk`` mirrors
+    augment_database's production default (128); ~1024 query rows
+    through the kernel exceed the scoped-VMEM budget at d=512."""
     from .index import _dba_chunk_jit
 
     Xd, _ = _make_index_device(n, d, 1)
