@@ -159,6 +159,25 @@ def evaluate_index(index: Index, dataset: RetrievalDataset,
                 query_regional=query_regional)
         ranks = _splice_head(ranks, np.asarray(top_ids))
 
+    if scfg.diffusion_enabled:
+        # same head-splice treatment as regional re-rank: diffusion
+        # re-orders the top-diffusion_depth, the tail keeps its global
+        # cosine order (search/diffusion.py; mutually exclusive with
+        # rerank_enabled — Index.search enforces the config guard)
+        depth = min(scfg.diffusion_depth,
+                    (sharded_index.descriptors.shape[0]
+                     if sharded_index is not None
+                     else index.descriptors.shape[0]))
+        if sharded_index is not None:
+            _, top_ids = sharded_index.search_diffusion(
+                q, k=depth, depth=depth, knn=scfg.diffusion_knn,
+                alpha=scfg.diffusion_alpha, iters=scfg.diffusion_iters,
+                seeds=scfg.diffusion_seeds)
+        else:
+            _, top_ids = index.search(
+                q, scfg.replace(qe_enabled=False, k=depth))
+        ranks = _splice_head(ranks, np.asarray(top_ids))
+
     res = evaluate_ranks(ranks, dataset.gnd, protocol)
     res["dataset"] = dataset.name
     res["protocol"] = protocol

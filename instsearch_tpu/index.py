@@ -604,9 +604,23 @@ class Index:
             self.ivf = None
 
     # ------------------------------------------------------------------
+    def _rows_f32_chunk(self, start: int, chunk: int) -> jax.Array:
+        """Dequantized f32 rows [chunk, dim] starting at ``start``
+        (int8: per-row scales; int4: unpack + scales)."""
+        rows = jax.lax.dynamic_slice(
+            self.descriptors, (start, 0), (chunk, self.descriptors.shape[1]))
+        if self.is_int4:
+            from .ops.quantize import unpack_int4
+            rows = unpack_int4(rows)
+        rows = rows.astype(jnp.float32)
+        if self.scales is not None:
+            sc = jax.lax.dynamic_slice(self.scales, (0, start), (1, chunk))
+            rows = rows * sc.reshape(-1, 1)
+        return rows
+
     def augment_database(self, n: int | None = None,
                          alpha: float | None = None,
-                         chunk: int | None = None) -> None:
+                         chunk: int | None = None, mesh=None) -> None:
         """αDBA (search/dba.py): replace every stored row, in place, by
         the s^alpha-weighted sum of its ``n`` nearest database rows
         (itself included at weight 1). One offline batched self-search:
@@ -622,7 +636,14 @@ class Index:
         keeps its RAW per-region descriptors — only the global matrix
         (and therefore the global cosine the re-rank fuses) is
         augmented. Rows ``add()``-ed later are NOT retro-augmented; call
-        this again after bulk additions."""
+        this again after bulk additions.
+
+        ``mesh`` routes neighbor selection through the row-sharded
+        distributed machinery (ShardedIndex.expand_queries with the
+        database-side include_query=False weighting) for corpora bigger
+        than one chip's HBM — exact-equal to the single-device path
+        (tested); the augmented matrix still lands back in THIS index's
+        single-device storage."""
         n = n if n is not None else (self.cfg.index.dba_n or 10)
         alpha = self.cfg.index.dba_alpha if alpha is None else alpha
         if self.num_valid == 0:
@@ -634,12 +655,24 @@ class Index:
                       and jax.devices()[0].platform == "tpu")
         nv = jnp.asarray(self.num_valid, jnp.int32)
         buf = jnp.zeros((n_pad, self.dim), jnp.float32)
+        sidx = self.to_sharded(mesh=mesh) if mesh is not None else None
         for start in range(0, self.num_valid, chunk):
             s32 = jnp.asarray(min(start, n_pad - chunk), jnp.int32)
-            rows = _dba_chunk_jit(self.descriptors, self.ids, nv,
-                                  self.scales, s32, n=n, alpha=float(alpha),
-                                  use_pallas=use_pallas, chunk=chunk,
-                                  int4=self.is_int4)
+            if sidx is not None:
+                rows_q = self._rows_f32_chunk(s32, chunk)
+                rows = sidx.expand_queries(rows_q, qe_n=n,
+                                           alpha=float(alpha),
+                                           include_query=False)
+                # mesh-replicated -> this index's single-device storage
+                rows = jax.device_put(np.asarray(rows))
+                row_ids = jax.lax.dynamic_slice(self.ids, (s32,), (chunk,))
+                rows = jnp.where((row_ids >= 0)[:, None], rows, 0.0)
+            else:
+                rows = _dba_chunk_jit(self.descriptors, self.ids, nv,
+                                      self.scales, s32, n=n,
+                                      alpha=float(alpha),
+                                      use_pallas=use_pallas, chunk=chunk,
+                                      int4=self.is_int4)
             buf = _write_rows_jit(buf, rows, s32)
         self._drop_ivf("augment_database()")
         if self.is_int4:
@@ -925,6 +958,11 @@ class Index:
                 and qreg is not None:
             s, i = sharded_index.search_rerank(q, qreg, k=scfg.k,
                                                depth=scfg.rerank_depth)
+        elif scfg.diffusion_enabled:
+            s, i = sharded_index.search_diffusion(
+                q, k=scfg.k, depth=scfg.diffusion_depth,
+                knn=scfg.diffusion_knn, alpha=scfg.diffusion_alpha,
+                iters=scfg.diffusion_iters, seeds=scfg.diffusion_seeds)
         else:
             s, i = sharded_index.search(q, k=scfg.k)
         return np.asarray(s), np.asarray(i)

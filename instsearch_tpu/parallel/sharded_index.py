@@ -99,12 +99,17 @@ def _gather_rows_f32(X, pos, scales_s, *, int8: bool, int4: bool = False):
     return jnp.where((pos >= 0)[..., None], rows, 0.0)            # [Q, n, D]
 
 
-def _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw):
+def _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw,
+                  include_query: bool = True):
     """Round-1 alpha-QE expansion inside a shard_map body: per-shard
     top-qe_n + dequantized row gather -> two allgathers -> replicated
     expanded queries [Q, D] f32 unit-norm (arXiv:1711.02512 §5). ONE
     implementation shared by sharded_qe_topk_fn and sharded_expand_fn so
-    the weighting/normalization cannot drift between them."""
+    the weighting/normalization cannot drift between them.
+
+    ``include_query=False`` is the database-side (αDBA) weighting — the
+    query IS a stored row and appears in its own top-n at weight 1, so
+    the separate ``+ q`` term would double-count it (search/dba.py)."""
     axis = kw["axis"]
     s, pos, _ = _local_topk(X, ids_s, q, nv, qe_n, scales_s, **kw)
     rows = _gather_rows_f32(X, pos, scales_s, int8=kw["int8"],
@@ -114,7 +119,8 @@ def _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw):
     top_s, top_j = jax.lax.top_k(s_all, qe_n)
     top_rows = jnp.take_along_axis(r_all, top_j[..., None], axis=1)
     from ..search.qe import expand_from_candidates
-    return expand_from_candidates(q, top_s, top_rows, alpha)
+    return expand_from_candidates(q, top_s, top_rows, alpha,
+                                  include_query=include_query)
 
 
 def sharded_topk_fn(mesh: Mesh, k: int, axis: str = "shard",
@@ -226,16 +232,18 @@ def sharded_scores_fn(mesh: Mesh, axis: str = "shard", int8: bool = False,
 def sharded_expand_fn(mesh: Mesh, qe_n: int, alpha: float,
                       axis: str = "shard", use_pallas: bool = False,
                       interpret: bool = False, int8: bool = False,
-                      int4: bool = False):
+                      int4: bool = False, include_query: bool = True):
     """Alpha-QE expansion only (round 1 of sharded_qe_topk_fn): returns the
     expanded queries [Q, D] f32 replicated, for callers that need the
     expanded query itself (protocol evaluation ranks the FULL index with
-    it rather than taking a top-k)."""
+    it rather than taking a top-k). ``include_query=False`` gives the
+    αDBA database-side weighting (see _local_expand)."""
 
     def per_shard(X, ids_s, q, nv, scales_s=None):
         kw = dict(axis=axis, use_pallas=use_pallas, interpret=interpret,
                   int8=int8, int4=int4)
-        return _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw)
+        return _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw,
+                             include_query=include_query)
 
     in_specs = [P(axis, None), P(axis), P(None, None), P(None)]
     if int8:
@@ -535,15 +543,19 @@ class ShardedIndex:
         return self._run_chunked(run, queries)
 
     def expand_queries(self, queries: jax.Array, qe_n: int = 10,
-                       alpha: float = 3.0) -> jax.Array:
+                       alpha: float = 3.0,
+                       include_query: bool = True) -> jax.Array:
         """Distributed alpha-QE expansion -> expanded queries [Q, D] f32
-        (equals search/qe.alpha_query_expansion on the gathered matrix)."""
-        key = ("expand", qe_n, alpha)
+        (equals search/qe.alpha_query_expansion on the gathered matrix).
+        ``include_query=False`` = αDBA database-side weighting (the
+        offline augmentation path, Index.augment_database(mesh=...))."""
+        key = ("expand", qe_n, alpha, include_query)
         if key not in self._fns:
             self._fns[key] = sharded_expand_fn(
                 self.mesh, qe_n, alpha, axis=self.axis,
                 use_pallas=self.use_pallas, interpret=self.interpret,
-                int8=self.int8, int4=self.int4)
+                int8=self.int8, int4=self.int4,
+                include_query=include_query)
         def run(qq):
             q, nv = self._common_operands(qq)
             if self.int8:

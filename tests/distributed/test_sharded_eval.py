@@ -75,3 +75,16 @@ def test_splice_head():
     out = _splice_head(ranks, top)
     np.testing.assert_array_equal(out[0], [1, 4, 2, 0, 3])
     np.testing.assert_array_equal(out[1], [3, 0, 2, 1, 4])
+
+
+def test_diffusion_head_matches(pair):
+    """The diffusion head the sharded eval splices must equal the
+    single-device composite's (Index.search with diffusion_enabled)."""
+    idx, sidx, Q = pair
+    depth = 48
+    scfg = SearchConfig(k=depth, diffusion_enabled=True,
+                        diffusion_depth=depth, diffusion_knn=6,
+                        use_pallas=False)
+    _, i_local = idx.search(Q, scfg)
+    _, i_shard = sidx.search_diffusion(Q, k=depth, depth=depth, knn=6)
+    np.testing.assert_array_equal(np.asarray(i_shard), np.asarray(i_local))

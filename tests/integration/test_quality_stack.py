@@ -147,3 +147,24 @@ def test_search_composite_chunking(built, mini):
         chk = built.search(q, scfg, query_regional=qreg)
         np.testing.assert_array_equal(chk[1], one[1])
         np.testing.assert_allclose(chk[0], one[0], rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_eval_with_diffusion(built, mini):
+    """Protocol evaluation honors diffusion_enabled: the top-depth head
+    is re-ordered by the diffusion composite and spliced (same treatment
+    as the regional re-rank head); sharded routing gives the same mAP."""
+    diff_cfg = SearchConfig(diffusion_enabled=True, diffusion_depth=16,
+                            diffusion_knn=4, use_pallas=False)
+    r = evaluate_index(built, mini, "medium", diff_cfg)
+    assert np.isfinite(r["mAP"]) and 0 <= r["mAP"] <= 100
+    # the mini fixture's relevant sets are tight near-duplicate clusters,
+    # not manifolds — diffusion neither shines nor collapses here (~65 vs
+    # ~75 plain; the manifold case where it MUST win is asserted in
+    # test_quality_lift.py). This test pins the protocol plumbing: the
+    # spliced head stays sane and sharded == single-device exactly.
+    assert r["mAP"] > 50
+    sidx = built.to_sharded()
+    r_sharded = evaluate_index(built, mini, "medium", diff_cfg,
+                               sharded_index=sidx)
+    assert abs(r_sharded["mAP"] - r["mAP"]) < 1e-6
