@@ -51,13 +51,22 @@ def main() -> int:
     print("query results:", [(index.name_of(int(i)), round(float(s), 4))
                              for s, i in zip(scores[0], ids[0]) if i >= 0])
 
-    # ---- 4. protocol evaluation: base vs QE -------------------------------
+    # ---- 4. protocol evaluation: the quality ladder ------------------------
     for scfg, tag in ((SearchConfig(), "base"),
                       (SearchConfig(qe_enabled=True, qe_n=5), "alpha-QE"),
                       (SearchConfig(rerank_enabled=True, rerank_depth=16),
-                       "regional re-rank")):
+                       "regional re-rank"),
+                      (SearchConfig(diffusion_enabled=True,
+                                    diffusion_depth=16, diffusion_knn=4),
+                       "diffusion")):
         res = index.evaluate(ds, "medium", scfg)
         print(f"{tag:18s} mAP {res['mAP']:6.2f}  mP@5 {res.get('mP@5', 0):6.2f}")
+
+    # optional offline quality: alpha-DBA augments the STORED rows once
+    # (zero query-time cost; mesh=... routes it through the sharded scan)
+    index.augment_database(n=5)
+    res = index.evaluate(ds, "medium", SearchConfig())
+    print(f"{'alpha-DBA (offline)':18s} mAP {res['mAP']:6.2f}")
 
     # ---- 5. persist (streaming orbax store + extractor weights) -----------
     index.save("example_index")
