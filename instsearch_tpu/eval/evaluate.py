@@ -117,6 +117,14 @@ def evaluate_index(index: Index, dataset: RetrievalDataset,
     """
     ex = index.extractor
     assert ex is not None, "index has no extractor attached"
+    scfg_guard = search_cfg or index.cfg.search
+    if scfg_guard.rerank_enabled and scfg_guard.diffusion_enabled:
+        # same guard as Index.search, raised BEFORE the expensive
+        # extraction/ranking stages (and on the sharded path, which
+        # otherwise would silently splice both heads)
+        raise ValueError(
+            "rerank_enabled and diffusion_enabled are mutually exclusive "
+            "(one re-scoring stage per query); disable one")
     qimgs = _load_query_images(dataset, ex.cfg.image_size, crop_bbx)
     queries = _batched_apply(ex, qimgs, ex.cfg.batch_size)
     scfg = search_cfg or index.cfg.search

@@ -57,6 +57,24 @@ def _gather_rows_f32(descriptors, pos, scales, *, int4: bool = False):
     return rows
 
 
+def _slice_rows_f32(descriptors, scales, start, chunk: int,
+                    *, int4: bool = False):
+    """Contiguous stored rows [start, start+chunk) -> f32 [chunk, D],
+    dequantized (int8) / unpacked+dequantized (int4) — the dynamic-slice
+    sibling of _gather_rows_f32, sharing the same storage semantics
+    (used by the DBA chunk program and Index._rows_f32_chunk)."""
+    rows = jax.lax.dynamic_slice(
+        descriptors, (start, 0), (chunk, descriptors.shape[1]))
+    if int4:
+        from .ops.quantize import unpack_int4
+        rows = unpack_int4(rows)
+    rows = rows.astype(jnp.float32)
+    if scales is not None and (int4 or descriptors.dtype == jnp.int8):
+        sc = jax.lax.dynamic_slice(scales, (0, start), (1, chunk))
+        rows = rows * sc.reshape(-1, 1)
+    return rows
+
+
 def _topk_raw(descriptors, ids, queries, num_valid, scales,
               *, k: int, use_pallas: bool, int4: bool = False):
     """Top-k candidate selection: ``(scores [Q,k], pos [Q,k])`` where pos
@@ -180,18 +198,7 @@ def _dba_chunk_jit(descriptors, ids, num_valid, scales, start,
     selection is the same fused kernel as serving; the weighting is the
     shared qe.expand_from_candidates (include_query=False — the row is
     its own top-1 neighbor at weight 1)."""
-    rows_q = jax.lax.dynamic_slice(
-        descriptors, (start, 0), (chunk, descriptors.shape[1]))
-    if int4:
-        from .ops.quantize import unpack_int4
-        rows_q = unpack_int4(rows_q).astype(jnp.float32)
-        sc = jax.lax.dynamic_slice(scales, (0, start), (1, chunk))
-        rows_q = rows_q * sc.reshape(-1, 1)
-    else:
-        rows_q = rows_q.astype(jnp.float32)
-        if descriptors.dtype == jnp.int8:
-            sc = jax.lax.dynamic_slice(scales, (0, start), (1, chunk))
-            rows_q = rows_q * sc.reshape(-1, 1)
+    rows_q = _slice_rows_f32(descriptors, scales, start, chunk, int4=int4)
     s, pos = _topk_raw(descriptors, ids, rows_q, num_valid, scales,
                        k=n, use_pallas=use_pallas, int4=int4)
     nbrs = _gather_rows_f32(descriptors, jnp.maximum(pos, 0), scales,
@@ -607,16 +614,8 @@ class Index:
     def _rows_f32_chunk(self, start: int, chunk: int) -> jax.Array:
         """Dequantized f32 rows [chunk, dim] starting at ``start``
         (int8: per-row scales; int4: unpack + scales)."""
-        rows = jax.lax.dynamic_slice(
-            self.descriptors, (start, 0), (chunk, self.descriptors.shape[1]))
-        if self.is_int4:
-            from .ops.quantize import unpack_int4
-            rows = unpack_int4(rows)
-        rows = rows.astype(jnp.float32)
-        if self.scales is not None:
-            sc = jax.lax.dynamic_slice(self.scales, (0, start), (1, chunk))
-            rows = rows * sc.reshape(-1, 1)
-        return rows
+        return _slice_rows_f32(self.descriptors, self.scales, start, chunk,
+                               int4=self.is_int4)
 
     def augment_database(self, n: int | None = None,
                          alpha: float | None = None,
@@ -942,6 +941,12 @@ class Index:
         extractor (same routing as eval/evaluate.py's sharded protocol)."""
         assert self.extractor is not None, "index has no extractor attached"
         scfg = search_cfg or self.cfg.search
+        if scfg.rerank_enabled and scfg.diffusion_enabled:
+            # match Index.search's guard on the sharded routing below,
+            # which would otherwise silently prefer the rerank stage
+            raise ValueError(
+                "rerank_enabled and diffusion_enabled are mutually "
+                "exclusive (one re-scoring stage per query); disable one")
         images = jnp.asarray(images)
         q = self.extractor(images)
         qreg = None

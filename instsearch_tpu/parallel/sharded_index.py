@@ -287,7 +287,8 @@ def sharded_rerank_fn(mesh: Mesh, k: int, depth: int, fuse_weight: float = 1.0,
         local_k = min(depth, X.shape[0])
         s, pos, gids = _local_topk(X, ids_s, q, nv, local_k, scales_s,
                                    axis=axis, use_pallas=use_pallas,
-                                   interpret=interpret, int8=int8)
+                                   interpret=interpret, int8=int8,
+                                   int4=int4)
         # ---- global top-depth membership ----
         s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)   # [Q, S*lk]
         g_all = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
@@ -437,14 +438,16 @@ class ShardedIndex:
         self.interpret = interpret
         self.query_chunk = query_chunk
 
-    def _common_operands(self, queries):
-        q = jnp.asarray(queries)
+    def _match_query_dim(self, q: jax.Array) -> jax.Array:
+        """Odd-dim int4 stores carry one zero pad column (nibble pairs);
+        match the query width — a zero column never changes a dot."""
+        q = jnp.asarray(q)
         if self.int4 and q.shape[-1] == 2 * self.descriptors.shape[1] - 1:
-            # odd-dim int4 store carries one zero pad column (nibble
-            # pairs); match the query width — a zero column never
-            # changes a dot product
             q = jnp.pad(q, ((0, 0), (0, 1)))
-        q = replicate(self.mesh, q)
+        return q
+
+    def _common_operands(self, queries):
+        q = replicate(self.mesh, self._match_query_dim(queries))
         nv = replicate(self.mesh, jnp.asarray([self.num_valid], jnp.int32))
         return q, nv
 
@@ -572,7 +575,7 @@ class ShardedIndex:
                 self.mesh, axis=self.axis, int8=self.int8, int4=self.int4)
 
         def run(qq):
-            q = replicate(self.mesh, qq)
+            q = replicate(self.mesh, self._match_query_dim(qq))
             if self.int8:
                 return self._fns["scores"](self.descriptors, self.ids, q,
                                            self.scales)

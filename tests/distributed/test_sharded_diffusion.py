@@ -63,7 +63,7 @@ def test_sharded_diffusion_padding(data):
     sidx = ShardedIndex(jnp.asarray(X), jnp.asarray(ids2), mesh=mesh)
     _, i_d = sidx.search_diffusion(jnp.asarray(q), k=5, depth=64)
     assert np.asarray(i_d).max() < 224
-    assert (np.asarray(i_d) != -1).all() or True  # k <= valid here
+    assert (np.asarray(i_d) != -1).all()          # k <= valid rows here
     # exactness against the masked single-device stage
     gscores = (q @ X.T).astype(np.float32)
     gscores[:, -32:] = -np.inf

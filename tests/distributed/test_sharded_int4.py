@@ -85,7 +85,6 @@ def test_sharded_int4_full_scores(data):
     X, Q, ids, qr, deq = data
     sidx = _sidx(qr, ids, 8)
     got = np.asarray(sidx.all_scores(jnp.asarray(Q)))
-    q_scale = np.maximum(np.abs(Q).max(axis=1, keepdims=True), 1e-12) / 127.0
     # the oracle scorer (non-pallas) uses the FLOAT query, not int8
     want = (Q @ deq.T).astype(np.float32)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
@@ -96,3 +95,33 @@ def test_int4_requires_scales(data):
     with pytest.raises(ValueError):
         ShardedIndex(qr.values, jnp.asarray(ids), mesh=make_mesh(2),
                      int4=True)
+
+
+def test_sharded_int4_rerank(data):
+    """Distributed regional re-rank over an int4 GLOBAL matrix (+ int8
+    regional store, the attach_regional_store pairing): the int4 flag
+    must reach the candidate-selection _local_topk (review r3 caught it
+    being dropped) and the result must equal the single-device composite."""
+    X, Q, ids, qr, deq = data
+    rng = np.random.default_rng(97)
+    from instsearch_tpu import IndexConfig, PipelineConfig, SearchConfig
+    from instsearch_tpu.index import Index, attach_regional_store
+    cfg = PipelineConfig(
+        index=IndexConfig(dtype="int4", row_tile=8),
+        search=SearchConfig(k=5, rerank_enabled=True, rerank_depth=16,
+                            use_pallas=False))
+    idx = Index.from_descriptors(X, [f"i{i}" for i in range(len(X))], cfg)
+    reg = rng.standard_normal((len(X), 4, X.shape[1])).astype(np.float32)
+    reg /= np.linalg.norm(reg, axis=-1, keepdims=True)
+    attach_regional_store(idx, reg)
+    assert idx.regional.dtype == jnp.int8      # int4 index -> int8 store
+    qreg = rng.standard_normal((Q.shape[0], 4, X.shape[1])
+                               ).astype(np.float32)
+    qreg /= np.linalg.norm(qreg, axis=-1, keepdims=True)
+    want_s, want_i = idx.search(Q, query_regional=qreg)
+    sidx = idx.to_sharded(mesh=make_mesh(8), use_pallas=False)
+    s_d, i_d = sidx.search_rerank(jnp.asarray(Q), jnp.asarray(qreg),
+                                  k=5, depth=16)
+    np.testing.assert_array_equal(np.asarray(i_d), want_i)
+    np.testing.assert_allclose(np.asarray(s_d), want_s, rtol=1e-4,
+                               atol=1e-5)

@@ -61,7 +61,7 @@ def _map_of(ranks, gt):
     return float(np.mean(aps))
 
 
-def _ranks_from_topk(ids, n):
+def _ranks_from_topk(ids):
     """Treat a [Q, k] top-k as a truncated ranking (missing rows count as
     never retrieved — AP contribution 0)."""
     return np.asarray(ids)
@@ -98,8 +98,8 @@ def test_diffusion_lifts_map(corpus):
         diffusion_alpha=0.95, diffusion_seeds=3))
     idx2 = Index.from_descriptors(X, names, diff_cfg)
     _, ids_diff = idx2.search(q)
-    map_plain = _map_of(_ranks_from_topk(ids_plain, len(X)), gt)
-    map_diff = _map_of(_ranks_from_topk(ids_diff, len(X)), gt)
+    map_plain = _map_of(_ranks_from_topk(ids_plain), gt)
+    map_diff = _map_of(_ranks_from_topk(ids_diff), gt)
     assert map_diff > map_plain + 0.02, (map_plain, map_diff)
 
 
@@ -119,6 +119,6 @@ def test_qe_and_diffusion_compose_for_best_map(corpus):
         diffusion_seeds=3))
     idx3 = Index.from_descriptors(X, names, both_cfg)
     _, ids_both = idx3.search(q)
-    map_plain = _map_of(_ranks_from_topk(ids_plain, len(X)), gt)
-    map_both = _map_of(_ranks_from_topk(ids_both, len(X)), gt)
+    map_plain = _map_of(_ranks_from_topk(ids_plain), gt)
+    map_both = _map_of(_ranks_from_topk(ids_both), gt)
     assert map_both > map_plain, (map_plain, map_both)
