@@ -74,4 +74,20 @@ _, gr = sidxr.search_rerank(Q[:4], qreg, k=k, depth=16)
 assert np.asarray(gr).shape == (4, k)
 assert (np.asarray(gr)[:, 0] == np.arange(4)).all(), np.asarray(gr)
 
+# diffusion re-ranking across processes (cross-host candidate-row
+# allgather + replicated graph solve)
+_, gd = sidx.search_diffusion(Q[:4], k=k, depth=32, knn=4)
+assert np.asarray(gd).shape == (4, k)
+assert (np.asarray(gd) != -1).all()
+
+# packed-int4 storage spanning processes: each host packs ITS rows
+from instsearch_tpu.ops.quantize import quantize_rows_int4
+
+qr4 = quantize_rows_int4(X[lo:hi])
+sidx4 = build_multihost_index(np.asarray(qr4.values), ids,
+                              local_scales=np.asarray(qr4.scales), k=k,
+                              int4=True)
+_, g4 = sidx4.search(Q, k=k)
+assert (np.asarray(g4)[:, 0] == np.arange(7)).all()
+
 print(f"MH_OK {pid}", flush=True)
