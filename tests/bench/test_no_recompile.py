@@ -84,3 +84,25 @@ def test_add_no_recompile(rng):
         idx.search(X[:2])
 
     assert _count_compiles(run) == 0
+
+
+@pytest.mark.slow
+def test_int4_and_diffusion_no_recompile(rng):
+    """The new tiers keep the static-shape discipline: repeated int4
+    searches (packed store + scales) and diffusion composites across
+    different query batches never recompile."""
+    from instsearch_tpu import IndexConfig
+    X = rng.standard_normal((128, 32)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    cfg = PipelineConfig(
+        index=IndexConfig(dtype="int4", row_tile=8),
+        search=SearchConfig(k=5, diffusion_enabled=True, diffusion_depth=16,
+                            diffusion_knn=4, use_pallas=False))
+    idx = Index.from_descriptors(X, [str(i) for i in range(128)], cfg)
+    idx.search(X[:2])  # warm (diffusion composite over int4 store)
+
+    def run():
+        for i in range(3):
+            idx.search(X[2 * i:2 * i + 2])
+
+    assert _count_compiles(run) == 0

@@ -207,3 +207,23 @@ def test_int4_ranking_quality(data):
     assert (i[:, 0] == np.arange(8)).all()
     overlap = np.mean([len(set(i[r]) & set(exact[r])) for r in range(8)])
     assert overlap >= 6.5, overlap
+
+
+def test_int4_mesh_load(data, tmp_path):
+    """Streaming load with a mesh places the PACKED rows (and their
+    scales) row-sharded; sharded search over the loaded store equals the
+    pre-save single-device search."""
+    from instsearch_tpu.parallel import make_mesh
+    X, q = data
+    idx = _make(X)
+    want_s, want_i = idx.search(q)
+    p = str(tmp_path / "idx4_mesh")
+    idx.save(p, streaming=True)
+    mesh = make_mesh(8)
+    idx2 = Index.load(p, mesh=mesh)
+    assert idx2.is_int4
+    sidx = idx2.to_sharded(mesh=mesh, use_pallas=False)
+    s, i = sidx.search(jnp.asarray(q), k=idx.cfg.search.k)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(want_s),
+                               rtol=1e-4, atol=1e-5)
