@@ -583,6 +583,70 @@ def bench_dba(n: int = 1_048_576, d: int = 512, dba_n: int = 10,
             "est_total_sec_1M": total_s}
 
 
+def bench_refine(n: int = 1_048_576, d: int = 512, depth: int = 100,
+                 k: int = 10, q_batch: int = 1) -> dict:
+    """Exact-refine tier end-to-end: int4 coarse scan (quarter of bf16's
+    bytes) + exact int8 re-score of the top-``depth`` — ONE composite
+    program. The headline latency config: int8-grade top-k at int4 scan
+    speed (1.5 bytes/component total). Reference stream = the bf16 matvec
+    scaled to the int4 scan bytes + the [Q, depth, D] int8 gather."""
+    from .index import _search_composite_jit
+    from .ops.quantize import quantize_rows, quantize_rows_int4
+
+    Xd, q = _make_index_device(n, d, q_batch)
+    ids = jax.block_until_ready(jnp.arange(n, dtype=jnp.int32))
+    nv = jnp.asarray(n, jnp.int32)
+    qr4 = quantize_rows_int4(Xd.astype(jnp.float32))
+    vals4, scales4 = jax.block_until_ready(qr4.values), qr4.scales
+    qr8 = quantize_rows(Xd.astype(jnp.float32))
+    refine_vals = jax.block_until_ready(qr8.values[:, None, :])  # [N,1,D]
+    refine_scales = qr8.scales.reshape(n, 1)
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    def op(V, S, ids, qq, nv, rv, rs):
+        return _search_composite_jit(
+            V, ids, qq, nv, S, rv, rs, None,
+            k=k, depth=depth, qe_n=0, qe_alpha=3.0, use_pallas=on_tpu,
+            do_qe=False, do_rerank=False, int4=True, do_refine=True,
+            fuse_weight=0.0)
+
+    def make_chained(m):
+        def run(V, S, ids, qq, nv, rv, rs):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(m):
+                s, _ = op(V, S, ids, qq + acc * 1e-30, nv, rv, rs)
+                acc = acc + s[0, 0]
+            return acc
+        return jax.jit(run)
+
+    args = (vals4, scales4, ids, q, nv, refine_vals, refine_scales)
+    scan_bytes = n * d // 2 + n * 4
+    gather_bytes = q_batch * depth * d
+    out = {"n": n, "d": d, "depth": depth, "k": k, "q_batch": q_batch,
+           "bytes_per_component": 1.5}
+    if on_tpu:
+        q1 = jnp.ones((1, d), jnp.bfloat16)
+        probe_ests, ests = interleaved_marginal(
+            [(make_stream_probe, (Xd, q1)), (make_chained, args)],
+            n1=3, n2=11)
+        probe_bytes = n * d * 2
+        p50 = float(np.median(ests))
+        valid = (probe_ests > 2e-9) & (ests > 2e-9)
+        if valid.any():
+            pv, kv = probe_ests[valid], ests[valid]
+            ref_bytes = scan_bytes + gather_bytes
+            ratios = (pv * (ref_bytes / probe_bytes)) / kv
+            out["hbm_bw_gbps"] = probe_bytes / float(np.median(pv)) / 1e9
+            out["frac_of_roofline"] = float(np.median(ratios))
+    else:
+        ests = marginal_times(make_chained, args, n1=3, n2=11, reps=7)
+        p50 = float(np.median(ests))
+    out["p50_ms"] = p50 * 1e3
+    out["p99_ms"] = float(np.percentile(ests, 99)) * 1e3
+    out["qps"] = q_batch / p50
+    return out
+
+
 def bench_rerank(n: int = 1_048_576, d: int = 512, r: int = 16,
                  depth: int = 100, k: int = 10, q_batch: int = 1,
                  regional_dtype: str = "int8") -> dict:
@@ -908,6 +972,7 @@ def run_bench(what: str = "all") -> dict:
         out["rerank"] = bench_rerank()
         out["rerank_b32"] = bench_rerank(q_batch=32)
         out["diffusion"] = bench_diffusion()
+        out["refine"] = bench_refine()
         out["sharded_overhead"] = bench_sharded_overhead()
         out["protocol_eval_105k"] = bench_protocol_eval()
     if what == "extended":

@@ -96,6 +96,12 @@ class IndexConfig(_JsonMixin):
     # database rows (itself included). 0 = off.
     dba_n: int = 0
     dba_alpha: float = 3.0
+    # exact-refine tier (FAISS IndexRefine analog): keep an int8 copy of
+    # every row as a 1-region re-rank store; SearchConfig.refine_enabled
+    # then re-scores the coarse scan's top-depth candidates against it.
+    # Meant for dtype="int4": int4-speed scan, int8-grade top-k, 1.5
+    # bytes/component total. "" = off; "int8" is the only option.
+    refine_dtype: str = ""
 
 
 @dataclass(frozen=True)
@@ -117,6 +123,12 @@ class SearchConfig(_JsonMixin):
     # regional re-ranking (arXiv:1511.05879 §4)
     rerank_enabled: bool = False
     rerank_depth: int = 100
+    # exact-refine stage (IndexConfig.refine_dtype): re-score the coarse
+    # scan's top-rerank_depth candidates against the stored int8 copy —
+    # the rerank machinery with the row itself as the single "region"
+    # and zero global-fusion weight. Mutually exclusive with
+    # rerank_enabled / diffusion_enabled (one re-scoring stage).
+    refine_enabled: bool = False
     # diffusion re-ranking (arXiv:1611.05113, truncated — search/diffusion.py):
     # re-score the top-diffusion_depth candidates by diffusing the query's
     # affinity through their mutual-knn similarity graph (CG solve of

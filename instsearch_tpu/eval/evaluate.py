@@ -118,13 +118,14 @@ def evaluate_index(index: Index, dataset: RetrievalDataset,
     ex = index.extractor
     assert ex is not None, "index has no extractor attached"
     scfg_guard = search_cfg or index.cfg.search
-    if scfg_guard.rerank_enabled and scfg_guard.diffusion_enabled:
+    if (scfg_guard.rerank_enabled + scfg_guard.diffusion_enabled
+            + scfg_guard.refine_enabled) > 1:
         # same guard as Index.search, raised BEFORE the expensive
         # extraction/ranking stages (and on the sharded path, which
-        # otherwise would silently splice both heads)
+        # otherwise would silently splice several heads)
         raise ValueError(
-            "rerank_enabled and diffusion_enabled are mutually exclusive "
-            "(one re-scoring stage per query); disable one")
+            "rerank_enabled / diffusion_enabled / refine_enabled are "
+            "mutually exclusive (one re-scoring stage per query)")
     qimgs = _load_query_images(dataset, ex.cfg.image_size, crop_bbx)
     queries = _batched_apply(ex, qimgs, ex.cfg.batch_size)
     scfg = search_cfg or index.cfg.search
@@ -165,6 +166,23 @@ def evaluate_index(index: Index, dataset: RetrievalDataset,
                 q, scfg.replace(qe_enabled=False, rerank_enabled=True,
                                 k=depth, rerank_depth=depth),
                 query_regional=query_regional)
+        ranks = _splice_head(ranks, np.asarray(top_ids))
+
+    if scfg.refine_enabled:
+        # exact-refine head: re-score the top-rerank_depth against the
+        # int8 refine store, splice (tail keeps the coarse-scan order)
+        depth = min(scfg.rerank_depth,
+                    (sharded_index.descriptors.shape[0]
+                     if sharded_index is not None
+                     else index.descriptors.shape[0]))
+        if sharded_index is not None:
+            q32 = jnp.asarray(q, jnp.float32)
+            _, top_ids = sharded_index.search_rerank(
+                q32, q32[:, None, :], k=depth, depth=depth,
+                fuse_weight=0.0)
+        else:
+            _, top_ids = index.search(
+                q, scfg.replace(qe_enabled=False, k=depth))
         ranks = _splice_head(ranks, np.asarray(top_ids))
 
     if scfg.diffusion_enabled:

@@ -139,14 +139,17 @@ def _topk_jit(descriptors, ids, queries, num_valid, scales,
 @partial(jax.jit, static_argnames=("k", "depth", "qe_n", "qe_alpha",
                                    "use_pallas", "do_qe", "do_rerank",
                                    "do_diffusion", "diff_knn", "diff_alpha",
-                                   "diff_iters", "diff_seeds", "int4"))
+                                   "diff_iters", "diff_seeds", "int4",
+                                   "do_refine", "fuse_weight"))
 def _search_composite_jit(descriptors, ids, queries, num_valid, scales,
                           regional, regional_scales, query_regional,
                           *, k: int, depth: int, qe_n: int, qe_alpha: float,
                           use_pallas: bool, do_qe: bool, do_rerank: bool,
                           do_diffusion: bool = False, diff_knn: int = 10,
                           diff_alpha: float = 0.99, diff_iters: int = 20,
-                          diff_seeds: int = 10, int4: bool = False):
+                          diff_seeds: int = 10, int4: bool = False,
+                          do_refine: bool = False,
+                          fuse_weight: float = 1.0):
     """ONE jitted program for the quality composite (SURVEY.md §3.2):
     optional alpha-QE (fused top-n + row gather), optional regional
     re-ranking (fused top-``depth`` candidate selection), final top-k.
@@ -166,13 +169,18 @@ def _search_composite_jit(descriptors, ids, queries, num_valid, scales,
         rows = jnp.where((s > -jnp.inf)[..., None], rows, 0.0)
         from .search.qe import expand_from_candidates
         q = expand_from_candidates(q, s, rows, qe_alpha)
-    if do_rerank:
+    if do_rerank or do_refine:
         g, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
                            k=depth, use_pallas=use_pallas, int4=int4)
+        # exact-refine: the row itself is the single "region" and the
+        # (post-QE) query is the single query region — region match
+        # becomes the exact int8 cosine; fuse_weight=0 drops the coarse
+        # scan's score from the fused ordering
+        qreg = q[:, None, :] if do_refine else query_regional
         from .search.rerank import rerank_from_candidates
         return rerank_from_candidates(
-            regional, ids, g, pos, query_regional, k=k,
-            regional_scales=regional_scales)
+            regional, ids, g, pos, qreg, k=k,
+            regional_scales=regional_scales, fuse_weight=fuse_weight)
     if do_diffusion:
         g, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
                            k=depth, use_pallas=use_pallas, int4=int4)
@@ -348,6 +356,19 @@ class Index:
         ids = np.full((n_pad,), -1, np.int32)
         ids[:n] = (np.arange(n, dtype=np.int32) if original_ids is None
                    else np.asarray(original_ids, np.int32))
+        if cfg.index.refine_dtype:
+            if cfg.index.refine_dtype != "int8":
+                raise ValueError(
+                    f"refine_dtype={cfg.index.refine_dtype!r}: only "
+                    f"'int8' is supported")
+            if cfg.index.dtype != "int4":
+                raise ValueError(
+                    "refine_dtype only makes sense over int4 storage "
+                    "(int8/bf16 scans already score at refine precision)")
+            if cfg.search.rerank_enabled:
+                raise ValueError(
+                    "refine_dtype and rerank_enabled both claim the "
+                    "regional-store slot; pick one re-scoring stage")
         if cfg.index.dtype == "int4":
             from .ops.quantize import quantize_rows_int4
             if d % 2:
@@ -358,8 +379,15 @@ class Index:
                 padded = np.concatenate(
                     [padded, np.zeros((n_pad, 1), np.float32)], axis=1)
             qr = quantize_rows_int4(jnp.asarray(padded))
-            return cls(qr.values, jnp.asarray(ids), list(names), cfg,
-                       extractor, scales=qr.scales)
+            idx = cls(qr.values, jnp.asarray(ids), list(names), cfg,
+                      extractor, scales=qr.scales)
+            if cfg.index.refine_dtype:
+                # the exact-refine store: an int8 copy of the ORIGINAL
+                # (pre-int4) rows as a 1-region re-rank store —
+                # quantized per row by attach_regional_store, moved by
+                # add()/remove()/save() like any regional store
+                attach_regional_store(idx, padded[:n][:, None, :])
+            return idx
         dtype = _DTYPES[cfg.index.dtype]
         if dtype == jnp.int8:
             from .ops.quantize import quantize_rows
@@ -444,10 +472,13 @@ class Index:
         if paths is not None:
             assert self.extractor is not None, "index has no extractor"
             quarantine: list[str] = []
-            if self.regional is not None:
+            if self.regional is not None and self.regional.shape[1] > 1:
                 # single pass, same as build: regional rows come from the
                 # same decode+backbone run as the descriptors (whitening is
-                # already fit here, so it applies inside the program)
+                # already fit here, so it applies inside the program).
+                # A 1-region exact-REFINE store is extended from the
+                # global descriptors instead (below) — it needs no
+                # R-MAC region extraction
                 descriptors, reg_new, kept = \
                     self.extractor.extract_paths_with_regional(paths,
                                                                quarantine)
@@ -471,8 +502,14 @@ class Index:
             return 0
         self._drop_ivf("add()")   # the bucketed view would miss new rows
         if self.regional is not None and reg_new is None:
-            raise ValueError("index has a regional re-rank store; add() "
-                             "needs image paths to extend it")
+            if self.regional.shape[1] == 1:
+                # exact-refine store: the single "region" IS the row, so
+                # descriptor adds extend it directly (dim already padded
+                # to the store width above for odd-dim int4)
+                reg_new = np.asarray(descriptors, np.float32)[:, None, :]
+            else:
+                raise ValueError("index has a regional re-rank store; "
+                                 "add() needs image paths to extend it")
 
         # unique new ids: ids are DATASET positions, which run past
         # len(names) whenever the original build quarantined images — so
@@ -684,6 +721,12 @@ class Index:
             self.descriptors, self.scales = qr.values, qr.scales
         else:
             self.descriptors = buf.astype(self.descriptors.dtype)
+        if self.regional is not None and self.regional.shape[1] == 1:
+            # the exact-refine store mirrors the global rows: re-derive
+            # it from the SAME f32 augmentation (an R>1 re-rank store
+            # keeps its RAW per-region descriptors, see docstring)
+            attach_regional_store(
+                self, np.asarray(buf[:self.num_valid])[:, None, :])
         from .utils import COUNTERS
         COUNTERS.add("rows_dba_augmented", self.num_valid)
 
@@ -808,10 +851,29 @@ class Index:
         # guard on the CONFIG flags, not the effective do_rerank — an
         # index without a regional store must still reject the ambiguous
         # config instead of silently taking the diffusion branch
-        if scfg.rerank_enabled and do_diffusion:
+        enabled = [nm for nm, on in (("rerank_enabled", scfg.rerank_enabled),
+                                     ("diffusion_enabled", do_diffusion),
+                                     ("refine_enabled", scfg.refine_enabled))
+                   if on]
+        if len(enabled) > 1:
             raise ValueError(
-                "rerank_enabled and diffusion_enabled are mutually "
-                "exclusive (one re-scoring stage per query); disable one")
+                f"{' and '.join(enabled)} are mutually exclusive (one "
+                f"re-scoring stage per query); disable all but one")
+        if scfg.rerank_enabled and self.regional is not None \
+                and self.regional.shape[1] == 1:
+            raise ValueError(
+                "this index's regional store is the 1-region exact-"
+                "refine copy (refine_dtype); use refine_enabled, not "
+                "rerank_enabled")
+        do_refine = scfg.refine_enabled
+        if do_refine:
+            if self.regional is None or self.regional.shape[1] != 1:
+                raise ValueError(
+                    "refine_enabled needs the 1-region exact-refine "
+                    "store (IndexConfig.refine_dtype='int8' at build); "
+                    "this index has "
+                    + ("no regional store" if self.regional is None else
+                       f"a {self.regional.shape[1]}-region re-rank store"))
 
         if self.ivf is not None and scfg.ivf_nprobe > 0 and not do_diffusion:
             # diffusion needs the exact top-depth neighborhood (the graph
@@ -822,20 +884,21 @@ class Index:
         # stage gathers [chunk, depth, R, D] candidate regions, so an
         # unchunked large batch would still allocate GBs at depth=100
         def run(qq, *qreg):
-            if scfg.qe_enabled or do_rerank or do_diffusion:
+            if scfg.qe_enabled or do_rerank or do_diffusion or do_refine:
                 use_pallas = (self.cfg.search.use_pallas
                               and jax.devices()[0].platform == "tpu")
                 nv = jnp.asarray(self.num_valid, jnp.int32)
                 depth = 0
-                if do_rerank:
+                if do_rerank or do_refine:
                     depth = min(scfg.rerank_depth, self.descriptors.shape[0])
                 elif do_diffusion:
                     depth = min(scfg.diffusion_depth,
                                 self.descriptors.shape[0])
+                store = do_rerank or do_refine
                 return _search_composite_jit(
                     self.descriptors, self.ids, qq, nv, self.scales,
-                    self.regional if do_rerank else None,
-                    self.regional_scales if do_rerank else None,
+                    self.regional if store else None,
+                    self.regional_scales if store else None,
                     qreg[0] if do_rerank else None,
                     k=scfg.k, depth=depth, qe_n=scfg.qe_n,
                     qe_alpha=scfg.qe_alpha, use_pallas=use_pallas,
@@ -845,7 +908,8 @@ class Index:
                     diff_alpha=scfg.diffusion_alpha,
                     diff_iters=scfg.diffusion_iters,
                     diff_seeds=scfg.diffusion_seeds,
-                    int4=self.is_int4)
+                    int4=self.is_int4, do_refine=do_refine,
+                    fuse_weight=0.0 if do_refine else 1.0)
             return self._topk(qq, scfg.k, chunk=0)
 
         from .utils.chunking import run_chunked
@@ -941,12 +1005,13 @@ class Index:
         extractor (same routing as eval/evaluate.py's sharded protocol)."""
         assert self.extractor is not None, "index has no extractor attached"
         scfg = search_cfg or self.cfg.search
-        if scfg.rerank_enabled and scfg.diffusion_enabled:
+        if (scfg.rerank_enabled + scfg.diffusion_enabled
+                + scfg.refine_enabled) > 1:
             # match Index.search's guard on the sharded routing below,
             # which would otherwise silently prefer the rerank stage
             raise ValueError(
-                "rerank_enabled and diffusion_enabled are mutually "
-                "exclusive (one re-scoring stage per query); disable one")
+                "rerank_enabled / diffusion_enabled / refine_enabled are "
+                "mutually exclusive (one re-scoring stage per query)")
         images = jnp.asarray(images)
         q = self.extractor(images)
         qreg = None
@@ -963,6 +1028,13 @@ class Index:
                 and qreg is not None:
             s, i = sharded_index.search_rerank(q, qreg, k=scfg.k,
                                                depth=scfg.rerank_depth)
+        elif scfg.refine_enabled:
+            # exact-refine on the mesh: 1-region store, the (expanded)
+            # query as its own region, zero global-fusion weight
+            q32 = jnp.asarray(q, jnp.float32)
+            s, i = sharded_index.search_rerank(
+                q32, q32[:, None, :], k=scfg.k, depth=scfg.rerank_depth,
+                fuse_weight=0.0)
         elif scfg.diffusion_enabled:
             s, i = sharded_index.search_diffusion(
                 q, k=scfg.k, depth=scfg.diffusion_depth,
