@@ -20,7 +20,7 @@ def main() -> int:
                                       bench_extraction_e2e,
                                       bench_protocol_eval, bench_qe,
                                       bench_query, bench_query_e2e,
-                                      bench_rerank)
+                                      bench_refine, bench_rerank)
 
     def _try(fn, *a, **kw):
         try:
@@ -38,6 +38,7 @@ def main() -> int:
     rrk = _try(bench_rerank)
     qry4 = _try(bench_query, dtype="int4")
     diff = _try(bench_diffusion)
+    refine = _try(bench_refine)
     peval = _try(bench_protocol_eval)
 
     value = round(ext["images_per_sec"], 1)
@@ -99,6 +100,8 @@ def main() -> int:
         if "frac_of_roofline" in diff:
             line["diffusion_frac_of_roofline"] = round(
                 diff["frac_of_roofline"], 3)
+    if refine is not None:
+        line["refine_p50_ms_1M"] = round(refine["p50_ms"], 3)
     if peval is not None:
         line["eval105k_warm_sec"] = round(peval["total_warm_sec"], 3)
     print(json.dumps(line))

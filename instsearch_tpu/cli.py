@@ -162,7 +162,8 @@ def cmd_query(args) -> int:
     if args.nprobe is not None:   # 0 = exact even when an IVF view exists
         scfg = scfg.replace(ivf_nprobe=args.nprobe)
     if getattr(args, "diffusion", False):
-        scfg = scfg.replace(diffusion_enabled=True, rerank_enabled=False)
+        scfg = scfg.replace(diffusion_enabled=True, rerank_enabled=False,
+                            refine_enabled=False)
     scores, ids = idx.query_images(img[None], scfg)
     # drop padded slots (id -1, score -inf): fewer valid rows than k —
     # -inf also serializes as the non-standard JSON token -Infinity

@@ -117,15 +117,10 @@ def evaluate_index(index: Index, dataset: RetrievalDataset,
     """
     ex = index.extractor
     assert ex is not None, "index has no extractor attached"
-    scfg_guard = search_cfg or index.cfg.search
-    if (scfg_guard.rerank_enabled + scfg_guard.diffusion_enabled
-            + scfg_guard.refine_enabled) > 1:
-        # same guard as Index.search, raised BEFORE the expensive
-        # extraction/ranking stages (and on the sharded path, which
-        # otherwise would silently splice several heads)
-        raise ValueError(
-            "rerank_enabled / diffusion_enabled / refine_enabled are "
-            "mutually exclusive (one re-scoring stage per query)")
+    # one shared validation (mutual exclusion + stage-vs-store-kind),
+    # raised BEFORE the expensive extraction/ranking stages — the sharded
+    # path would otherwise splice several heads or hit a bare assert
+    index._check_rescoring_cfg(search_cfg or index.cfg.search)
     qimgs = _load_query_images(dataset, ex.cfg.image_size, crop_bbx)
     queries = _batched_apply(ex, qimgs, ex.cfg.batch_size)
     scfg = search_cfg or index.cfg.search
@@ -176,6 +171,8 @@ def evaluate_index(index: Index, dataset: RetrievalDataset,
                      if sharded_index is not None
                      else index.descriptors.shape[0]))
         if sharded_index is not None:
+            # q was width-matched by index._match_query_dim above (the
+            # replicated qreg operand bypasses _common_operands' pad)
             q32 = jnp.asarray(q, jnp.float32)
             _, top_ids = sharded_index.search_rerank(
                 q32, q32[:, None, :], k=depth, depth=depth,

@@ -314,6 +314,39 @@ class Index:
         return len(self.names)
 
     @property
+    def has_refine_store(self) -> bool:
+        """The attached regional store is the exact-refine row copy
+        (IndexConfig.refine_dtype), NOT an R-MAC re-rank store. The
+        CONFIG is the discriminator — a legitimate rmac_levels=1 re-rank
+        store is also [N, 1, D], so shape cannot tell them apart."""
+        return bool(self.cfg.index.refine_dtype) and self.regional is not None
+
+    def _check_rescoring_cfg(self, scfg) -> None:
+        """One validation for every entry point (search, sharded
+        query_images routing, protocol evaluation — which calls it BEFORE
+        the expensive extraction/ranking stages): exactly one re-scoring
+        stage, and the stage must match the attached store kind."""
+        enabled = [nm for nm, on in (("rerank_enabled", scfg.rerank_enabled),
+                                     ("diffusion_enabled",
+                                      scfg.diffusion_enabled),
+                                     ("refine_enabled", scfg.refine_enabled))
+                   if on]
+        if len(enabled) > 1:
+            raise ValueError(
+                f"{' and '.join(enabled)} are mutually exclusive (one "
+                f"re-scoring stage per query); disable all but one")
+        if scfg.rerank_enabled and self.has_refine_store:
+            raise ValueError(
+                "this index's regional store is the exact-refine row copy "
+                "(refine_dtype); use refine_enabled, not rerank_enabled")
+        if scfg.refine_enabled and not self.has_refine_store:
+            raise ValueError(
+                "refine_enabled needs the exact-refine store "
+                "(IndexConfig.refine_dtype='int8' at build); this index "
+                "has " + ("no regional store" if self.regional is None else
+                          "an R-MAC re-rank store (use rerank_enabled)"))
+
+    @property
     def is_int4(self) -> bool:
         """Packed-nibble storage (two components per byte): the stored
         matrix is [N_pad, D//2] int8 and every scoring/gather path must
@@ -472,7 +505,7 @@ class Index:
         if paths is not None:
             assert self.extractor is not None, "index has no extractor"
             quarantine: list[str] = []
-            if self.regional is not None and self.regional.shape[1] > 1:
+            if self.regional is not None and not self.has_refine_store:
                 # single pass, same as build: regional rows come from the
                 # same decode+backbone run as the descriptors (whitening is
                 # already fit here, so it applies inside the program).
@@ -502,7 +535,7 @@ class Index:
             return 0
         self._drop_ivf("add()")   # the bucketed view would miss new rows
         if self.regional is not None and reg_new is None:
-            if self.regional.shape[1] == 1:
+            if self.has_refine_store:
                 # exact-refine store: the single "region" IS the row, so
                 # descriptor adds extend it directly (dim already padded
                 # to the store width above for odd-dim int4)
@@ -721,12 +754,18 @@ class Index:
             self.descriptors, self.scales = qr.values, qr.scales
         else:
             self.descriptors = buf.astype(self.descriptors.dtype)
-        if self.regional is not None and self.regional.shape[1] == 1:
+        if self.has_refine_store:
             # the exact-refine store mirrors the global rows: re-derive
-            # it from the SAME f32 augmentation (an R>1 re-rank store
-            # keeps its RAW per-region descriptors, see docstring)
-            attach_regional_store(
-                self, np.asarray(buf[:self.num_valid])[:, None, :])
+            # it from the SAME f32 augmentation, ON DEVICE (review r3: an
+            # attach_regional_store round-trip pulled the full f32 matrix
+            # through the ~275 MB/s tunnel — ~1 min at the tier's 8M-row
+            # target scale). An R-MAC re-rank store instead keeps its RAW
+            # per-region descriptors, see docstring. Padding rows are
+            # zero in buf, so they quantize back to zero.
+            from .ops.quantize import quantize_rows
+            qr = quantize_rows(buf)
+            self.regional = qr.values[:, None, :]
+            self.regional_scales = qr.scales.reshape(-1, 1)
         from .utils import COUNTERS
         COUNTERS.add("rows_dba_augmented", self.num_valid)
 
@@ -845,35 +884,14 @@ class Index:
         q = self._match_query_dim(q)
         from .utils import COUNTERS
         COUNTERS.add("queries_served", q.shape[0])
+        # config-level validation (guards on CONFIG flags, not the
+        # effective do_rerank — an index without a regional store must
+        # still reject an ambiguous config instead of silently picking)
+        self._check_rescoring_cfg(scfg)
         do_rerank = (scfg.rerank_enabled and self.regional is not None
                      and query_regional is not None)
         do_diffusion = scfg.diffusion_enabled
-        # guard on the CONFIG flags, not the effective do_rerank — an
-        # index without a regional store must still reject the ambiguous
-        # config instead of silently taking the diffusion branch
-        enabled = [nm for nm, on in (("rerank_enabled", scfg.rerank_enabled),
-                                     ("diffusion_enabled", do_diffusion),
-                                     ("refine_enabled", scfg.refine_enabled))
-                   if on]
-        if len(enabled) > 1:
-            raise ValueError(
-                f"{' and '.join(enabled)} are mutually exclusive (one "
-                f"re-scoring stage per query); disable all but one")
-        if scfg.rerank_enabled and self.regional is not None \
-                and self.regional.shape[1] == 1:
-            raise ValueError(
-                "this index's regional store is the 1-region exact-"
-                "refine copy (refine_dtype); use refine_enabled, not "
-                "rerank_enabled")
         do_refine = scfg.refine_enabled
-        if do_refine:
-            if self.regional is None or self.regional.shape[1] != 1:
-                raise ValueError(
-                    "refine_enabled needs the 1-region exact-refine "
-                    "store (IndexConfig.refine_dtype='int8' at build); "
-                    "this index has "
-                    + ("no regional store" if self.regional is None else
-                       f"a {self.regional.shape[1]}-region re-rank store"))
 
         if self.ivf is not None and scfg.ivf_nprobe > 0 and not do_diffusion:
             # diffusion needs the exact top-depth neighborhood (the graph
@@ -1005,13 +1023,9 @@ class Index:
         extractor (same routing as eval/evaluate.py's sharded protocol)."""
         assert self.extractor is not None, "index has no extractor attached"
         scfg = search_cfg or self.cfg.search
-        if (scfg.rerank_enabled + scfg.diffusion_enabled
-                + scfg.refine_enabled) > 1:
-            # match Index.search's guard on the sharded routing below,
-            # which would otherwise silently prefer the rerank stage
-            raise ValueError(
-                "rerank_enabled / diffusion_enabled / refine_enabled are "
-                "mutually exclusive (one re-scoring stage per query)")
+        # the sharded routing below would otherwise silently prefer the
+        # rerank stage / run a stage against the wrong store kind
+        self._check_rescoring_cfg(scfg)
         images = jnp.asarray(images)
         q = self.extractor(images)
         qreg = None
@@ -1030,8 +1044,11 @@ class Index:
                                                depth=scfg.rerank_depth)
         elif scfg.refine_enabled:
             # exact-refine on the mesh: 1-region store, the (expanded)
-            # query as its own region, zero global-fusion weight
-            q32 = jnp.asarray(q, jnp.float32)
+            # query as its own region, zero global-fusion weight. Pad the
+            # query to the store width FIRST — an odd-dim int4 store is
+            # one column wider than the extractor's descriptors, and the
+            # replicated qreg operand bypasses _common_operands' pad
+            q32 = self._match_query_dim(jnp.asarray(q, jnp.float32))
             s, i = sharded_index.search_rerank(
                 q32, q32[:, None, :], k=scfg.k, depth=scfg.rerank_depth,
                 fuse_weight=0.0)

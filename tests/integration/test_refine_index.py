@@ -186,3 +186,35 @@ def test_refine_guards(data):
     with pytest.raises(ValueError, match="int4"):
         Index.from_descriptors(X, ["a"] * len(X), PipelineConfig(
             index=IndexConfig(dtype="int8", refine_dtype="int8")))
+
+def test_r1_rmac_store_is_not_a_refine_store(data):
+    """A LEGITIMATE 1-region R-MAC re-rank store (rmac_levels=1 on a
+    square feature map yields R=1) must not be misclassified as the
+    refine copy: the config, not the shape, is the discriminator
+    (review r3)."""
+    X, q = data
+    rng = np.random.default_rng(41)
+    cfg = PipelineConfig(
+        index=IndexConfig(dtype="int4", row_tile=16),   # NO refine_dtype
+        search=SearchConfig(k=5, rerank_enabled=True, rerank_depth=16,
+                            use_pallas=False))
+    from instsearch_tpu.index import attach_regional_store
+    idx = Index.from_descriptors(X, [f"i{i}" for i in range(len(X))], cfg)
+    reg = _unit(rng.standard_normal((len(X), 1, 64)).astype(np.float32))
+    attach_regional_store(idx, reg)
+    assert not idx.has_refine_store
+    qreg = _unit(rng.standard_normal((len(q), 1, 64)).astype(np.float32))
+    # rerank works over the R=1 R-MAC store (was a regression: raised)
+    s, i = idx.search(q, query_regional=qreg)
+    assert np.asarray(i).shape == (len(q), 5)
+    # refine against it is rejected with a pointer to rerank
+    with pytest.raises(ValueError, match="R-MAC"):
+        idx.search(q, cfg.search.replace(rerank_enabled=False,
+                                         refine_enabled=True))
+    # descriptor-only add() must NOT silently write globals into it
+    with pytest.raises(ValueError, match="paths"):
+        idx.add(descriptors=X[:2], names=["za", "zb"])
+    # and augment_database must leave the RAW store untouched
+    before = np.asarray(idx.regional).copy()
+    idx.augment_database(n=4, chunk=32)
+    np.testing.assert_array_equal(np.asarray(idx.regional), before)
