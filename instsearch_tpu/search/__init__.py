@@ -1,5 +1,8 @@
 from .bruteforce import all_scores, search_topk
 from .dba import dba_augment
+from .diffusion import (diffuse_from_candidates,
+                        diffusion_rerank_from_candidates,
+                        diffusion_rerank_scores)
 from .ivf import IVFIndex
 from .qe import alpha_query_expansion, expand_from_candidates
 from .rerank import (regional_rerank_scores, rerank_from_candidates,
@@ -8,4 +11,5 @@ from .rerank import (regional_rerank_scores, rerank_from_candidates,
 __all__ = ["all_scores", "search_topk", "alpha_query_expansion",
            "expand_from_candidates", "regional_rerank_scores",
            "rerank_from_candidates", "region_match_scores", "IVFIndex",
-           "dba_augment"]
+           "dba_augment", "diffuse_from_candidates",
+           "diffusion_rerank_from_candidates", "diffusion_rerank_scores"]
