@@ -647,6 +647,80 @@ def bench_refine(n: int = 1_048_576, d: int = 512, depth: int = 100,
     return out
 
 
+def bench_ivf(n: int = 1_048_576, d: int = 512, k: int = 10,
+              q_batch: int = 1, n_clusters: int = 1024,
+              nprobe: int = 32, cap_factor: float = 2.0) -> dict:
+    """IVF ANN tier at production scale: on-device k-means fit + bucketed
+    scan, timed chained-marginal, plus measured recall@k vs the exact
+    fused scan over the SAME rows. Reads ~(nprobe/n_clusters + spill/N)
+    of the index per query, so the reference stream is the bf16 matvec
+    scaled to the scanned fraction."""
+    from .config import IndexConfig, PipelineConfig, SearchConfig
+    from .index import Index
+    from .search.ivf import _ivf_composite_jit
+
+    Xd, q = _make_index_device(n, d, q_batch)
+    cfg = PipelineConfig(index=IndexConfig(dtype="bfloat16", row_tile=4096),
+                         search=SearchConfig(k=k, use_pallas=True))
+    idx = Index(Xd, jnp.arange(n, dtype=jnp.int32), [""] * n, cfg)
+    t0 = time.perf_counter()
+    ivf = idx.build_ivf(n_clusters=n_clusters, nprobe=nprobe,
+                        cap_factor=cap_factor)
+    build_s = time.perf_counter() - t0
+    nv = jnp.asarray(n, jnp.int32)
+
+    def op(cent, bk, bks, bkp, sp, sps, spp, X, ids, qq):
+        return _ivf_composite_jit(
+            cent, bk, bks, bkp, sp, sps, spp, X, ids, None, None, None,
+            None, qq, k=k, depth=0, qe_n=0, qe_alpha=3.0, nprobe=nprobe,
+            do_qe=False, do_rerank=False)
+
+    def make_chained(m):
+        def run(*a):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(m):
+                s, _ = op(*a[:-1], a[-1] + acc * 1e-30)
+                acc = acc + s[0, 0]
+            return acc
+        return jax.jit(run)
+
+    args = (ivf.centroids, ivf.buckets, ivf.bucket_scales, ivf.bucket_pos,
+            ivf.spill, ivf.spill_scales, ivf.spill_pos, idx.descriptors,
+            idx.ids, q)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    scan_frac = ivf.scan_fraction()
+    out = {"n": n, "d": d, "k": k, "q_batch": q_batch,
+           "n_clusters": ivf.n_clusters, "nprobe": nprobe,
+           "cap_factor": cap_factor, "scan_fraction": round(scan_frac, 4),
+           "build_sec": round(build_s, 2)}
+    if on_tpu:
+        q1 = jnp.ones((1, d), jnp.bfloat16)
+        probe_ests, ests = interleaved_marginal(
+            [(make_stream_probe, (Xd, q1)), (make_chained, args)],
+            n1=3, n2=11)
+        p50 = float(np.median(ests))
+        valid = (probe_ests > 2e-9) & (ests > 2e-9)
+        if valid.any():
+            pv, kv = probe_ests[valid], ests[valid]
+            # reference = the stream scaled to the scanned fraction
+            out["frac_of_scanned_roofline"] = float(
+                np.median((pv * scan_frac) / kv))
+            out["speedup_vs_full_stream"] = float(np.median(pv / kv))
+    else:
+        ests = marginal_times(make_chained, args, n1=3, n2=11, reps=7)
+        p50 = float(np.median(ests))
+    out["p50_ms"] = p50 * 1e3
+    out["p99_ms"] = float(np.percentile(ests, 99)) * 1e3
+    out["qps"] = q_batch / p50
+    # recall@k vs the exact kernel over the same data (32 held-out-ish
+    # queries: perturbed rows, the bench's standing convention)
+    qs = jax.block_until_ready(
+        (Xd[:32].astype(jnp.float32)
+         + 0.01 * jax.random.normal(jax.random.PRNGKey(9), (32, d))))
+    out["recall_at_k"] = round(ivf.measure_recall(idx, qs, k=k), 4)
+    return out
+
+
 def bench_rerank(n: int = 1_048_576, d: int = 512, r: int = 16,
                  depth: int = 100, k: int = 10, q_batch: int = 1,
                  regional_dtype: str = "int8") -> dict:
@@ -994,5 +1068,6 @@ def run_bench(what: str = "all") -> dict:
         out["query_capacity_int4_8M"] = bench_query(n=8_388_608,
                                                     dtype="int4")
         out["dba_1M"] = bench_dba()
+        out["ivf_1M"] = bench_ivf()
         out["train"] = bench_train()
     return out
