@@ -22,7 +22,18 @@ def main() -> int:
                                       bench_query, bench_query_e2e,
                                       bench_refine, bench_rerank)
 
+    import os
+    import time
+    t0 = time.monotonic()
+    # soft budget: the stage list has grown (int4/diffusion/refine joined
+    # in round 3; ~20 min total through the tunnel). The headline metric
+    # runs FIRST; once past the budget the remaining optional stages are
+    # skipped so the driver ALWAYS gets its one JSON line.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
     def _try(fn, *a, **kw):
+        if time.monotonic() - t0 > budget_s:
+            return None
         try:
             return fn(*a, **kw)
         except Exception:
