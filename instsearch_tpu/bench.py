@@ -1059,6 +1059,9 @@ def run_bench(what: str = "all") -> dict:
             bench_extraction(backbone="resnet101", pooling="gem"),
             bench_extraction(backbone="resnet50", pooling="gem",
                              scales=(1.0, 0.7071, 0.5)),
+            # ViT family (beyond-reference): pure-matmul forward — the
+            # best-case MXU workload at these shapes (models/vit.py)
+            bench_extraction(backbone="vit_b_16", pooling="gem"),
         ]
         # 4M int8 rows = 2 GB + scales on ONE chip: the capacity story the
         # reference (single-GPU RAM matrix) cannot tell; int4 doubles it

@@ -59,7 +59,8 @@ class _JsonMixin:
 class ExtractConfig(_JsonMixin):
     """Descriptor-extraction pipeline configuration (SURVEY.md §3.1)."""
 
-    backbone: str = "resnet50"          # resnet50 | resnet101 | vgg16
+    backbone: str = "resnet50"          # resnet{18,34,50,101,152} | vgg16
+                                        # | vit_{b,l}_16 (models/registry.py)
     pooling: str = "gem"                # avg | mac | gem | rmac
     gem_p: float = 3.0
     rmac_levels: int = 3                # R-MAC scale levels L (arXiv:1511.05879 §3)

@@ -7,7 +7,8 @@ import jax.numpy as jnp
 
 from .resnet import resnet18, resnet34, resnet50, resnet101, resnet152
 from .vgg import vgg16
-from .torch_import import load_torch_resnet, load_torch_vgg
+from .vit import vit_b_16, vit_l_16
+from .torch_import import load_torch_resnet, load_torch_vgg, load_torch_vit
 
 
 class BackboneSpec(NamedTuple):
@@ -24,6 +25,10 @@ BACKBONES: dict[str, BackboneSpec] = {
     "resnet101": BackboneSpec(resnet101, 2048, 32, load_torch_resnet),
     "resnet152": BackboneSpec(resnet152, 2048, 32, load_torch_resnet),
     "vgg16": BackboneSpec(vgg16, 512, 16, load_torch_vgg),
+    # ViT patch-token backbones (beyond-reference family, models/vit.py):
+    # stride = patch size; feature_dim = hidden dim of the token grid
+    "vit_b_16": BackboneSpec(vit_b_16, 768, 16, load_torch_vit),
+    "vit_l_16": BackboneSpec(vit_l_16, 1024, 16, load_torch_vit),
 }
 
 

@@ -98,6 +98,62 @@ def load_torch_vgg(state_dict: Mapping[str, Any]) -> dict:
     return {"params": params}
 
 
+def load_torch_vit(state_dict: Mapping[str, Any]) -> dict:
+    """torchvision VisionTransformer state_dict -> {'params': ...} for
+    models/vit.py. Layout (``vit_b_16``): ``class_token``, ``conv_proj.*``,
+    ``encoder.pos_embedding``, ``encoder.layers.encoder_layer_{i}.{ln_1,
+    self_attention.in_proj_*, self_attention.out_proj.*, ln_2, mlp.{0,3}}``,
+    ``encoder.ln``; the classifier (``heads.*``) is dropped. torch's packed
+    in_proj stacks [q; k; v] along the output dim, matching the fused
+    ``qkv`` Dense split order; Linear weights transpose [out,in]->[in,out].
+    Older torchvision exports name the MLP linears ``mlp.linear_{1,2}`` —
+    both spellings are accepted.
+    """
+    params: dict = {}
+    layer_re = re.compile(r"^encoder\.layers\.encoder_layer_(\d+)\.(.+)$")
+    for key, val in state_dict.items():
+        if key.startswith("heads."):
+            continue
+        if key == "class_token":
+            _set(params, ["class_token"], _np(val))
+        elif key == "encoder.pos_embedding":
+            _set(params, ["pos_embedding"], _np(val))
+        elif key == "conv_proj.weight":
+            _set(params, ["conv_proj", "kernel"], _conv_kernel(val))
+        elif key == "conv_proj.bias":
+            _set(params, ["conv_proj", "bias"], _np(val))
+        elif key in ("encoder.ln.weight", "encoder.ln.bias"):
+            leaf = "scale" if key.endswith("weight") else "bias"
+            _set(params, ["ln", leaf], _np(val))
+        else:
+            m = layer_re.match(key)
+            if not m:
+                raise ValueError(f"unhandled torch key: {key}")
+            block = f"encoder_layer_{m.group(1)}"
+            rest = (m.group(2).replace("mlp.linear_1", "mlp.0")
+                    .replace("mlp.linear_2", "mlp.3"))
+            name, leaf = rest.rsplit(".", 1)
+            if name in ("ln_1", "ln_2"):
+                flax_leaf = "scale" if leaf == "weight" else "bias"
+                _set(params, [block, name, flax_leaf], _np(val))
+            elif name == "self_attention" and leaf == "in_proj_weight":
+                _set(params, [block, "qkv", "kernel"], _np(val).T)
+            elif name == "self_attention" and leaf == "in_proj_bias":
+                _set(params, [block, "qkv", "bias"], _np(val))
+            elif name == "self_attention.out_proj":
+                flax_leaf = "kernel" if leaf == "weight" else "bias"
+                v = _np(val).T if leaf == "weight" else _np(val)
+                _set(params, [block, "out", flax_leaf], v)
+            elif name in ("mlp.0", "mlp.3"):
+                dense = "linear_1" if name == "mlp.0" else "linear_2"
+                flax_leaf = "kernel" if leaf == "weight" else "bias"
+                v = _np(val).T if leaf == "weight" else _np(val)
+                _set(params, [block, dense, flax_leaf], v)
+            else:
+                raise ValueError(f"unhandled torch key: {key}")
+    return {"params": params}
+
+
 def validate_variables(model, variables: dict, input_shape=(1, 224, 224, 3)) -> None:
     """Assert imported trees match the model's own init trees exactly."""
     import jax

@@ -110,6 +110,67 @@ class TruncatedVGG16(nn.Module):
         return self.features(x)
 
 
+class _ViTEncoderBlock(nn.Module):
+    """torchvision EncoderBlock: pre-LN MHSA + MLP with residuals."""
+
+    def __init__(self, d, heads, mlp_dim):
+        super().__init__()
+        self.ln_1 = nn.LayerNorm(d, eps=1e-6)
+        self.self_attention = nn.MultiheadAttention(d, heads, batch_first=True)
+        self.ln_2 = nn.LayerNorm(d, eps=1e-6)
+        # torchvision MLPBlock: Sequential(Linear, GELU, Dropout, Linear,
+        # Dropout) -> state_dict keys mlp.0 / mlp.3
+        self.mlp = nn.Sequential(
+            nn.Linear(d, mlp_dim), nn.GELU(), nn.Dropout(0.0),
+            nn.Linear(mlp_dim, d), nn.Dropout(0.0))
+
+    def forward(self, x):
+        y = self.ln_1(x)
+        x = x + self.self_attention(y, y, y, need_weights=False)[0]
+        return x + self.mlp(self.ln_2(x))
+
+
+class _ViTEncoder(nn.Module):
+    def __init__(self, seq_len, d, layers, heads, mlp_dim):
+        super().__init__()
+        self.pos_embedding = nn.Parameter(torch.randn(1, seq_len, d) * 0.02)
+        import collections
+        self.layers = nn.Sequential(collections.OrderedDict(
+            (f"encoder_layer_{i}", _ViTEncoderBlock(d, heads, mlp_dim))
+            for i in range(layers)))
+        self.ln = nn.LayerNorm(d, eps=1e-6)
+
+    def forward(self, x):
+        return self.ln(self.layers(x + self.pos_embedding))
+
+
+class TruncatedViT(nn.Module):
+    """torchvision-style VisionTransformer without the classifier head:
+    same state_dict keys (``conv_proj``, ``class_token``,
+    ``encoder.layers.encoder_layer_{i}.self_attention.in_proj_weight``...),
+    output = patch-token grid [B, gh, gw, D] after the final encoder LN."""
+
+    def __init__(self, image_size=32, patch_size=8, hidden_dim=64,
+                 num_layers=2, num_heads=4, mlp_dim=128):
+        super().__init__()
+        self.patch_size = patch_size
+        self.conv_proj = nn.Conv2d(3, hidden_dim, patch_size,
+                                   stride=patch_size)
+        self.class_token = nn.Parameter(torch.randn(1, 1, hidden_dim) * 0.02)
+        seq_len = (image_size // patch_size) ** 2 + 1
+        self.encoder = _ViTEncoder(seq_len, hidden_dim, num_layers,
+                                   num_heads, mlp_dim)
+
+    def forward(self, x):
+        b = x.shape[0]
+        x = self.conv_proj(x)                       # [B, D, gh, gw]
+        gh, gw = x.shape[2], x.shape[3]
+        x = x.flatten(2).transpose(1, 2)            # [B, N, D]
+        cls = self.class_token.expand(b, -1, -1)
+        x = self.encoder(torch.cat([cls, x], dim=1))
+        return x[:, 1:].reshape(b, gh, gw, -1)      # NHWC patch grid
+
+
 def randomize_bn_stats(model, seed=0):
     """Give BN layers non-trivial running stats so parity tests catch
     mean/var import bugs (fresh BN has mean=0, var=1 which would mask them)."""
