@@ -174,42 +174,10 @@ def cmd_query(args) -> int:
     return 0
 
 
-def serve_buckets(query_chunk: int) -> list[int]:
-    """The warm bucket sizes for serving: powers of two up to
-    min(8, query_chunk). Small on purpose — each bucket is one compiled
-    program at startup (~90-110 s each through this environment's TPU
-    tunnel), and splitting covers every larger request (serve_batch)."""
-    buckets = [1]
-    while buckets[-1] < min(8, max(1, query_chunk or 8)):
-        buckets.append(buckets[-1] * 2)
-    return buckets
-
-
-def serve_batch(idx, sidx, batch, scfg, buckets):
-    """Serve an image batch of ANY size through warm bucket shapes only:
-    oversized requests are SPLIT into largest-bucket chunks (remainder
-    padded up to the smallest covering bucket), so no request length can
-    trigger an XLA recompile mid-request — ~90-110 s per cold program
-    through the axon tunnel, the exact stall the buckets exist to prevent
-    (review r2: padding only covered lengths <= max(buckets); 9..chunk
-    ran a cold shape)."""
-    import numpy as np
-    n = batch.shape[0]
-    out_s, out_i = [], []
-    pos = 0
-    while pos < n:
-        rem = n - pos
-        b = next((x for x in buckets if x >= rem), buckets[-1])
-        take = min(rem, b)
-        piece = batch[pos:pos + take]
-        if take < b:                       # pad up to the warm bucket
-            piece = np.concatenate(
-                [piece, np.repeat(piece[-1:], b - take, axis=0)])
-        s, i = idx.query_images(piece, scfg, sharded_index=sidx)
-        out_s.append(s[:take])
-        out_i.append(i[:take])
-        pos += take
-    return np.concatenate(out_s), np.concatenate(out_i)
+# serving internals live in serve.py (ServeCore, TCP transport with
+# cross-client micro-batching); re-exported here because serve_batch /
+# serve_buckets started life in this module and tests/docs address them so
+from .serve import ServeCore, serve_batch, serve_buckets, serve_tcp  # noqa: F401,E402
 
 
 def cmd_serve(args) -> int:
@@ -238,12 +206,14 @@ def cmd_serve(args) -> int:
     expected growth). Under ``--sharded`` the mesh view is re-placed
     after each mutation. Decode failures answer with "error" and keep
     serving; EOF exits 0.
+
+    ``--port N`` serves the same protocol over TCP instead (N=0 binds an
+    ephemeral port, printed in the ready line): many concurrent
+    line-delimited JSON connections, with requests that arrive within
+    ``--batch-wait-ms`` of each other micro-batched into ONE device pass
+    through the warm buckets (responses carry ``batch_rows``). See
+    instsearch_tpu/serve.py for the threading contract.
     """
-    import time
-
-    import numpy as np
-
-    from .data import frontend
     from .index import Index
     from .utils import COUNTERS
 
@@ -253,70 +223,28 @@ def cmd_serve(args) -> int:
               "with a random-init extractor (wrong retrieval)",
               file=sys.stderr)
         return 2
-    sidx = idx.to_sharded() if args.sharded else None   # multi-chip serving
-    size = idx.cfg.extract.image_size
-    warm_k = idx.cfg.search.k
-    buckets = serve_buckets(idx.cfg.search.query_chunk)
-    for b in buckets:
-        idx.query_images(np.zeros((b, size, size, 3), np.uint8),
-                         sharded_index=sidx)            # compile
-    ready = {"ready": True, "rows": idx.num_valid, "dim": idx.dim}
-    if sidx is not None:
-        ready["shards"] = int(sidx.mesh.shape[sidx.axis])
-    print(json.dumps(ready), flush=True)
+    core = ServeCore(idx, sharded=args.sharded)
 
+    if args.port is not None:              # TCP transport
+        def ready_cb(port):
+            ready = core.ready_info()
+            ready["port"] = port
+            print(json.dumps(ready), flush=True)
+
+        try:
+            return serve_tcp(core, host=args.host, port=args.port,
+                             batch_wait_ms=args.batch_wait_ms,
+                             ready_cb=ready_cb)
+        finally:
+            COUNTERS.dump()
+
+    core.warmup()
+    print(json.dumps(core.ready_info()), flush=True)
     for line in sys.stdin:
         line = line.strip()
         if not line:
             continue
-        try:
-            req = json.loads(line)
-            if "add" in req or "remove" in req:
-                t0 = time.perf_counter()
-                if "add" in req:
-                    n = idx.add(paths=list(req["add"]))
-                    resp = {"added": n}
-                else:
-                    n = idx.remove(list(req["remove"]))
-                    resp = {"removed": n}
-                if sidx is not None:       # re-place mutated rows on mesh
-                    sidx = idx.to_sharded()
-                resp["rows"] = idx.num_valid
-                resp["latency_ms"] = round(
-                    (time.perf_counter() - t0) * 1e3, 3)
-                print(json.dumps(resp), flush=True)
-                continue
-            paths = req.get("images") or [req["image"]]
-            imgs = [frontend.load_square(p, size) for p in paths]
-            bad = [p for p, im in zip(paths, imgs) if im is None]
-            if bad:
-                print(json.dumps({"error": f"cannot decode: {bad}"}),
-                      flush=True)
-                continue
-            req_k = int(req.get("k", warm_k))
-            # run at the warm top-k width when the request fits inside it
-            # (slice below); only k > warm_k compiles a new width (once)
-            k_run = warm_k if req_k <= warm_k else req_k
-            scfg = idx.cfg.search.replace(k=k_run)
-            t0 = time.perf_counter()
-            scores, ids = serve_batch(idx, sidx, np.stack(imgs), scfg,
-                                      buckets)
-            latency = (time.perf_counter() - t0) * 1e3
-            # padded slots (id -1 / -inf) are dropped: -inf serializes as
-            # the non-standard JSON token -Infinity and breaks clients
-            results = [[{"rank": r, "name": idx.name_of(i), "id": int(i),
-                         "score": float(s)}
-                        for r, (s, i) in enumerate(zip(srow[:req_k],
-                                                       irow[:req_k]))
-                        if i >= 0]
-                       for srow, irow in zip(scores, ids)]
-            print(json.dumps({"results": results,
-                              "latency_ms": round(latency, 3)}), flush=True)
-        except Exception as e:    # noqa: BLE001 — a long-lived server
-            # must answer bad requests (malformed JSON, wrong types, ...)
-            # with an error line, never die mid-stream
-            print(json.dumps({"error": f"{type(e).__name__}: {e}"}),
-                  flush=True)
+        print(json.dumps(core.handle_line(line)), flush=True)
     COUNTERS.dump()
     return 0
 
@@ -389,7 +317,8 @@ def cmd_finetune(args) -> int:
     cfg = TrainConfig(backbone=args.backbone or "resnet50",
                       image_size=args.image_size, learn_gem_p=args.learn_p,
                       batch_size=args.batch_size, num_negatives=max(1, num_neg),
-                      lr=args.lr)
+                      lr=args.lr, loss=args.loss,
+                      smoothap_tau=args.smoothap_tau)
     try:
         out = finetune(paths, np.asarray(labels), cfg, epochs=args.epochs,
                        fit_lw=args.fit_lw)
@@ -496,6 +425,15 @@ def main(argv=None) -> int:
     sv.add_argument("--sharded", action="store_true",
                     help="serve through the row-sharded index over all "
                          "devices (multi-chip path)")
+    sv.add_argument("--port", type=int, default=None,
+                    help="serve over TCP on this port instead of stdin "
+                         "(0 = ephemeral, printed in the ready line); "
+                         "concurrent clients' requests are micro-batched "
+                         "into one device pass")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--batch-wait-ms", type=float, default=2.0,
+                    help="how long the dispatcher holds a TCP query batch "
+                         "open for stragglers from other connections")
     sv.set_defaults(fn=cmd_serve)
 
     be = sub.add_parser("bench", help="run benchmark harness")
@@ -519,6 +457,11 @@ def main(argv=None) -> int:
     f.add_argument("--batch-size", type=int, default=8)
     f.add_argument("--num-negatives", type=int, default=5)
     f.add_argument("--lr", type=float, default=1e-4)
+    f.add_argument("--loss", default="contrastive",
+                   choices=["contrastive", "triplet", "smoothap"],
+                   help="smoothap = listwise sigmoid-relaxed AP "
+                        "(arXiv:2007.12163)")
+    f.add_argument("--smoothap-tau", type=float, default=0.01)
     f.add_argument("--fit-lw", action="store_true",
                    help="fit Lw discriminative whitening on the training "
                         "pairs after tuning (arXiv:1711.02512 §3.4)")

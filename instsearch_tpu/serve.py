@@ -1,0 +1,313 @@
+"""Serving runtime: warm-bucket request handling over stdin or TCP.
+
+The reference has no serving story (SURVEY.md §1.1: linear notebook
+scripts); this module is the production path for the online query stack
+(SURVEY.md §3.2). Two transports share one core:
+
+- **stdin/stdout JSON-lines** (``cli serve``): one request per line, one
+  response line — scriptable, single-client.
+- **TCP JSON-lines** (``cli serve --port N``): many concurrent clients,
+  one line-delimited JSON connection each, with **cross-client
+  micro-batching**: requests that arrive within ``batch_wait_ms`` of each
+  other are concatenated into ONE device batch through the warm bucket
+  shapes. On TPU this is the difference between paying the fixed
+  per-program dispatch cost per client and amortizing it across them —
+  the fused kernel's cost is per-scan, not per-query, until the merge
+  bound (docs/ARCHITECTURE.md), so co-batched queries are nearly free.
+
+Threading contract: JAX device work is NOT thread-safe to interleave, so
+exactly ONE thread touches the device — the caller's loop thread in
+stdin mode, the dispatcher thread in TCP mode. Connection reader threads
+only parse JSON and decode images (host work that releases the GIL).
+Mutations (``add``/``remove``) are barriers: the dispatcher stops
+filling a batch when it meets one, so global queue order is preserved
+(a client that sends ``remove`` then ``query`` sees its own mutation
+applied first).
+"""
+from __future__ import annotations
+
+import json
+import queue
+import socket
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+
+def serve_buckets(query_chunk: int) -> list[int]:
+    """The warm bucket sizes for serving: powers of two up to
+    min(8, query_chunk). Small on purpose — each bucket is one compiled
+    program at startup (~90-110 s each through this environment's TPU
+    tunnel), and splitting covers every larger request (serve_batch)."""
+    buckets = [1]
+    while buckets[-1] < min(8, max(1, query_chunk or 8)):
+        buckets.append(buckets[-1] * 2)
+    return buckets
+
+
+def serve_batch(idx, sidx, batch, scfg, buckets):
+    """Serve an image batch of ANY size through warm bucket shapes only:
+    oversized requests are SPLIT into largest-bucket chunks (remainder
+    padded up to the smallest covering bucket), so no request length can
+    trigger an XLA recompile mid-request — ~90-110 s per cold program
+    through the axon tunnel, the exact stall the buckets exist to prevent
+    (review r2: padding only covered lengths <= max(buckets); 9..chunk
+    ran a cold shape)."""
+    n = batch.shape[0]
+    out_s, out_i = [], []
+    pos = 0
+    while pos < n:
+        rem = n - pos
+        b = next((x for x in buckets if x >= rem), buckets[-1])
+        take = min(rem, b)
+        piece = batch[pos:pos + take]
+        if take < b:                       # pad up to the warm bucket
+            piece = np.concatenate(
+                [piece, np.repeat(piece[-1:], b - take, axis=0)])
+        s, i = idx.query_images(piece, scfg, sharded_index=sidx)
+        out_s.append(s[:take])
+        out_i.append(i[:take])
+        pos += take
+    return np.concatenate(out_s), np.concatenate(out_i)
+
+
+@dataclass
+class _Job:
+    kind: str                        # "query" | "mutate"
+    req: dict
+    images: Optional[np.ndarray]     # decoded [B, S, S, 3] uint8 (query)
+    reply: Callable[[dict], None]
+    enqueued: float = field(default_factory=time.perf_counter)
+
+
+class ServeCore:
+    """Owns the index, the optional sharded view and the warm programs.
+
+    ``decode`` is host-only and safe on any thread; ``mutate`` and
+    ``run_queries`` touch the device and must stay on ONE thread.
+    """
+
+    def __init__(self, idx, sharded: bool = False):
+        self.idx = idx
+        self.sidx = idx.to_sharded() if sharded else None
+        self.size = idx.cfg.extract.image_size
+        self.warm_k = idx.cfg.search.k
+        self.buckets = serve_buckets(idx.cfg.search.query_chunk)
+
+    def warmup(self) -> None:
+        for b in self.buckets:
+            self.idx.query_images(
+                np.zeros((b, self.size, self.size, 3), np.uint8),
+                sharded_index=self.sidx)
+
+    def ready_info(self) -> dict:
+        ready = {"ready": True, "rows": self.idx.num_valid,
+                 "dim": self.idx.dim}
+        if self.sidx is not None:
+            ready["shards"] = int(self.sidx.mesh.shape[self.sidx.axis])
+        return ready
+
+    # ---- host side (any thread) --------------------------------------
+    def decode(self, req: dict) -> tuple[np.ndarray, int]:
+        """Request dict -> (decoded image batch, requested k). Raises on
+        missing/undecodable paths or a bad k — the transport answers with
+        an error line."""
+        from .data import frontend
+        paths = req.get("images") or [req["image"]]
+        imgs = [frontend.load_square(p, self.size) for p in paths]
+        bad = [p for p, im in zip(paths, imgs) if im is None]
+        if bad:
+            raise ValueError(f"cannot decode: {bad}")
+        return np.stack(imgs), int(req.get("k", self.warm_k))
+
+    # ---- device side (single thread) ---------------------------------
+    def mutate(self, req: dict) -> dict:
+        t0 = time.perf_counter()
+        if "add" in req:
+            n = self.idx.add(paths=list(req["add"]))
+            resp = {"added": n}
+        else:
+            n = self.idx.remove(list(req["remove"]))
+            resp = {"removed": n}
+        if self.sidx is not None:          # re-place mutated rows on mesh
+            self.sidx = self.idx.to_sharded()
+        resp["rows"] = self.idx.num_valid
+        resp["latency_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
+        return resp
+
+    def run_queries(self, jobs: "list[tuple[np.ndarray, int]]"
+                    ) -> list[dict]:
+        """One device pass for a list of (images, req_k) query jobs —
+        possibly from different clients (TCP micro-batching). Runs at the
+        warm top-k width when every request fits inside it; only a
+        k > warm_k compiles a new width (once, then cached)."""
+        ks = [k for _, k in jobs]
+        k_run = self.warm_k if max(ks) <= self.warm_k else max(ks)
+        scfg = self.idx.cfg.search.replace(k=k_run)
+        batch = (jobs[0][0] if len(jobs) == 1
+                 else np.concatenate([im for im, _ in jobs]))
+        t0 = time.perf_counter()
+        scores, ids = serve_batch(self.idx, self.sidx, batch, scfg,
+                                  self.buckets)
+        latency = round((time.perf_counter() - t0) * 1e3, 3)
+        out, pos = [], 0
+        for images, req_k in jobs:
+            b = images.shape[0]
+            s, i = scores[pos:pos + b], ids[pos:pos + b]
+            pos += b
+            # padded slots (id -1 / -inf) are dropped: -inf serializes as
+            # the non-standard JSON token -Infinity and breaks clients
+            results = [[{"rank": r, "name": self.idx.name_of(ii),
+                         "id": int(ii), "score": float(ss)}
+                        for r, (ss, ii) in enumerate(zip(srow[:req_k],
+                                                         irow[:req_k]))
+                        if ii >= 0]
+                       for srow, irow in zip(s, i)]
+            out.append({"results": results, "latency_ms": latency,
+                        "batch_rows": int(batch.shape[0])})
+        return out
+
+    def handle_line(self, line: str) -> dict:
+        """stdin-mode request handling: parse -> decode -> device, all on
+        the caller's thread. Never raises — a long-lived server must
+        answer bad requests with an error line, not die mid-stream."""
+        try:
+            req = json.loads(line)
+            if "add" in req or "remove" in req:
+                return self.mutate(req)
+            images, req_k = self.decode(req)
+            return self.run_queries([(images, req_k)])[0]
+        except Exception as e:    # noqa: BLE001
+            return {"error": f"{type(e).__name__}: {e}"}
+
+
+def serve_tcp(core: ServeCore, host: str = "127.0.0.1", port: int = 0,
+              batch_wait_ms: float = 2.0,
+              ready_cb: Optional[Callable[[int], None]] = None,
+              stop_event: Optional[threading.Event] = None) -> int:
+    """Blocking TCP JSON-lines server with cross-client micro-batching.
+
+    ``port=0`` binds an ephemeral port; ``ready_cb(actual_port)`` fires
+    after warm-up, once the listener accepts connections. ``stop_event``
+    (tests) shuts the server down cleanly; without one the call blocks
+    until the process is signalled. Returns 0.
+
+    Batching policy: the dispatcher takes the oldest queued query, then
+    keeps draining compatible query jobs until (a) the queue momentarily
+    empties AND ``batch_wait_ms`` has elapsed since the first job,
+    (b) accumulated rows reach ``SearchConfig.query_chunk``, or (c) a
+    mutation job arrives (a barrier — it runs right after the batch,
+    preserving global order).
+    """
+    stop = stop_event or threading.Event()
+    q: "queue.Queue[_Job]" = queue.Queue()
+    cap = core.idx.cfg.search.query_chunk or 128
+
+    def dispatcher():
+        pending: Optional[_Job] = None
+        while not stop.is_set():
+            job = pending
+            pending = None
+            if job is None:
+                try:
+                    job = q.get(timeout=0.05)
+                except queue.Empty:
+                    continue
+            if job.kind == "mutate":
+                _safe_reply(job, lambda j=job: core.mutate(j.req))
+                continue
+            jobs = [job]
+            rows = job.images.shape[0]
+            deadline = job.enqueued + batch_wait_ms / 1e3
+            while rows < cap:
+                tmo = deadline - time.perf_counter()
+                try:
+                    nxt = q.get(timeout=tmo) if tmo > 0 \
+                        else q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt.kind == "mutate":   # barrier: run after this batch
+                    pending = nxt
+                    break
+                jobs.append(nxt)
+                rows += nxt.images.shape[0]
+            try:
+                responses = core.run_queries(
+                    [(j.images, j.req["k"]) for j in jobs])
+            except Exception as e:         # noqa: BLE001 — answer, don't die
+                err = {"error": f"{type(e).__name__}: {e}"}
+                responses = [err] * len(jobs)
+            for j, resp in zip(jobs, responses):
+                _safe_reply(j, lambda r=resp: r)
+
+    def _safe_reply(job: _Job, make) -> None:
+        # a failing mutation or a torn-down connection must not kill the
+        # dispatcher: errors answer on that client's line, writes to dead
+        # sockets are dropped
+        try:
+            resp = make()
+        except Exception as e:             # noqa: BLE001
+            resp = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            job.reply(resp)
+        except OSError:
+            pass
+
+    def client_thread(conn: socket.socket) -> None:
+        f = conn.makefile("rwb")
+        wlock = threading.Lock()
+
+        def reply(obj: dict) -> None:
+            with wlock:
+                f.write((json.dumps(obj) + "\n").encode())
+                f.flush()
+
+        try:
+            for raw in f:
+                line = raw.strip()
+                if not line:
+                    continue
+                try:
+                    req = json.loads(line)
+                    if not isinstance(req, dict):
+                        raise ValueError("request must be a JSON object")
+                    if "add" in req or "remove" in req:
+                        q.put(_Job("mutate", req, None, reply))
+                    else:
+                        images, req_k = core.decode(req)
+                        q.put(_Job("query", {"k": req_k}, images, reply))
+                except Exception as e:     # noqa: BLE001
+                    try:
+                        reply({"error": f"{type(e).__name__}: {e}"})
+                    except OSError:
+                        break
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    core.warmup()
+    srv = socket.create_server((host, port))
+    srv.settimeout(0.2)
+    disp = threading.Thread(target=dispatcher, daemon=True,
+                            name="serve-dispatcher")
+    disp.start()
+    if ready_cb is not None:
+        ready_cb(srv.getsockname()[1])
+    try:
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                continue
+            threading.Thread(target=client_thread, args=(conn,),
+                             daemon=True, name="serve-client").start()
+    finally:
+        srv.close()
+        stop.set()
+        disp.join(timeout=5)
+    return 0
