@@ -162,8 +162,10 @@ class TrainConfig(_JsonMixin):
     pooling: str = "gem"
     gem_p: float = 3.0
     learn_gem_p: bool = False           # make p a trained parameter
-    loss: str = "contrastive"           # contrastive | triplet
-    margin: float = 0.7
+    loss: str = "contrastive"           # contrastive | triplet | smoothap
+    margin: float = 0.7                 # contrastive/triplet only
+    smoothap_tau: float = 0.01          # Smooth-AP sigmoid temperature
+                                        # (arXiv:2007.12163; smoothap only)
     lr: float = 1e-4
     weight_decay: float = 1e-4
     batch_size: int = 8                 # tuples per step

@@ -69,6 +69,36 @@ def triplet_loss(desc: jax.Array, cfg: TrainConfig) -> jax.Array:
     return jnp.mean(jnp.maximum(0.0, dp - dn + cfg.margin))
 
 
+def smoothap_loss(desc: jax.Array, cfg: TrainConfig) -> jax.Array:
+    """Smooth-AP (Brown et al., arXiv:2007.12163): a listwise, directly
+    rank-based objective — 1 − mean sigmoid-relaxed Average Precision.
+
+    Candidates for each anchor are ALL positives+negatives in the batch
+    (its own positive is the one relevant item; other tuples are distinct
+    instances, so their members count as extra in-batch negatives — B·(T−1)−1
+    of them instead of the tuple's T−2). With a single relevant item the
+    relaxed AP reduces to ``1 / (1 + Σ_j σ((s_j − s_pos)/τ))``: the
+    sigmoid counts candidates ranked above the positive, so the loss
+    optimizes the metric the evaluator reports rather than a fixed
+    margin. τ → 0 recovers exact AP; τ = cfg.smoothap_tau trades gradient
+    bandwidth for fidelity (0.01 in the paper). One [B, B(T−1)] MXU
+    matmul — no pairwise distance tensors.
+    """
+    b, t, d = desc.shape
+    anchors = desc[:, 0]                               # [B, D]
+    cands = desc[:, 1:].reshape(b * (t - 1), d)        # [B(T-1), D]
+    scores = anchors @ cands.T                         # [B, B(T-1)] cosine
+    pos_idx = jnp.arange(b) * (t - 1)                  # own positive column
+    s_pos = scores[jnp.arange(b), pos_idx]             # [B]
+    diff = (scores - s_pos[:, None]) / cfg.smoothap_tau
+    above = jax.nn.sigmoid(diff)                       # soft [s_j > s_pos]
+    # mask the positive's own column (its σ(0)=0.5 would bias every AP)
+    mask = jnp.ones_like(scores).at[jnp.arange(b), pos_idx].set(0.0)
+    rank_above = jnp.sum(above * mask, axis=-1)        # soft # ranked above
+    ap = 1.0 / (1.0 + rank_above)
+    return 1.0 - jnp.mean(ap)
+
+
 class Trainer:
     """Builds the jitted, mesh-sharded train step.
 
@@ -97,7 +127,12 @@ class Trainer:
                                 opt_state=self.tx.init(params),
                                 step=jnp.zeros((), jnp.int32))
         self.mesh = mesh
-        loss_fn = contrastive_loss if cfg.loss == "contrastive" else triplet_loss
+        losses = {"contrastive": contrastive_loss, "triplet": triplet_loss,
+                  "smoothap": smoothap_loss}
+        if cfg.loss not in losses:
+            raise ValueError(f"unknown loss {cfg.loss!r}; expected one of "
+                             f"{sorted(losses)}")
+        loss_fn = losses[cfg.loss]
 
         def step_fn(state: TrainState, images):
             def loss(params):
