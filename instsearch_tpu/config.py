@@ -67,6 +67,11 @@ class ExtractConfig(_JsonMixin):
     image_size: int = 224               # shorter-side resize target
     center_crop: bool = False           # square center crop after resize
     scales: tuple[float, ...] = (1.0,)  # multi-scale factors (arXiv:1711.02512)
+    flip: bool = False                  # horizontal-flip TTA: also pool the
+                                        # mirrored image at every scale and
+                                        # average (same jitted program; the
+                                        # regional store stays unflipped —
+                                        # region geometry is side-dependent)
     whiten: bool = False                # apply PCA-whitening after pooling
     whiten_dim: int = 0                 # 0 = keep full dimensionality
     dtype: str = "bfloat16"             # on-device compute dtype

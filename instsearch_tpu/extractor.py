@@ -43,10 +43,12 @@ def build_extract_fn(cfg: ExtractConfig):
         for scale in cfg.scales:
             with jax.named_scope(f"backbone_s{scale:g}"):
                 xs = frontend.rescale(x, scale)
-                fmap = model.apply(variables, xs)
-            with jax.named_scope("pool"):
-                d = pool(fmap, cfg)
-            descs.append(l2_normalize(d.astype(jnp.float32), axis=-1))
+                variants = (xs, jnp.flip(xs, axis=2)) if cfg.flip else (xs,)
+                for xv in variants:           # flip TTA: mirrored pass too
+                    fmap = model.apply(variables, xv)
+                    with jax.named_scope("pool"):
+                        d = pool(fmap, cfg)
+                    descs.append(l2_normalize(d.astype(jnp.float32), axis=-1))
         desc = jnp.mean(jnp.stack(descs, 0), axis=0) if len(descs) > 1 else descs[0]
         desc = l2_normalize(desc, axis=-1)
         if whitening is not None:
@@ -107,6 +109,11 @@ def build_combined_fn(cfg: ExtractConfig):
             with jax.named_scope("pool"):
                 d = pool(fmap, cfg)
             descs.append(l2_normalize(d.astype(jnp.float32), axis=-1))
+            if cfg.flip:                          # flip TTA (global only:
+                # region geometry is side-dependent, store stays unflipped)
+                fm = model.apply(variables, jnp.flip(xs, axis=2))
+                df = pool(fm, cfg)
+                descs.append(l2_normalize(df.astype(jnp.float32), axis=-1))
         desc = (jnp.mean(jnp.stack(descs, 0), axis=0)
                 if len(descs) > 1 else descs[0])
         desc = l2_normalize(desc, axis=-1)

@@ -1,7 +1,8 @@
 """Run every committed workload preset end-to-end (SURVEY.md §6): the five
-BASELINE.json configurations plus the flagship million-scale-int8 preset —
-six total under ``configs/`` — build -> (whiten) -> query/QE/re-rank ->
-protocol metrics.
+BASELINE.json configurations plus the beyond-reference presets (flagship
+million-scale int8, int4 capacity, quality ladder, compact-128) — every
+``configs/*.json`` — build -> (whiten) -> query/QE/re-rank -> protocol
+metrics.
 
 ``scale_down`` shrinks image size / batch so the suite runs in CI and on
 the mini fixture; the config *structure* (backbone, pooling, whitening,
