@@ -177,6 +177,12 @@ class TrainConfig(_JsonMixin):
     num_negatives: int = 5
     image_size: int = 224
     dtype: str = "bfloat16"
+    remat: bool = False                 # jax.checkpoint the backbone pass:
+                                        # recompute activations in the bwd
+                                        # pass instead of holding them in
+                                        # HBM — the standard memory/FLOPs
+                                        # trade for deep backbones (ViT-L,
+                                        # ResNet-152) or large tuples
 
 
 @dataclass(frozen=True)

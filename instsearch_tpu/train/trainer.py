@@ -40,7 +40,8 @@ def _descriptors(model, params, frozen, images, cfg: TrainConfig):
     and receives gradients (arXiv:1711.02512 learns p jointly)."""
     backbone_params = {k: v for k, v in params.items() if k != "gem_p"}
     variables = {"params": backbone_params, **frozen}
-    fmap = model.apply(variables, images)
+    apply = jax.checkpoint(model.apply) if cfg.remat else model.apply
+    fmap = apply(variables, images)
     if cfg.pooling == "gem":
         p = params["gem_p"] if cfg.learn_gem_p else cfg.gem_p
         d = gem_pool(fmap, p)
