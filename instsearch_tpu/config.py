@@ -76,6 +76,12 @@ class ExtractConfig(_JsonMixin):
     whiten_dim: int = 0                 # 0 = keep full dimensionality
     dtype: str = "bfloat16"             # on-device compute dtype
     batch_size: int = 64
+    vit_attention: str = "auto"         # ViT backbones only: auto | xla |
+                                        # pallas — 'auto' = the XLA einsum
+                                        # path (measured faster in-model
+                                        # than the fused kernel on chip);
+                                        # 'pallas' is the explicit A/B
+                                        # opt-in (kernels/vit_attention.py)
 
     @property
     def descriptor_dim(self) -> int:

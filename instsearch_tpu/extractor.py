@@ -32,7 +32,8 @@ def build_extract_fn(cfg: ExtractConfig):
     fuse into one XLA program.
     """
     dtype = _DTYPES[cfg.dtype]
-    model, spec = get_backbone(cfg.backbone, dtype=dtype)
+    model, spec = get_backbone(cfg.backbone, dtype=dtype,
+                               attention=cfg.vit_attention)
 
     def extract(variables, images, whitening: Optional[WhiteningParams] = None):
         # named_scope: per-stage attribution in TPU profiler traces
@@ -65,7 +66,8 @@ def build_regional_fn(cfg: ExtractConfig):
     from .ops.pooling import rmac_regional_descriptors
 
     dtype = _DTYPES[cfg.dtype]
-    model, spec = get_backbone(cfg.backbone, dtype=dtype)
+    model, spec = get_backbone(cfg.backbone, dtype=dtype,
+                               attention=cfg.vit_attention)
 
     def extract_regional(variables, images,
                          whitening: Optional[WhiteningParams] = None):
@@ -92,7 +94,8 @@ def build_combined_fn(cfg: ExtractConfig):
     from .ops.pooling import rmac_regional_descriptors
 
     dtype = _DTYPES[cfg.dtype]
-    model, spec = get_backbone(cfg.backbone, dtype=dtype)
+    model, spec = get_backbone(cfg.backbone, dtype=dtype,
+                               attention=cfg.vit_attention)
 
     def extract_combined(variables, images,
                          whitening: Optional[WhiteningParams] = None):
@@ -146,6 +149,13 @@ class Extractor:
                  variables: dict | None = None,
                  whitening: WhiteningParams | None = None,
                  seed: int = 0, mesh=None):
+        if (mesh is not None and "model" in mesh.axis_names
+                and cfg.vit_attention == "pallas"):
+            # under TP, GSPMD cannot partition a pallas_call — it would
+            # all-gather the head-sharded q/k/v around the kernel; the XLA
+            # einsum path partitions cleanly along the head axis ('auto'
+            # already resolves to xla — models/vit.py)
+            cfg = cfg.replace(vit_attention="xla")
         self.cfg = cfg
         self.seed = seed
         self.model, self._fn = build_extract_fn(cfg)
@@ -159,12 +169,21 @@ class Extractor:
             # convention): same sharding commits, same padding logic
             from jax.sharding import NamedSharding, PartitionSpec as P
             # on a 2-D (data x shard) mesh, DP uses the 'data' axis and the
-            # batch is replicated over the others
+            # batch is replicated over the others; a 'model' axis is never
+            # a batch axis — it carries the Megatron TP split of the ViT
+            # attention/MLP weights (parallel/tp.py, SURVEY.md §2.2 TP row)
+            batch_axes = [a for a in mesh.axis_names if a != "model"]
             self._axis = ("data" if "data" in mesh.axis_names
-                          else mesh.axis_names[0])
-            self._dp_size = mesh.shape[self._axis]
-            self._img_sharding = NamedSharding(mesh, P(self._axis))
-            variables = jax.device_put(variables, NamedSharding(mesh, P()))
+                          else (batch_axes[0] if batch_axes else None))
+            self._dp_size = mesh.shape[self._axis] if self._axis else 1
+            self._img_sharding = NamedSharding(
+                mesh, P(self._axis) if self._axis else P())
+            if "model" in mesh.axis_names:
+                from .parallel.tp import place_tp
+                variables = place_tp(mesh, variables, axis="model")
+            else:
+                variables = jax.device_put(variables,
+                                           NamedSharding(mesh, P()))
         else:
             self._img_sharding = None
         self.variables = variables

@@ -32,9 +32,13 @@ BACKBONES: dict[str, BackboneSpec] = {
 }
 
 
-def get_backbone(name: str, dtype=jnp.bfloat16):
+def get_backbone(name: str, dtype=jnp.bfloat16, attention: str | None = None):
+    """``attention`` selects the ViT attention implementation
+    (auto | xla | pallas — models/vit.py); ignored for CNN backbones."""
     try:
         spec = BACKBONES[name]
     except KeyError:
         raise ValueError(f"unknown backbone {name!r}; expected one of {sorted(BACKBONES)}")
+    if attention is not None and name.startswith("vit"):
+        return spec.factory(dtype=dtype, attention=attention), spec
     return spec.factory(dtype=dtype), spec

@@ -43,6 +43,18 @@ def make_mesh_2d(data: int, shard: int) -> Mesh:
     return Mesh(arr, ("data", "shard"))
 
 
+def make_mesh_dp_tp(data: int, model: int) -> Mesh:
+    """DP x TP mesh for tensor-parallel ViT extraction (parallel/tp.py):
+    batch sharded over 'data', Megatron weight split over 'model'. The
+    'model' axis is innermost so the per-block psums ride the
+    fastest-varying ICI dimension."""
+    devs = jax.devices()
+    if data * model > len(devs):
+        raise ValueError(f"requested {data}x{model} devices, have {len(devs)}")
+    arr = np.array(devs[:data * model]).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
 def place(mesh: Mesh, x, spec: P) -> jax.Array:
     """Commit ``x`` to NamedSharding(mesh, spec), multi-host-safe.
 

@@ -111,7 +111,11 @@ class Trainer:
                  variables: dict | None = None):
         self.cfg = cfg
         dtype = _DTYPES[cfg.dtype]
-        self.model, self.spec = get_backbone(cfg.backbone, dtype=dtype)
+        # attention='xla' (ViT only; no-op for CNNs): the fused Pallas
+        # attention kernel has no custom VJP, so fine-tuning always takes
+        # the differentiable einsum path — which also composes with remat
+        self.model, self.spec = get_backbone(cfg.backbone, dtype=dtype,
+                                             attention="xla")
         if variables is None:
             variables = self.model.init(
                 jax.random.PRNGKey(seed),

@@ -33,9 +33,10 @@ def test_registry_output_shapes(name, dim, grid):
 
 @pytest.fixture()
 def tiny_vit_registry(monkeypatch):
-    def factory(dtype=jnp.bfloat16):
+    def factory(dtype=jnp.bfloat16, attention="auto"):
         return ViT(hidden_dim=32, num_layers=1, num_heads=4, mlp_dim=64,
-                   patch_size=8, image_size=32, dtype=dtype)
+                   patch_size=8, image_size=32, dtype=dtype,
+                   attention=attention)
     monkeypatch.setitem(
         BACKBONES, "vit_tiny",
         BackboneSpec(factory, 32, 8, load_torch_vit))
