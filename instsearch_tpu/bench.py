@@ -138,11 +138,13 @@ def measure_hbm_bw(nbytes: int = 1 << 30) -> float:
 
 def bench_extraction(batch: int = 128, image_size: int = 224,
                      backbone: str = "resnet50", pooling: str = "gem",
-                     scales: tuple = (1.0,)) -> dict:
+                     scales: tuple = (1.0,),
+                     vit_attention: str = "auto") -> dict:
     """Device-side extraction throughput (pre-loaded uint8 batch)."""
     cfg = ExtractConfig(backbone=backbone, pooling=pooling,
                         image_size=image_size, batch_size=batch,
-                        scales=scales, dtype="bfloat16")
+                        scales=scales, dtype="bfloat16",
+                        vit_attention=vit_attention)
     model, extract = build_extract_fn(cfg)
     variables = model.init(
         jax.random.PRNGKey(0), np.zeros((1, image_size, image_size, 3), np.float32))
@@ -160,12 +162,15 @@ def bench_extraction(batch: int = 128, image_size: int = 224,
         return jax.jit(run)
 
     per_call = marginal_time(make_chained, (variables, x), n1=4, n2=16)
-    return {
+    out = {
         "images_per_sec": batch / per_call,
         "ms_per_batch": per_call * 1e3,
         "batch": batch, "image_size": image_size, "backbone": backbone,
         "pooling": pooling, "scales": list(scales),
     }
+    if backbone.startswith("vit"):
+        out["attention"] = vit_attention
+    return out
 
 
 def bench_extraction_e2e(n_images: int = 512, image_size: int = 224,
@@ -1060,7 +1065,10 @@ def run_bench(what: str = "all") -> dict:
             bench_extraction(backbone="resnet50", pooling="gem",
                              scales=(1.0, 0.7071, 0.5)),
             # ViT family (beyond-reference): pure-matmul forward — the
-            # best-case MXU workload at these shapes (models/vit.py)
+            # best-case MXU workload at these shapes (models/vit.py);
+            # default attention is the XLA einsum path — the fused Pallas
+            # kernel measured slower in-model and is an explicit opt-in
+            # A/B via vit_attention='pallas' (kernels/vit_attention.py)
             bench_extraction(backbone="vit_b_16", pooling="gem"),
         ]
         # 4M int8 rows = 2 GB + scales on ONE chip: the capacity story the

@@ -44,12 +44,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _resolve_attention(attention: str) -> str:
+    """'auto' -> the XLA einsum path. The fused Pallas kernel was built
+    and measured IN-MODEL on the chip and lost: 2,448 img/s (xla) vs
+    1,882 (best kernel variant) at ViT-B/224²/B=128 — XLA's fused
+    attention avoids the kernel's 197->256 pad and keeps q/k/v fused
+    with the projections (kernels/vit_attention.py docstring has the
+    full A/B). 'pallas' stays as an explicit opt-in for benches/tests
+    and as the starting point for long-token configs."""
+    if attention == "auto":
+        return "xla"
+    if attention not in ("xla", "pallas"):
+        raise ValueError(f"attention must be auto|xla|pallas, got {attention!r}")
+    return attention
+
+
 class EncoderBlock(nn.Module):
     """Pre-LN transformer block: x + MHSA(LN(x)); x + MLP(LN(x))."""
 
     num_heads: int
     mlp_dim: int
     dtype: Any = jnp.bfloat16
+    attention: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -68,18 +84,27 @@ class EncoderBlock(nn.Module):
             return t.reshape(b, n, self.num_heads, hd).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        # scale q BEFORE the matmul (one fused multiply instead of an
-        # O(B·h·N²) pass over the logits) and keep the materialized
-        # [B,h,N,N] logits in the compute dtype: at bf16 that halves the
-        # dominant HBM traffic of the block (~9 GB/batch of f32 logits at
-        # B=128/12 layers, measured 2,317→2,450 img/s on v5e); the
-        # softmax itself still reduces in f32 via the cast below, and the
-        # f32-dtype (parity) path is numerically unchanged
-        att = jnp.einsum("bhqd,bhkd->bhqk", q / np.sqrt(hd), k,
-                         preferred_element_type=self.dtype)
-        att = jax.nn.softmax(att.astype(jnp.float32),
-                             axis=-1).astype(self.dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        if _resolve_attention(self.attention) == "pallas":
+            # fused single-tile attention kernel: zero logits traffic to
+            # HBM, but measured SLOWER in-model than the einsum path —
+            # kept as an explicit opt-in (kernels/vit_attention.py has
+            # the on-chip A/B and the why)
+            from ..kernels.vit_attention import mha
+            # interpret mode keeps attention='pallas' runnable in CPU tests
+            o = mha(q, k, v, interpret=jax.default_backend() != "tpu")
+        else:
+            # scale q BEFORE the matmul (one fused multiply instead of an
+            # O(B·h·N²) pass over the logits) and keep the materialized
+            # [B,h,N,N] logits in the compute dtype: at bf16 that halves the
+            # dominant HBM traffic of the block (~9 GB/batch of f32 logits at
+            # B=128/12 layers, measured 2,317→2,450 img/s on v5e); the
+            # softmax itself still reduces in f32 via the cast below, and the
+            # f32-dtype (parity) path is numerically unchanged
+            att = jnp.einsum("bhqd,bhkd->bhqk", q / np.sqrt(hd), k,
+                             preferred_element_type=self.dtype)
+            att = jax.nn.softmax(att.astype(jnp.float32),
+                                 axis=-1).astype(self.dtype)
+            o = jnp.einsum("bhqk,bhkd->bhqd", att, v)
         o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
         x = x + nn.Dense(d, dtype=self.dtype, name="out")(o)
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln_2")(x)
@@ -100,24 +125,50 @@ class ViT(nn.Module):
     patch_size: int = 16
     image_size: int = 224   # canonical pos-embedding grid (checkpoint shape)
     dtype: Any = jnp.bfloat16
+    attention: str = "auto"  # auto (= xla) | xla | pallas; pallas is the
+                             # measured-slower opt-in kernel, inference-only
+                             # (no VJP) — kernels/vit_attention.py
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = x.astype(self.dtype)
-        n, h, w, _ = x.shape
+    # setup() instead of a single @nn.compact __call__ so the pipeline
+    # runtime (parallel/pp.py) can call embed/finalize as apply-methods
+    # and drive the encoder stack itself — ONE source of truth for the
+    # math, and the param tree keys are unchanged (attribute names match
+    # the old explicit name= strings, so checkpoints and the torch
+    # importer are unaffected).
+    def setup(self):
         p = self.patch_size
-        if h < p or w < p:
-            raise ValueError(f"input {h}x{w} smaller than patch size {p}")
-        x = nn.Conv(self.hidden_dim, (p, p), strides=(p, p), padding="VALID",
-                    dtype=self.dtype, name="conv_proj")(x)
+        self.conv_proj = nn.Conv(self.hidden_dim, (p, p), strides=(p, p),
+                                 padding="VALID", dtype=self.dtype)
+        g0 = self.image_size // p
+        self.class_token = self.param(
+            "class_token", nn.initializers.zeros,
+            (1, 1, self.hidden_dim), jnp.float32)
+        self.pos_embedding = self.param(
+            "pos_embedding", nn.initializers.normal(0.02),
+            (1, 1 + g0 * g0, self.hidden_dim), jnp.float32)
+        for i in range(self.num_layers):
+            setattr(self, f"encoder_layer_{i}",
+                    EncoderBlock(self.num_heads, self.mlp_dim,
+                                 dtype=self.dtype,
+                                 attention=self.attention))
+        self.ln = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
+
+    def embed(self, x):
+        """Patchify + class token + position embeddings:
+        images ``[N,H,W,3]`` -> tokens ``[N, 1+gh*gw, D]``, ``(gh, gw)``
+        (grid dims are trace-time constants)."""
+        x = x.astype(self.dtype)
+        n = x.shape[0]
+        p = self.patch_size
+        if x.shape[1] < p or x.shape[2] < p:
+            raise ValueError(
+                f"input {x.shape[1]}x{x.shape[2]} smaller than patch size {p}")
+        x = self.conv_proj(x)
         gh, gw = x.shape[1], x.shape[2]
         x = x.reshape(n, gh * gw, self.hidden_dim)
 
-        cls = self.param("class_token", nn.initializers.zeros,
-                         (1, 1, self.hidden_dim), jnp.float32)
         g0 = self.image_size // p
-        pos = self.param("pos_embedding", nn.initializers.normal(0.02),
-                         (1, 1 + g0 * g0, self.hidden_dim), jnp.float32)
+        pos = self.pos_embedding
         cls_pos, grid_pos = pos[:, :1], pos[:, 1:]
         if (gh, gw) != (g0, g0):
             # trace-time bilinear resize of the canonical grid: scales /
@@ -129,22 +180,29 @@ class ViT(nn.Module):
         pos = jnp.concatenate([cls_pos, grid_pos], axis=1)
 
         x = jnp.concatenate(
-            [jnp.broadcast_to(cls.astype(self.dtype),
+            [jnp.broadcast_to(self.class_token.astype(self.dtype),
                               (n, 1, self.hidden_dim)), x], axis=1)
-        x = x + pos.astype(self.dtype)
-        for i in range(self.num_layers):
-            x = EncoderBlock(self.num_heads, self.mlp_dim, dtype=self.dtype,
-                             name=f"encoder_layer_{i}")(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln")(x)
-        # drop the class token; the descriptor layer pools the patch grid
+        return x + pos.astype(self.dtype), (gh, gw)
+
+    def finalize(self, x, gh: int, gw: int):
+        """Final LayerNorm, drop the class token, reshape to the NHWC
+        patch grid the descriptor layer pools."""
+        n = x.shape[0]
+        x = self.ln(x)
         return x[:, 1:].reshape(n, gh, gw, self.hidden_dim).astype(self.dtype)
 
+    def __call__(self, x, train: bool = False):
+        x, (gh, gw) = self.embed(x)
+        for i in range(self.num_layers):
+            x = getattr(self, f"encoder_layer_{i}")(x)
+        return self.finalize(x, gh, gw)
 
-def vit_b_16(dtype=jnp.bfloat16) -> ViT:
+
+def vit_b_16(dtype=jnp.bfloat16, attention: str = "auto") -> ViT:
     return ViT(hidden_dim=768, num_layers=12, num_heads=12, mlp_dim=3072,
-               patch_size=16, dtype=dtype)
+               patch_size=16, dtype=dtype, attention=attention)
 
 
-def vit_l_16(dtype=jnp.bfloat16) -> ViT:
+def vit_l_16(dtype=jnp.bfloat16, attention: str = "auto") -> ViT:
     return ViT(hidden_dim=1024, num_layers=24, num_heads=16, mlp_dim=4096,
-               patch_size=16, dtype=dtype)
+               patch_size=16, dtype=dtype, attention=attention)
