@@ -150,11 +150,12 @@ class Extractor:
                  whitening: WhiteningParams | None = None,
                  seed: int = 0, mesh=None):
         if (mesh is not None and "model" in mesh.axis_names
-                and cfg.vit_attention == "pallas"):
+                and cfg.vit_attention != "xla"):
             # under TP, GSPMD cannot partition a pallas_call — it would
             # all-gather the head-sharded q/k/v around the kernel; the XLA
-            # einsum path partitions cleanly along the head axis ('auto'
-            # already resolves to xla — models/vit.py)
+            # einsum path partitions cleanly along the head axis. 'auto'
+            # would resolve to xla inside the model anyway (models/vit.py);
+            # normalizing it here makes the resolved cfg inspectable.
             cfg = cfg.replace(vit_attention="xla")
         self.cfg = cfg
         self.seed = seed

@@ -59,31 +59,87 @@ def _resolve_attention(attention: str) -> str:
     return attention
 
 
+def attend(q, k, v, key_mask, dtype):
+    """Attention body shared by the in-block path and the sequence-parallel
+    runtime (parallel/sp.py): ``q, k, v`` are ``[B, h, N, hd]``; returns
+    ``[B, h, N, hd]``.
+
+    Scale q BEFORE the matmul (one fused multiply instead of an O(B·h·N²)
+    pass over the logits) and keep the materialized [B,h,N,N] logits in the
+    compute dtype: at bf16 that halves the dominant HBM traffic of the block
+    (~9 GB/batch of f32 logits at B=128/12 layers, measured 2,317→2,450
+    img/s on v5e); the softmax itself still reduces in f32 via the cast
+    below, and the f32-dtype (parity) path is numerically unchanged.
+
+    ``key_mask`` (bool ``[N_k]`` or None) excludes padded key positions —
+    masked keys get -inf logits so the f32 softmax renormalizes over the
+    real tokens exactly (SP pads the token axis to a multiple of the mesh
+    axis; a masked softmax over the pad equals the unpadded softmax)."""
+    hd = q.shape[-1]
+    att = jnp.einsum("bhqd,bhkd->bhqk", q / np.sqrt(hd), k,
+                     preferred_element_type=dtype)
+    if key_mask is not None:
+        att = jnp.where(key_mask[None, None, None, :], att, -jnp.inf)
+    att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", att, v)
+
+
 class EncoderBlock(nn.Module):
-    """Pre-LN transformer block: x + MHSA(LN(x)); x + MLP(LN(x))."""
+    """Pre-LN transformer block: x + MHSA(LN(x)); x + MLP(LN(x)).
+
+    setup-style with the attention split into ``pre_attention`` (LN + qkv
+    projection + head reshape) and ``post_attention`` (out projection +
+    residual + MLP) apply-methods, so the sequence-parallel runtime
+    (parallel/sp.py) can interpose its all_to_all re-sharding between them
+    while this module stays the single source of truth for the math."""
 
     num_heads: int
     mlp_dim: int
+    hidden_dim: int
     dtype: Any = jnp.bfloat16
     attention: str = "auto"
 
-    @nn.compact
-    def __call__(self, x):
-        d = x.shape[-1]
+    def setup(self):
+        d = self.hidden_dim
         if d % self.num_heads:
             raise ValueError(f"hidden dim {d} not divisible by "
                              f"{self.num_heads} heads")
+        self.ln_1 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
+        self.qkv = nn.Dense(3 * d, dtype=self.dtype)
+        self.out = nn.Dense(d, dtype=self.dtype)
+        self.ln_2 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
+        self.linear_1 = nn.Dense(self.mlp_dim, dtype=self.dtype)
+        self.linear_2 = nn.Dense(self.hidden_dim, dtype=self.dtype)
+
+    def pre_attention(self, x):
+        """Token-local half: LN1 + qkv projection.
+        ``x [B, n, D]`` -> ``(q, k, v)`` each ``[B, n, h, hd]`` (head axis
+        NOT yet transposed — SP re-shards it with an all_to_all first)."""
+        d = self.hidden_dim
         hd = d // self.num_heads
-        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln_1")(x)
-        y = y.astype(self.dtype)
-        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(y)
+        y = self.ln_1(x).astype(self.dtype)
+        qkv = self.qkv(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         b, n, _ = q.shape
+        shp = (b, n, self.num_heads, hd)
+        return q.reshape(shp), k.reshape(shp), v.reshape(shp)
 
-        def heads(t):
-            return t.reshape(b, n, self.num_heads, hd).transpose(0, 2, 1, 3)
+    def post_attention(self, x, o):
+        """Token-local half: out projection + residual + MLP.
+        ``o [B, n, D]`` is the merged attention output."""
+        x = x + self.out(o)
+        y = self.ln_2(x)
+        y = self.linear_1(y.astype(self.dtype))
+        # torch nn.GELU default is the exact erf form, not tanh
+        y = nn.gelu(y, approximate=False)
+        return x + self.linear_2(y)
 
-        q, k, v = heads(q), heads(k), heads(v)
+    def __call__(self, x):
+        if x.shape[-1] != self.hidden_dim:
+            raise ValueError(f"input dim {x.shape[-1]} != "
+                             f"hidden_dim {self.hidden_dim}")
+        q, k, v = self.pre_attention(x)
+        q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
         if _resolve_attention(self.attention) == "pallas":
             # fused single-tile attention kernel: zero logits traffic to
             # HBM, but measured SLOWER in-model than the einsum path —
@@ -93,26 +149,10 @@ class EncoderBlock(nn.Module):
             # interpret mode keeps attention='pallas' runnable in CPU tests
             o = mha(q, k, v, interpret=jax.default_backend() != "tpu")
         else:
-            # scale q BEFORE the matmul (one fused multiply instead of an
-            # O(B·h·N²) pass over the logits) and keep the materialized
-            # [B,h,N,N] logits in the compute dtype: at bf16 that halves the
-            # dominant HBM traffic of the block (~9 GB/batch of f32 logits at
-            # B=128/12 layers, measured 2,317→2,450 img/s on v5e); the
-            # softmax itself still reduces in f32 via the cast below, and the
-            # f32-dtype (parity) path is numerically unchanged
-            att = jnp.einsum("bhqd,bhkd->bhqk", q / np.sqrt(hd), k,
-                             preferred_element_type=self.dtype)
-            att = jax.nn.softmax(att.astype(jnp.float32),
-                                 axis=-1).astype(self.dtype)
-            o = jnp.einsum("bhqk,bhkd->bhqd", att, v)
-        o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
-        x = x + nn.Dense(d, dtype=self.dtype, name="out")(o)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln_2")(x)
-        y = nn.Dense(self.mlp_dim, dtype=self.dtype,
-                     name="linear_1")(y.astype(self.dtype))
-        # torch nn.GELU default is the exact erf form, not tanh
-        y = nn.gelu(y, approximate=False)
-        return x + nn.Dense(d, dtype=self.dtype, name="linear_2")(y)
+            o = attend(q, k, v, None, self.dtype)
+        b, _, n, _ = o.shape
+        o = o.transpose(0, 2, 1, 3).reshape(b, n, self.hidden_dim)
+        return self.post_attention(x, o)
 
 
 class ViT(nn.Module):
@@ -149,6 +189,7 @@ class ViT(nn.Module):
         for i in range(self.num_layers):
             setattr(self, f"encoder_layer_{i}",
                     EncoderBlock(self.num_heads, self.mlp_dim,
+                                 hidden_dim=self.hidden_dim,
                                  dtype=self.dtype,
                                  attention=self.attention))
         self.ln = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)

@@ -6,6 +6,7 @@ from .sharded_index import (
     ShardedIndex, sharded_qe_topk_fn, sharded_rerank_fn, sharded_topk_fn,
 )
 from .pp import pipelined_vit_fn, place_pp, stack_layer_params
+from .sp import place_sp, sequence_parallel_vit_fn
 from .tp import place_tp, tp_param_spec, tp_param_specs
 
 __all__ = ["make_mesh", "make_mesh_2d", "make_mesh_dp_tp", "replicate",
@@ -14,4 +15,5 @@ __all__ = ["make_mesh", "make_mesh_2d", "make_mesh_dp_tp", "replicate",
            "global_shard_mesh", "build_multihost_index", "local_row_range",
            "shard_local_rows", "default_data_mesh", "place", "place_tp",
            "tp_param_spec", "tp_param_specs", "pipelined_vit_fn",
-           "place_pp", "stack_layer_params"]
+           "place_pp", "stack_layer_params", "place_sp",
+           "sequence_parallel_vit_fn"]

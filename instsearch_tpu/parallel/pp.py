@@ -93,6 +93,7 @@ def pipelined_vit_fn(model: ViT, mesh: Mesh, n_micro: int,
         data_axis = "data"
 
     block = EncoderBlock(model.num_heads, model.mlp_dim,
+                         hidden_dim=model.hidden_dim,
                          dtype=model.dtype, attention="xla")
 
     def stage_apply(local_layers, h):
