@@ -19,8 +19,9 @@ def main() -> int:
     from instsearch_tpu.bench import (bench_diffusion, bench_extraction,
                                       bench_extraction_e2e,
                                       bench_protocol_eval, bench_qe,
-                                      bench_query, bench_query_e2e,
-                                      bench_refine, bench_rerank)
+                                      bench_lw, bench_query,
+                                      bench_query_e2e, bench_refine,
+                                      bench_rerank)
 
     import os
     import time
@@ -50,6 +51,7 @@ def main() -> int:
     qry4 = _try(bench_query, dtype="int4")
     diff = _try(bench_diffusion)
     refine = _try(bench_refine)
+    lw = _try(bench_lw)
     peval = _try(bench_protocol_eval)
 
     value = round(ext["images_per_sec"], 1)
@@ -113,6 +115,12 @@ def main() -> int:
                 diff["frac_of_roofline"], 3)
     if refine is not None:
         line["refine_p50_ms_1M"] = round(refine["p50_ms"], 3)
+    if lw is not None:
+        line["lw_p50_ms_1M"] = round(lw["p50_ms"], 3)
+        if "frac_of_roofline" in lw:
+            # reference = one scan + the full f32 bank read (amortizes
+            # over the batch; B=1 pays both)
+            line["lw_frac_of_roofline"] = round(lw["frac_of_roofline"], 3)
     if peval is not None:
         line["eval105k_warm_sec"] = round(peval["total_warm_sec"], 3)
     print(json.dumps(line))

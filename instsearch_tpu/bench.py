@@ -816,6 +816,83 @@ def bench_rerank(n: int = 1_048_576, d: int = 512, r: int = 16,
     return out
 
 
+def bench_lw(n: int = 1_048_576, d: int = 512, e: int = 1024,
+             depth: int = 100, k: int = 10, q_batch: int = 1) -> dict:
+    """Local-whitening re-ranking composite (search/lw_rerank.py): fused
+    top-``depth`` scan over the bf16 index + all-cluster query whitening
+    (ONE [B, E, D] x [E, dim, D] einsum that reads the whole f32 bank) +
+    whitened-store gather + rowwise re-score, timed chained-marginal.
+
+    Cost model: the scan is n*d*2 bytes; the bank read is e*d*d*4 bytes
+    PER CALL (independent of B — it amortizes over the query batch, so
+    B=1 pays the full bank on top of the scan while B=32 pays 1/32 per
+    query). Bank/store contents are random (timing only)."""
+    from .index import _lw_composite_jit
+
+    Xd, q = _make_index_device(n, d, q_batch)
+    ids = jax.block_until_ready(jnp.arange(n, dtype=jnp.int32))
+    nv = jnp.asarray(n, jnp.int32)
+
+    @jax.jit
+    def make_bank():
+        kp = jax.random.PRNGKey(5)
+        P = jax.random.normal(kp, (e, d, d), jnp.float32) * (1.0 / np.sqrt(d))
+        mu = jax.random.normal(jax.random.PRNGKey(6), (e, d),
+                               jnp.float32) * 0.01
+        store = jax.random.normal(jax.random.PRNGKey(7), (n, d),
+                                  jnp.bfloat16)
+        assign = jax.random.randint(jax.random.PRNGKey(8), (n,), 0, e,
+                                    jnp.int32)
+        return P, mu, store, assign
+
+    P, mu, store, assign = jax.block_until_ready(make_bank())
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    def op(X, ids, qq, nv, P, mu, store, assign):
+        return _lw_composite_jit(X, ids, qq, nv, None, P, mu, store, assign,
+                                 k=k, depth=depth, qe_n=0, qe_alpha=3.0,
+                                 use_pallas=on_tpu, do_qe=False)
+
+    def make_chained(m):
+        def run(X, ids, qq, nv, P, mu, store, assign):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(m):
+                s, _ = op(X, ids, qq + acc * 1e-30, nv, P, mu, store, assign)
+                acc = acc + s[0, 0]
+            return acc
+        return jax.jit(run)
+
+    args = (Xd, ids, q, nv, P, mu, store, assign)
+    scan_bytes = n * d * 2
+    bank_bytes = e * d * d * 4
+    gather_bytes = q_batch * depth * d * 2
+    out = {"n": n, "d": d, "e": e, "depth": depth, "k": k,
+           "q_batch": q_batch,
+           "bank_gb": round(bank_bytes / 2**30, 2),
+           "store_gb": round(store.size * 2 / 2**30, 2)}
+    if on_tpu:
+        q1 = jnp.ones((1, d), jnp.bfloat16)
+        probe_ests, ests = interleaved_marginal(
+            [(make_stream_probe, (Xd, q1)), (make_chained, args)],
+            n1=3, n2=11)
+        probe_bytes = n * d * 2
+        p50 = float(np.median(ests))
+        valid = (probe_ests > 2e-9) & (ests > 2e-9)
+        if valid.any():
+            pv, kv = probe_ests[valid], ests[valid]
+            ref_bytes = scan_bytes + bank_bytes + gather_bytes
+            ratios = (pv * (ref_bytes / probe_bytes)) / kv
+            out["hbm_bw_gbps"] = probe_bytes / float(np.median(pv)) / 1e9
+            out["frac_of_roofline"] = float(np.median(ratios))
+    else:
+        ests = marginal_times(make_chained, args, n1=3, n2=11, reps=7)
+        p50 = float(np.median(ests))
+    out["p50_ms"] = p50 * 1e3
+    out["p99_ms"] = float(np.percentile(ests, 99)) * 1e3
+    out["qps"] = q_batch / p50
+    return out
+
+
 def bench_sharded_overhead(n: int = 1_048_576, d: int = 512,
                            k: int = 10, q_batch: int = 1) -> dict:
     """Distribution-layer overhead: the row-sharded search program
@@ -1052,6 +1129,8 @@ def run_bench(what: str = "all") -> dict:
         out["rerank_b32"] = bench_rerank(q_batch=32)
         out["diffusion"] = bench_diffusion()
         out["refine"] = bench_refine()
+        out["lw"] = bench_lw()
+        out["lw_b32"] = bench_lw(q_batch=32)
         out["sharded_overhead"] = bench_sharded_overhead()
         out["protocol_eval_105k"] = bench_protocol_eval()
     if what == "extended":

@@ -95,6 +95,9 @@ def cmd_build_index(args) -> int:
                             nprobe=args.nprobe)
         out["ivf"] = {"clusters": ivf.n_clusters, "nprobe": ivf.nprobe,
                       "scan_fraction": round(ivf.scan_fraction(), 4)}
+    if args.lw:
+        lw = idx.fit_local_whitening(n_clusters=args.lw_clusters or None)
+        out["lw"] = {"clusters": lw.n_clusters, "dim": lw.dim}
     idx.save(args.out)
     print(json.dumps(out))
     return 0
@@ -113,6 +116,7 @@ def cmd_update_index(args) -> int:
     # its sizing so it can be rebuilt over the updated rows before saving
     ivf_params = ((idx.ivf.n_clusters, idx.ivf.nprobe)
                   if idx.ivf is not None else None)
+    lw_clusters = idx.lw.n_clusters if idx.lw is not None else None
     added = removed = 0
     if args.remove:
         removed = idx.remove(args.remove)
@@ -135,6 +139,8 @@ def cmd_update_index(args) -> int:
     if ivf_params is not None and idx.ivf is None and (added or removed):
         idx.build_ivf(n_clusters=min(ivf_params[0], idx.num_valid),
                       nprobe=ivf_params[1])
+    if lw_clusters is not None and idx.lw is None and (added or removed):
+        idx.fit_local_whitening(n_clusters=min(lw_clusters, idx.num_valid))
     idx.save(args.out or args.index)
     print(json.dumps({"added": added, "removed": removed,
                       "rows": idx.num_valid,
@@ -163,7 +169,9 @@ def cmd_query(args) -> int:
         scfg = scfg.replace(ivf_nprobe=args.nprobe)
     if getattr(args, "diffusion", False):
         scfg = scfg.replace(diffusion_enabled=True, rerank_enabled=False,
-                            refine_enabled=False)
+                            refine_enabled=False, lw_enabled=False)
+    if getattr(args, "lw", None) is not None:
+        scfg = scfg.replace(lw_enabled=bool(args.lw))
     scores, ids = idx.query_images(img[None], scfg)
     # drop padded slots (id -1, score -inf): fewer valid rows than k —
     # -inf also serializes as the non-standard JSON token -Infinity
@@ -379,6 +387,12 @@ def main(argv=None) -> int:
                    help="IVF cluster count (default: ~sqrt(N))")
     b.add_argument("--nprobe", type=int, default=32,
                    help="IVF probes per query (with --ivf)")
+    b.add_argument("--lw", action="store_true",
+                   help="fit a local-whitening re-ranking view (per-"
+                        "cluster metric re-scoring of the top candidates; "
+                        "enables lw_enabled in the saved SearchConfig)")
+    b.add_argument("--lw-clusters", type=int, default=0,
+                   help="local-whitening expert count (default: ~sqrt(N))")
     b.set_defaults(fn=cmd_build_index)
 
     u = sub.add_parser("update-index", help="add/remove images on a "
@@ -403,6 +417,9 @@ def main(argv=None) -> int:
                    help="diffusion re-ranking over the top candidates' "
                         "similarity graph (search/diffusion.py; depth etc. "
                         "from the index's SearchConfig)")
+    q.add_argument("--lw", type=int, choices=(0, 1), default=None,
+                   help="force local-whitening re-scoring on (1) or off "
+                        "(0); default: the index's SearchConfig")
     q.set_defaults(fn=cmd_query)
 
     e = sub.add_parser("evaluate", help="protocol evaluation on a dataset")

@@ -156,6 +156,12 @@ class SearchConfig(_JsonMixin):
     # force. Takes effect only when the index has an IVF view attached
     # (Index.build_ivf, which sets this to its nprobe).
     ivf_nprobe: int = 0
+    # local-whitening re-ranking (search/lw_rerank.py): re-score the
+    # top-rerank_depth candidates under each candidate's own cluster
+    # metric (k-means-routed per-cluster whitening bank,
+    # ops/local_whiten.py). Needs Index.fit_local_whitening (which sets
+    # this). Mutually exclusive with the other re-scoring stages.
+    lw_enabled: bool = False
 
 
 @dataclass(frozen=True)

@@ -195,6 +195,38 @@ def _search_composite_jit(descriptors, ids, queries, num_valid, scales,
     return scores, _pos_to_ids(ids, scores, pos)
 
 
+@partial(jax.jit, static_argnames=("k", "depth", "qe_n", "qe_alpha",
+                                   "use_pallas", "do_qe", "int4"))
+def _lw_composite_jit(descriptors, ids, queries, num_valid, scales,
+                      lw_P, lw_mu, lw_store, lw_assign,
+                      *, k: int, depth: int, qe_n: int, qe_alpha: float,
+                      use_pallas: bool, do_qe: bool, int4: bool = False):
+    """ONE jitted program for local-whitening re-ranking
+    (search/lw_rerank.py): optional alpha-QE, fused top-``depth``
+    candidate scan, all-cluster query whitening (one batched einsum),
+    candidate gather from the precomputed whitened store, top-k. Same
+    no-[Q, N]-matrix discipline as _search_composite_jit."""
+    q = jnp.asarray(queries, jnp.float32)
+    if do_qe:
+        s, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
+                           k=qe_n, use_pallas=use_pallas, int4=int4)
+        rows = _gather_rows_f32(descriptors, jnp.maximum(pos, 0), scales,
+                                int4=int4)
+        rows = jnp.where((s > -jnp.inf)[..., None], rows, 0.0)
+        from .search.qe import expand_from_candidates
+        q = expand_from_candidates(q, s, rows, qe_alpha)
+    g, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
+                       k=depth, use_pallas=use_pallas, int4=int4)
+    from .search.lw_rerank import (lw_rescore_from_candidates,
+                                   whiten_all_clusters)
+    # the POST-QE query is the retrieval query — whiten the expanded one.
+    # lw stores/whitens the UNPADDED descriptor width (int4 packing may
+    # have added a zero column to q; drop it before the bank matmul)
+    q_all = whiten_all_clusters(q[:, :lw_mu.shape[-1]], lw_P, lw_mu)
+    return lw_rescore_from_candidates(lw_store, lw_assign, ids, g, pos,
+                                      q_all, k=k)
+
+
 @partial(jax.jit, static_argnames=("n", "alpha", "use_pallas", "chunk",
                                    "int4"))
 def _dba_chunk_jit(descriptors, ids, num_valid, scales, start,
@@ -307,6 +339,8 @@ class Index:
         self.regional_scales = None         # [N_pad, R] when regional is int8
         self.scales = scales                # [1, N_pad] f32 when dtype=int8
         self.ivf = None                     # search.ivf.IVFIndex ANN view
+        self.lw = None                      # search.lw_rerank view (per-
+        #                                     cluster-metric re-scoring)
 
     # ------------------------------------------------------------------
     @property
@@ -329,7 +363,8 @@ class Index:
         enabled = [nm for nm, on in (("rerank_enabled", scfg.rerank_enabled),
                                      ("diffusion_enabled",
                                       scfg.diffusion_enabled),
-                                     ("refine_enabled", scfg.refine_enabled))
+                                     ("refine_enabled", scfg.refine_enabled),
+                                     ("lw_enabled", scfg.lw_enabled))
                    if on]
         if len(enabled) > 1:
             raise ValueError(
@@ -345,6 +380,11 @@ class Index:
                 "(IndexConfig.refine_dtype='int8' at build); this index "
                 "has " + ("no regional store" if self.regional is None else
                           "an R-MAC re-rank store (use rerank_enabled)"))
+        if scfg.lw_enabled and self.lw is None:
+            raise ValueError(
+                "lw_enabled needs a fitted local-whitening view; call "
+                "Index.fit_local_whitening() (or load an index saved "
+                "with one)")
 
     @property
     def is_int4(self) -> bool:
@@ -534,6 +574,7 @@ class Index:
         if n_new == 0:
             return 0
         self._drop_ivf("add()")   # the bucketed view would miss new rows
+        self._drop_lw("add()")    # new rows are missing from the lw store
         if self.regional is not None and reg_new is None:
             if self.has_refine_store:
                 # exact-refine store: the single "region" IS the row, so
@@ -680,6 +721,37 @@ class Index:
                 "IVF view invalidated by %s; rebuild with build_ivf()", why)
             self.ivf = None
 
+    def fit_local_whitening(self, n_clusters: int | None = None,
+                            dim: int | None = None, tau: float = 64.0,
+                            iters: int = 10, seed: int = 0):
+        """Attach a local-whitening re-ranking view (search/lw_rerank.py):
+        a k-means-routed bank of per-cluster whitening transforms plus the
+        precomputed whitened row store. Enables ``lw_enabled`` re-scoring
+        — the top-``rerank_depth`` candidates are re-scored under each
+        candidate's own cluster metric (both sides transformed by the
+        SAME expert, ops/local_whiten.py). Mutually exclusive at query
+        time with the other re-scoring stages; ``add()``/``remove()``/
+        ``augment_database()`` invalidate the view — refit after
+        mutating. Single-device view (the sharded path keeps the exact
+        stages). Returns the LocalWhiteningView."""
+        from .search.lw_rerank import LocalWhiteningView
+        self.lw = LocalWhiteningView.from_index(
+            self, n_clusters=n_clusters, dim=dim, tau=tau, iters=iters,
+            seed=seed)
+        self.cfg = self.cfg.replace(
+            search=self.cfg.search.replace(lw_enabled=True))
+        return self.lw
+
+    def _drop_lw(self, why: str) -> None:
+        if self.lw is not None:
+            from .utils import get_logger
+            get_logger("instsearch.index").warning(
+                "local-whitening view invalidated by %s; refit with "
+                "fit_local_whitening()", why)
+            self.lw = None
+            self.cfg = self.cfg.replace(
+                search=self.cfg.search.replace(lw_enabled=False))
+
     # ------------------------------------------------------------------
     def _rows_f32_chunk(self, start: int, chunk: int) -> jax.Array:
         """Dequantized f32 rows [chunk, dim] starting at ``start``
@@ -744,6 +816,7 @@ class Index:
                                       int4=self.is_int4)
             buf = _write_rows_jit(buf, rows, s32)
         self._drop_ivf("augment_database()")
+        self._drop_lw("augment_database()")  # row values changed
         if self.is_int4:
             from .ops.quantize import quantize_rows_int4
             qr = quantize_rows_int4(buf)
@@ -798,6 +871,7 @@ class Index:
         if m == 0:
             return 0
         self._drop_ivf("remove()")   # compaction moves row positions
+        self._drop_lw("remove()")    # lw store/assign are position-aligned
         n_valid = self.num_valid
         new_valid = n_valid - m
         # surviving rows now in the tail [new_valid, n_valid) move into
@@ -892,11 +966,17 @@ class Index:
                      and query_regional is not None)
         do_diffusion = scfg.diffusion_enabled
         do_refine = scfg.refine_enabled
+        do_lw = scfg.lw_enabled and self.lw is not None
 
-        if self.ivf is not None and scfg.ivf_nprobe > 0 and not do_diffusion:
+        if (self.ivf is not None and scfg.ivf_nprobe > 0
+                and not do_diffusion and not do_lw):
             # diffusion needs the exact top-depth neighborhood (the graph
-            # IS the result) — it always takes the exact fused scan
+            # IS the result) and lw re-scores a quality-critical candidate
+            # set — both always take the exact fused scan
             return self._search_ivf(q, scfg, query_regional, do_rerank)
+
+        if do_lw:
+            return self._search_lw(q, scfg)
 
         # the WHOLE composite is chunked, not just the top-k: the re-rank
         # stage gathers [chunk, depth, R, D] candidate regions, so an
@@ -933,6 +1013,32 @@ class Index:
         from .utils.chunking import run_chunked
         args = (q, jnp.asarray(query_regional)) if do_rerank else (q,)
         top_scores, top_ids = run_chunked(run, scfg.query_chunk, *args)
+        return np.asarray(top_scores), np.asarray(top_ids)
+
+    def _search_lw(self, q, scfg):
+        """Local-whitening re-ranking path (search/lw_rerank.py): optional
+        QE, fused top-rerank_depth candidate scan, per-cluster-metric
+        re-score — ONE jitted program per chunk. Chunked so the
+        [chunk, E, dim] all-cluster query block stays bounded."""
+        lw = self.lw
+        depth = min(scfg.rerank_depth, self.descriptors.shape[0])
+        use_pallas = (self.cfg.search.use_pallas
+                      and jax.devices()[0].platform == "tpu")
+        nv = jnp.asarray(self.num_valid, jnp.int32)
+
+        def run(qq):
+            return _lw_composite_jit(
+                self.descriptors, self.ids, qq, nv, self.scales,
+                lw.params.P, lw.params.mu, lw.store, lw.assign,
+                k=scfg.k, depth=depth, qe_n=scfg.qe_n,
+                qe_alpha=scfg.qe_alpha, use_pallas=use_pallas,
+                do_qe=scfg.qe_enabled, int4=self.is_int4)
+
+        per_q = max(1, lw.n_clusters * lw.dim * 4 + depth * lw.dim * 8)
+        chunk = max(1, min(scfg.query_chunk or q.shape[0],
+                           (256 << 20) // per_q))
+        from .utils.chunking import run_chunked
+        top_scores, top_ids = run_chunked(run, chunk, q)
         return np.asarray(top_scores), np.asarray(top_ids)
 
     def _search_ivf(self, q, scfg, query_regional, do_rerank: bool):
@@ -1154,6 +1260,9 @@ class Index:
         if self.ivf is not None:
             self.ivf.save(os.path.join(path, "ivf"))
             meta["ivf"] = True
+        if self.lw is not None:
+            self.lw.save(os.path.join(path, "lw"))
+            meta["lw"] = True
         if self.extractor is not None:
             from .utils.checkpoint import save_pytree
             save_pytree(os.path.join(path, "variables"),
@@ -1236,4 +1345,7 @@ class Index:
         if meta.get("ivf"):
             from .search.ivf import IVFIndex
             idx.ivf = IVFIndex.load(os.path.join(path, "ivf"))
+        if meta.get("lw"):
+            from .search.lw_rerank import LocalWhiteningView
+            idx.lw = LocalWhiteningView.load(os.path.join(path, "lw"))
         return idx
