@@ -1199,7 +1199,13 @@ class Index:
                             scales=self.scales, regional=self.regional,
                             regional_scales=self.regional_scales,
                             query_chunk=self.cfg.search.query_chunk,
-                            int4=self.is_int4)
+                            int4=self.is_int4,
+                            lw_store=None if self.lw is None
+                            else self.lw.store,
+                            lw_assign=None if self.lw is None
+                            else self.lw.assign,
+                            lw_params=None if self.lw is None
+                            else self.lw.params)
 
     # ------------------------------------------------------------------
     # Persistence. Two storage formats behind one API:

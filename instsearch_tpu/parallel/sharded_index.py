@@ -331,6 +331,68 @@ def sharded_rerank_fn(mesh: Mesh, k: int, depth: int, fuse_weight: float = 1.0,
     return jax.jit(mapped)
 
 
+def sharded_lw_fn(mesh: Mesh, k: int, depth: int, axis: str = "shard",
+                  use_pallas: bool = False, interpret: bool = False,
+                  int8: bool = False, int4: bool = False):
+    """Distributed local-whitening re-ranking (search/lw_rerank.py on the
+    sharded path), exact vs the single-device composite:
+
+      1. per-shard global top-``depth`` -> allgather of (score, id)
+         candidates -> replicated global top-depth membership (same
+         pattern as sharded_rerank_fn)
+      2. every shard whitens the query by ALL clusters (the bank is
+         replicated — redundant compute, zero traffic; the bank read
+         happens from each chip's own HBM copy) and re-scores ITS
+         resident candidates from the row-sharded whitened store +
+         assignments, masking non-members
+      3. allgather of re-scores -> replicated top-k merge
+
+    ICI carries only (S*local_k) scalars per query per gather — the
+    whitened store, like the regional store, is never gathered.
+    """
+
+    def per_shard(X, store_s, assign_s, ids_s, q, p_bank, mu, nv,
+                  scales_s=None):
+        local_k = min(depth, X.shape[0])
+        s, pos, gids = _local_topk(X, ids_s, q, nv, local_k, scales_s,
+                                   axis=axis, use_pallas=use_pallas,
+                                   interpret=interpret, int8=int8, int4=int4)
+        s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)
+        g_all = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
+        dd = min(depth, s_all.shape[1])
+        _, glob_j = jax.lax.top_k(s_all, dd)
+        glob_ids = jnp.take_along_axis(g_all, glob_j, axis=1)
+        member = jnp.any(gids[:, :, None] == glob_ids[:, None, :], axis=2)
+        member &= gids >= 0
+        from ..search.lw_rerank import whiten_all_clusters
+        # int4 packing may have added a zero pad column to q; the bank
+        # whitens the unpadded width (same slice as _lw_composite_jit)
+        q_all = whiten_all_clusters(q[:, :mu.shape[-1]], p_bank, mu)
+        safe = jnp.maximum(pos, 0)
+        xw = jnp.take(store_s, safe, axis=0).astype(jnp.float32)
+        ac = jnp.take(assign_s, safe)
+        qw = jnp.take_along_axis(q_all, ac[:, :, None], axis=1)
+        fused = jnp.where(member, jnp.sum(qw * xw, axis=-1), -jnp.inf)
+        f_all = jax.lax.all_gather(fused, axis, axis=1, tiled=True)
+        if k > f_all.shape[1]:
+            padw = k - f_all.shape[1]
+            f_all = jnp.pad(f_all, ((0, 0), (0, padw)),
+                            constant_values=-jnp.inf)
+            g_all = jnp.pad(g_all, ((0, 0), (0, padw)), constant_values=-1)
+        fs, fj = jax.lax.top_k(f_all, k)
+        fi = jnp.take_along_axis(g_all, fj, axis=1)
+        return fs, jnp.where(fs > -jnp.inf, fi, -1)
+
+    in_specs = [P(axis, None), P(axis, None), P(axis), P(axis),
+                P(None, None), P(None, None, None), P(None, None), P(None)]
+    if int8:
+        in_specs.append(P(None, axis))
+    mapped = shard_map(per_shard, mesh=mesh, in_specs=tuple(in_specs),
+                       out_specs=(P(None, None), P(None, None)),
+                       check_vma=False)
+    return jax.jit(mapped)
+
+
 def sharded_diffusion_fn(mesh: Mesh, k: int, depth: int, knn: int = 10,
                          alpha: float = 0.99, iters: int = 20,
                          seeds: int = 10, axis: str = "shard",
@@ -398,7 +460,10 @@ class ShardedIndex:
                  regional: "jax.Array | None" = None,
                  scales: "jax.Array | None" = None,
                  regional_scales: "jax.Array | None" = None,
-                 query_chunk: int = 128, int4: bool = False):
+                 query_chunk: int = 128, int4: bool = False,
+                 lw_store: "jax.Array | None" = None,
+                 lw_assign: "jax.Array | None" = None,
+                 lw_params=None):
         self.mesh = mesh or make_mesh()
         # on a 2-D (data x shard) mesh, rows shard over the 'shard' axis
         # and every stage replicates over the others
@@ -432,6 +497,20 @@ class ShardedIndex:
         self.regional_scales = (
             shard_rows(self.mesh, regional_scales, self.axis)
             if regional_scales is not None else None)
+        # local-whitening view (search/lw_rerank.py): row-aligned whitened
+        # store + assignments shard with the rows; the bank replicates
+        if (lw_store is None) != (lw_assign is None) or \
+                (lw_store is not None and lw_params is None):
+            raise ValueError("local whitening needs lw_store + lw_assign "
+                             "+ lw_params together")
+        self.lw_store = (shard_rows(self.mesh, lw_store, self.axis)
+                         if lw_store is not None else None)
+        self.lw_assign = (shard_rows(self.mesh, lw_assign, self.axis)
+                          if lw_assign is not None else None)
+        self.lw_params = (None if lw_params is None else type(lw_params)(
+            centroids=replicate(self.mesh, lw_params.centroids),
+            P=replicate(self.mesh, lw_params.P),
+            mu=replicate(self.mesh, lw_params.mu)))
         self._fns: dict[int, callable] = {}
         self.default_k = k
         self.use_pallas = use_pallas
@@ -500,6 +579,31 @@ class ShardedIndex:
             return self._fns[key](*operands)
 
         return self._run_chunked(run, queries, query_regional)
+
+    def search_lw(self, queries: jax.Array, k: int | None = None,
+                  depth: int = 100):
+        """Distributed local-whitening re-ranking over the row-sharded
+        whitened store (equals Index.search with lw_enabled)."""
+        assert self.lw_store is not None, "no local-whitening view attached"
+        k = k or self.default_k
+        depth = min(depth, self.descriptors.shape[0])
+        key = ("lw", k, depth)
+        if key not in self._fns:
+            self._fns[key] = sharded_lw_fn(
+                self.mesh, k, depth, axis=self.axis,
+                use_pallas=self.use_pallas, interpret=self.interpret,
+                int8=self.int8, int4=self.int4)
+
+        def run(qq):
+            q, nv = self._common_operands(qq)
+            operands = [self.descriptors, self.lw_store, self.lw_assign,
+                        self.ids, q, self.lw_params.P, self.lw_params.mu,
+                        nv]
+            if self.int8:
+                operands.append(self.scales)
+            return self._fns[key](*operands)
+
+        return self._run_chunked(run, queries)
 
     def search_diffusion(self, queries: jax.Array, k: int | None = None,
                          depth: int = 200, knn: int = 10,
