@@ -30,7 +30,7 @@ def main() -> int:
     # in round 3; ~20 min total through the tunnel). The headline metric
     # runs FIRST; once past the budget the remaining optional stages are
     # skipped so the driver ALWAYS gets its one JSON line.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1800"))
 
     def _try(fn, *a, **kw):
         if time.monotonic() - t0 > budget_s:

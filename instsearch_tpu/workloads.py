@@ -61,6 +61,10 @@ def run_workload(name: str, dataset: RetrievalDataset,
 
     t0 = time.time()
     idx = Index.build(dataset.db_paths, cfg, seed=seed)
+    if cfg.search.lw_enabled:
+        # the local-whitening view is a post-build fit (same lifecycle as
+        # the IVF view); expert count defaults to ~sqrt(N)
+        idx.fit_local_whitening(seed=seed)
     build_s = time.time() - t0
 
     protocol = cfg.eval.protocol if dataset.name != "mini" else "medium"
@@ -74,6 +78,7 @@ def run_workload(name: str, dataset: RetrievalDataset,
         "scales": list(cfg.extract.scales),
         "qe": cfg.search.qe_enabled,
         "rerank": cfg.search.rerank_enabled,
+        "lw": cfg.search.lw_enabled,
         "num_shards": shards,
         "num_images": idx.num_valid,
         "descriptor_dim": idx.dim,
