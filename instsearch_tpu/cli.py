@@ -172,6 +172,8 @@ def cmd_query(args) -> int:
                             refine_enabled=False, lw_enabled=False)
     if getattr(args, "lw", None) is not None:
         scfg = scfg.replace(lw_enabled=bool(args.lw))
+    if getattr(args, "spatial_weight", None) is not None:
+        scfg = scfg.replace(spatial_weight=args.spatial_weight)
     scores, ids = idx.query_images(img[None], scfg)
     # drop padded slots (id -1, score -inf): fewer valid rows than k —
     # -inf also serializes as the non-standard JSON token -Infinity
@@ -420,6 +422,10 @@ def main(argv=None) -> int:
     q.add_argument("--lw", type=int, choices=(0, 1), default=None,
                    help="force local-whitening re-scoring on (1) or off "
                         "(0); default: the index's SearchConfig")
+    q.add_argument("--spatial-weight", type=float, default=None,
+                   help="fuse Hough-vote spatial verification into the "
+                        "regional re-rank at this weight (needs a "
+                        "rerank-enabled index built by this version)")
     q.set_defaults(fn=cmd_query)
 
     e = sub.add_parser("evaluate", help="protocol evaluation on a dataset")

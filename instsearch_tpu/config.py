@@ -135,6 +135,12 @@ class SearchConfig(_JsonMixin):
     # regional re-ranking (arXiv:1511.05879 §4)
     rerank_enabled: bool = False
     rerank_depth: int = 100
+    # spatial verification fused into the re-rank (search/spatial.py):
+    # weight of the weak-geometric-consistency Hough-vote score (largest
+    # single-transform-bin mass of the region matches). 0 = off; needs
+    # rerank_enabled and a grid-geometry-bearing regional store (indexes
+    # built by this version attach it automatically).
+    spatial_weight: float = 0.0
     # exact-refine stage (IndexConfig.refine_dtype): re-score the coarse
     # scan's top-rerank_depth candidates against the stored int8 copy —
     # the rerank machinery with the row itself as the single "region"

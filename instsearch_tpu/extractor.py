@@ -212,6 +212,20 @@ class Extractor:
         out = self._jit(self.variables, images, self.whitening)
         return out if out.shape[0] == b else out[:b]
 
+    def regional_geometry(self) -> "np.ndarray":
+        """R-MAC grid geometry ``[R, 3]`` (cx, cy, log side) in feature-map
+        coordinates for this config — the trace-time constant the spatial
+        verification stage bins transform hypotheses against
+        (search/spatial.py). Uses ``jax.eval_shape`` (no compute) to learn
+        the backbone's map size at ``image_size``."""
+        from .ops.pooling import rmac_region_geometry
+        s = self.cfg.image_size
+        fmap = jax.eval_shape(
+            lambda v, x: self.model.apply(v, x), self.variables,
+            jax.ShapeDtypeStruct((1, s, s, 3), jnp.float32))
+        return rmac_region_geometry(fmap.shape[1], fmap.shape[2],
+                                    self.cfg.rmac_levels)
+
     def extract_regional(self, images) -> jax.Array:
         """[B, S, S, 3] -> [B, R, D] per-region descriptors (same weights,
         same whitening as the global pipeline)."""

@@ -140,16 +140,19 @@ def _topk_jit(descriptors, ids, queries, num_valid, scales,
                                    "use_pallas", "do_qe", "do_rerank",
                                    "do_diffusion", "diff_knn", "diff_alpha",
                                    "diff_iters", "diff_seeds", "int4",
-                                   "do_refine", "fuse_weight"))
+                                   "do_refine", "fuse_weight",
+                                   "spatial_weight"))
 def _search_composite_jit(descriptors, ids, queries, num_valid, scales,
                           regional, regional_scales, query_regional,
+                          vote_matrix=None,
                           *, k: int, depth: int, qe_n: int, qe_alpha: float,
                           use_pallas: bool, do_qe: bool, do_rerank: bool,
                           do_diffusion: bool = False, diff_knn: int = 10,
                           diff_alpha: float = 0.99, diff_iters: int = 20,
                           diff_seeds: int = 10, int4: bool = False,
                           do_refine: bool = False,
-                          fuse_weight: float = 1.0):
+                          fuse_weight: float = 1.0,
+                          spatial_weight: float = 0.0):
     """ONE jitted program for the quality composite (SURVEY.md §3.2):
     optional alpha-QE (fused top-n + row gather), optional regional
     re-ranking (fused top-``depth`` candidate selection), final top-k.
@@ -180,7 +183,9 @@ def _search_composite_jit(descriptors, ids, queries, num_valid, scales,
         from .search.rerank import rerank_from_candidates
         return rerank_from_candidates(
             regional, ids, g, pos, qreg, k=k,
-            regional_scales=regional_scales, fuse_weight=fuse_weight)
+            regional_scales=regional_scales, fuse_weight=fuse_weight,
+            spatial_weight=0.0 if do_refine else spatial_weight,
+            vote_matrix=vote_matrix)
     if do_diffusion:
         g, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
                            k=depth, use_pallas=use_pallas, int4=int4)
@@ -320,6 +325,14 @@ def attach_regional_store(idx: "Index", regional: np.ndarray) -> None:
         idx.regional_scales = qr.scales.reshape(reg_pad.shape[:2])
     else:
         idx.regional = jnp.asarray(reg_pad, _DTYPES[idx.cfg.index.dtype])
+    # grid geometry for spatial verification (search/spatial.py): only a
+    # real R-MAC store has one (the refine store's single "region" is the
+    # row itself); externally attached stores with a mismatched R keep
+    # None and spatial_weight stays rejected by the config check
+    if idx.extractor is not None and not idx.cfg.index.refine_dtype:
+        geom = idx.extractor.regional_geometry()
+        if len(geom) == regional.shape[1]:
+            idx.regional_geom = geom
 
 
 class Index:
@@ -341,6 +354,8 @@ class Index:
         self.ivf = None                     # search.ivf.IVFIndex ANN view
         self.lw = None                      # search.lw_rerank view (per-
         #                                     cluster-metric re-scoring)
+        self.regional_geom = None           # [R, 3] R-MAC grid geometry
+        #                                     (spatial verification)
 
     # ------------------------------------------------------------------
     @property
@@ -385,6 +400,37 @@ class Index:
                 "lw_enabled needs a fitted local-whitening view; call "
                 "Index.fit_local_whitening() (or load an index saved "
                 "with one)")
+        if scfg.spatial_weight and not scfg.rerank_enabled:
+            raise ValueError(
+                "spatial_weight fuses into the regional re-rank; enable "
+                "rerank_enabled (spatial verification has no meaning "
+                "without region matches)")
+        if (scfg.spatial_weight and scfg.rerank_enabled
+                and self.regional is not None and self.regional_geom is None):
+            raise ValueError(
+                "spatial_weight needs the R-MAC grid geometry; this "
+                "index's regional store carries none (built by an older "
+                "version or attached externally) — rebuild, or set "
+                "index.regional_geom = extractor.regional_geometry()")
+
+    @property
+    def vote_matrix(self):
+        """Lazy one-hot transform-bin assignment for spatial verification
+        (search/spatial.py) — built once from the grid geometry, a
+        [R*R, bins] constant operand of the re-rank composite."""
+        if self.regional_geom is None:
+            return None
+        if (self.regional is not None
+                and len(self.regional_geom) != self.regional.shape[1]):
+            raise ValueError(
+                f"regional_geom has {len(self.regional_geom)} regions but "
+                f"the store has {self.regional.shape[1]} — geometry must "
+                f"come from the same R-MAC grid as the store")
+        if getattr(self, "_vote_m", None) is None:
+            from .search.spatial import build_vote_matrix
+            self._vote_m = jnp.asarray(build_vote_matrix(
+                self.regional_geom, self.regional_geom))
+        return self._vote_m
 
     @property
     def is_int4(self) -> bool:
@@ -993,11 +1039,13 @@ class Index:
                     depth = min(scfg.diffusion_depth,
                                 self.descriptors.shape[0])
                 store = do_rerank or do_refine
+                sw = float(scfg.spatial_weight) if do_rerank else 0.0
                 return _search_composite_jit(
                     self.descriptors, self.ids, qq, nv, self.scales,
                     self.regional if store else None,
                     self.regional_scales if store else None,
                     qreg[0] if do_rerank else None,
+                    self.vote_matrix if sw else None,
                     k=scfg.k, depth=depth, qe_n=scfg.qe_n,
                     qe_alpha=scfg.qe_alpha, use_pallas=use_pallas,
                     do_qe=scfg.qe_enabled, do_rerank=do_rerank,
@@ -1007,7 +1055,8 @@ class Index:
                     diff_iters=scfg.diffusion_iters,
                     diff_seeds=scfg.diffusion_seeds,
                     int4=self.is_int4, do_refine=do_refine,
-                    fuse_weight=0.0 if do_refine else 1.0)
+                    fuse_weight=0.0 if do_refine else 1.0,
+                    spatial_weight=sw)
             return self._topk(qq, scfg.k, chunk=0)
 
         from .utils.chunking import run_chunked
@@ -1052,6 +1101,8 @@ class Index:
                  if do_rerank else 0)
         from .search.ivf import _ivf_composite_jit
 
+        sw = float(scfg.spatial_weight) if do_rerank else 0.0
+
         def run(qq, *qreg):
             return _ivf_composite_jit(
                 ivf.centroids, ivf.buckets, ivf.bucket_scales,
@@ -1060,9 +1111,11 @@ class Index:
                 self.regional if do_rerank else None,
                 self.regional_scales if do_rerank else None,
                 qreg[0] if do_rerank else None, qq,
+                self.vote_matrix if sw else None,
                 k=scfg.k, depth=depth, qe_n=scfg.qe_n,
                 qe_alpha=scfg.qe_alpha, nprobe=nprobe,
-                do_qe=scfg.qe_enabled, do_rerank=do_rerank)
+                do_qe=scfg.qe_enabled, do_rerank=do_rerank,
+                spatial_weight=sw)
 
         row_bytes = ivf.buckets.shape[2] * ivf.buckets.dtype.itemsize
         per_q = max(1, nprobe * ivf.bucket_capacity * row_bytes)
@@ -1205,7 +1258,8 @@ class Index:
                             lw_assign=None if self.lw is None
                             else self.lw.assign,
                             lw_params=None if self.lw is None
-                            else self.lw.params)
+                            else self.lw.params,
+                            regional_geom=self.regional_geom)
 
     # ------------------------------------------------------------------
     # Persistence. Two storage formats behind one API:
@@ -1269,6 +1323,8 @@ class Index:
         if self.lw is not None:
             self.lw.save(os.path.join(path, "lw"))
             meta["lw"] = True
+        if self.regional_geom is not None:
+            meta["regional_geom"] = np.asarray(self.regional_geom).tolist()
         if self.extractor is not None:
             from .utils.checkpoint import save_pytree
             save_pytree(os.path.join(path, "variables"),
@@ -1354,4 +1410,6 @@ class Index:
         if meta.get("lw"):
             from .search.lw_rerank import LocalWhiteningView
             idx.lw = LocalWhiteningView.load(os.path.join(path, "lw"))
+        if meta.get("regional_geom") is not None:
+            idx.regional_geom = np.asarray(meta["regional_geom"], np.float32)
         return idx

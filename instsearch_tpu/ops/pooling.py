@@ -96,6 +96,18 @@ def rmac_region_grid(h: int, w: int, levels: int = 3, overlap: float = 0.4
     return regions
 
 
+def rmac_region_geometry(h: int, w: int, levels: int = 3) -> np.ndarray:
+    """Geometry of the R-MAC grid regions as ``[R, 3]`` f32 rows
+    ``(cx, cy, log side)`` in feature-map coordinates — the trace-time
+    constant the spatial-verification stage (search/spatial.py) quantizes
+    region-pair transform hypotheses against. Derived from the SAME
+    ``rmac_region_grid`` as the descriptors, so geometry and store rows
+    are index-aligned by construction."""
+    regions = rmac_region_grid(h, w, levels)
+    return np.asarray([(x + sx / 2.0, y + sy / 2.0, math.log(sy))
+                       for (y, x, sy, sx) in regions], np.float32)
+
+
 def rmac_regional_descriptors(x: jax.Array, levels: int = 3) -> jax.Array:
     """Per-region MAC descriptors: [N,H,W,C] -> [N, R, C] (C6, first half).
 

@@ -256,7 +256,8 @@ def sharded_expand_fn(mesh: Mesh, qe_n: int, alpha: float,
 def sharded_rerank_fn(mesh: Mesh, k: int, depth: int, fuse_weight: float = 1.0,
                       axis: str = "shard", use_pallas: bool = False,
                       interpret: bool = False, int8: bool = False,
-                      regional_int8: bool = False, int4: bool = False):
+                      regional_int8: bool = False, int4: bool = False,
+                      spatial_weight: float = 0.0, vote_matrix=None):
     """Distributed regional re-ranking (SURVEY.md C13 on the sharded path),
     exact vs the single-device stage:
 
@@ -298,10 +299,17 @@ def sharded_rerank_fn(mesh: Mesh, k: int, depth: int, fuse_weight: float = 1.0,
         member &= gids >= 0
         # ---- regional match for local candidates (shared definition;
         # int8 scales fold into the sim, not the gather) ----
-        from ..search.rerank import region_match_scores
-        match = region_match_scores(
+        from ..search.rerank import region_similarities
+        sim = region_similarities(
             reg_s, pos, qreg,
             reg_scales_s if regional_int8 else None)
+        match = jnp.sum(jnp.max(sim, axis=-1), axis=-1) / qreg.shape[1]
+        if spatial_weight and vote_matrix is not None:
+            # vote matrix is a tiny trace-time constant — baked into the
+            # program, identical on every shard (search/spatial.py)
+            from ..search.spatial import spatial_consistency_scores
+            match = match + spatial_weight * spatial_consistency_scores(
+                sim, jnp.asarray(vote_matrix))
         fused = jnp.where(member, match + fuse_weight * s, -jnp.inf)
         # ---- final merge: always [Q, k] out (the caller's k, not a
         # depth-clamped one); candidates past the top-depth membership or
@@ -463,7 +471,7 @@ class ShardedIndex:
                  query_chunk: int = 128, int4: bool = False,
                  lw_store: "jax.Array | None" = None,
                  lw_assign: "jax.Array | None" = None,
-                 lw_params=None):
+                 lw_params=None, regional_geom=None):
         self.mesh = mesh or make_mesh()
         # on a 2-D (data x shard) mesh, rows shard over the 'shard' axis
         # and every stage replicates over the others
@@ -511,6 +519,8 @@ class ShardedIndex:
             centroids=replicate(self.mesh, lw_params.centroids),
             P=replicate(self.mesh, lw_params.P),
             mu=replicate(self.mesh, lw_params.mu)))
+        self.regional_geom = regional_geom   # [R, 3] grid geometry for
+        #                                      spatial verification
         self._fns: dict[int, callable] = {}
         self.default_k = k
         self.use_pallas = use_pallas
@@ -555,18 +565,30 @@ class ShardedIndex:
 
     def search_rerank(self, queries: jax.Array, query_regional: jax.Array,
                       k: int | None = None, depth: int = 100,
-                      fuse_weight: float = 1.0):
-        """Distributed regional re-ranking over the sharded regional store."""
+                      fuse_weight: float = 1.0, spatial_weight: float = 0.0):
+        """Distributed regional re-ranking over the sharded regional store.
+        ``spatial_weight`` > 0 fuses the Hough-vote spatial-consistency
+        score (search/spatial.py); needs ``regional_geom`` at
+        construction."""
         assert self.regional is not None, "no regional store attached"
+        if spatial_weight and self.regional_geom is None:
+            raise ValueError("spatial_weight needs regional_geom "
+                             "(pass it to ShardedIndex or use to_sharded)")
         k = k or self.default_k
         depth = min(depth, self.descriptors.shape[0])
-        key = ("rerank", k, depth, fuse_weight)
+        key = ("rerank", k, depth, fuse_weight, spatial_weight)
         if key not in self._fns:
+            vote = None
+            if spatial_weight:
+                from ..search.spatial import build_vote_matrix
+                vote = build_vote_matrix(self.regional_geom,
+                                         self.regional_geom)
             self._fns[key] = sharded_rerank_fn(
                 self.mesh, k, depth, fuse_weight, axis=self.axis,
                 use_pallas=self.use_pallas, interpret=self.interpret,
                 int8=self.int8, regional_int8=self.regional_int8,
-                int4=self.int4)
+                int4=self.int4, spatial_weight=spatial_weight,
+                vote_matrix=vote)
         def run(qq, qqreg):
             q, nv = self._common_operands(qq)
             qreg = replicate(self.mesh, qqreg)

@@ -157,13 +157,15 @@ def _ivf_candidates_jit(centroids, buckets, bucket_scales, bucket_pos,
 
 
 @partial(jax.jit, static_argnames=("k", "depth", "qe_n", "qe_alpha",
-                                   "nprobe", "do_qe", "do_rerank"))
+                                   "nprobe", "do_qe", "do_rerank",
+                                   "spatial_weight"))
 def _ivf_composite_jit(centroids, buckets, bucket_scales, bucket_pos,
                        spill, spill_scales, spill_pos,
                        descriptors, ids, scales, regional, regional_scales,
-                       query_regional, q, *, k: int, depth: int, qe_n: int,
+                       query_regional, q, vote_matrix=None,
+                       *, k: int, depth: int, qe_n: int,
                        qe_alpha: float, nprobe: int, do_qe: bool,
-                       do_rerank: bool):
+                       do_rerank: bool, spatial_weight: float = 0.0):
     """The IVF mirror of index._search_composite_jit — ONE jitted program
     where every candidate-selection stage is the cluster-pruned scan
     instead of the full brute-force scan. QE neighbor rows and regional
@@ -187,7 +189,8 @@ def _ivf_composite_jit(centroids, buckets, bucket_scales, bucket_pos,
         from .rerank import rerank_from_candidates
         return rerank_from_candidates(
             regional, ids, g, pos, query_regional, k=k,
-            regional_scales=regional_scales)
+            regional_scales=regional_scales,
+            spatial_weight=spatial_weight, vote_matrix=vote_matrix)
     s, pos = _ivf_candidates_jit(*ivf, q, k=k, nprobe=nprobe)
     out_ids = jnp.where(pos >= 0, jnp.take(ids, jnp.maximum(pos, 0)), -1)
     return s, out_ids

@@ -18,27 +18,37 @@ import jax
 import jax.numpy as jnp
 
 
-def region_match_scores(regional_store: jax.Array, top_pos: jax.Array,
+def region_similarities(regional_store: jax.Array, top_pos: jax.Array,
                         query_regional: jax.Array,
                         regional_scales: "jax.Array | None" = None
                         ) -> jax.Array:
-    """Regional match for candidate rows ``top_pos [Q, depth]``:
-    gather [Q, depth, R, D] candidate regions, best-candidate-region per
-    query region, mean over query regions -> ``match [Q, depth]``.
-
-    THE region-match definition (arXiv:1511.05879 §4), shared by the
-    full-matrix, kernel-candidate and sharded stages. An int8 store is NOT
-    dequantized before the einsum — the per-(row, region) scale factors
-    out of the d-contraction, so it multiplies the [Q, depth, Rq, R] sim
-    instead, saving the 4x f32 materialization of the gather (the
-    system's largest intermediate at depth=100).
-    """
+    """Region-pair similarity tensor for candidate rows ``top_pos
+    [Q, depth]``: gather [Q, depth, R, D] candidate regions ->
+    ``sim [Q, depth, Rq, R]``. An int8 store is NOT dequantized before
+    the einsum — the per-(row, region) scale factors out of the
+    d-contraction, so it multiplies the sim instead, saving the 4x f32
+    materialization of the gather (the system's largest intermediate at
+    depth=100). Shared by the match reduction below and the spatial
+    voting stage (search/spatial.py)."""
     cand = jnp.take(regional_store, jnp.maximum(top_pos, 0), axis=0)
     sim = jnp.einsum("qrd,qcsd->qcrs", query_regional.astype(jnp.float32),
                      cand.astype(jnp.float32))    # [Q, depth, Rq, R]
     if regional_scales is not None:
         sc = jnp.take(regional_scales, jnp.maximum(top_pos, 0), axis=0)
         sim = sim * sc[:, :, None, :]             # [Q, depth, 1, R]
+    return sim
+
+
+def region_match_scores(regional_store: jax.Array, top_pos: jax.Array,
+                        query_regional: jax.Array,
+                        regional_scales: "jax.Array | None" = None
+                        ) -> jax.Array:
+    """Regional match: best-candidate-region per query region, mean over
+    query regions -> ``match [Q, depth]``. THE region-match definition
+    (arXiv:1511.05879 §4), shared by the full-matrix, kernel-candidate
+    and sharded stages."""
+    sim = region_similarities(regional_store, top_pos, query_regional,
+                              regional_scales)
     match = jnp.sum(jnp.max(sim, axis=-1), axis=-1)      # [Q, depth]
     return match / query_regional.shape[1]
 
@@ -47,15 +57,24 @@ def rerank_from_candidates(regional_store: jax.Array, ids: jax.Array,
                            top_g: jax.Array, top_pos: jax.Array,
                            query_regional: jax.Array,
                            *, k: int = 10, fuse_weight: float = 1.0,
-                           regional_scales: "jax.Array | None" = None):
+                           regional_scales: "jax.Array | None" = None,
+                           spatial_weight: float = 0.0,
+                           vote_matrix=None):
     """Re-rank pre-selected candidates: ``top_g/top_pos [Q, depth]`` from
     any top-depth selector (fused Pallas kernel in the production
     composite; lax.top_k in the oracle) -> ``(scores [Q, k], ids [Q, k])``
-    by fused score = regional match + ``fuse_weight`` * global cosine.
-    Invalid candidate slots (top_g = -inf) can never be promoted."""
-    match = region_match_scores(regional_store, top_pos, query_regional,
-                                regional_scales)
+    by fused score = regional match + ``spatial_weight`` * spatial
+    consistency (when a ``vote_matrix`` from search/spatial.py is given)
+    + ``fuse_weight`` * global cosine. Invalid candidate slots
+    (top_g = -inf) can never be promoted."""
+    sim = region_similarities(regional_store, top_pos, query_regional,
+                              regional_scales)
+    match = jnp.sum(jnp.max(sim, axis=-1), axis=-1) / query_regional.shape[1]
     fused = match + fuse_weight * top_g
+    if spatial_weight and vote_matrix is not None:
+        from .spatial import spatial_consistency_scores
+        fused = fused + spatial_weight * spatial_consistency_scores(
+            sim, vote_matrix)
     fused = jnp.where(jnp.isfinite(top_g), fused, -jnp.inf)
     depth = top_g.shape[1]
     # k may exceed depth (e.g. query --k 150 with rerank_depth=100): the
