@@ -62,10 +62,24 @@ def main() -> int:
         res = index.evaluate(ds, "medium", scfg)
         print(f"{tag:18s} mAP {res['mAP']:6.2f}  mP@5 {res.get('mP@5', 0):6.2f}")
 
+    # spatial verification fuses into the re-rank: region-pair Hough
+    # voting separates scrambled-layout near-duplicates the arrangement-
+    # invariant region match cannot (search/spatial.py)
+    res = index.evaluate(ds, "medium", SearchConfig(
+        rerank_enabled=True, rerank_depth=16, spatial_weight=0.5))
+    print(f"{'re-rank + spatial':18s} mAP {res['mAP']:6.2f}")
+
+    # local-whitening re-ranking: per-cluster metric re-scoring (fit is a
+    # one-off, like the IVF view; mutually exclusive with the re-rank)
+    index.fit_local_whitening(n_clusters=4)
+    res = index.evaluate(ds, "medium", SearchConfig(
+        lw_enabled=True, rerank_depth=16))
+    print(f"{'local whitening':18s} mAP {res['mAP']:6.2f}")
+
     # optional offline quality: alpha-DBA augments the STORED rows once
     # (zero query-time cost; mesh=... routes it through the sharded scan)
-    index.augment_database(n=5)
-    res = index.evaluate(ds, "medium", SearchConfig())
+    index.augment_database(n=5)   # NB: invalidates the lw view (refit if
+    res = index.evaluate(ds, "medium", SearchConfig())  # you keep using it)
     print(f"{'alpha-DBA (offline)':18s} mAP {res['mAP']:6.2f}")
 
     # ---- 5. persist (streaming orbax store + extractor weights) -----------

@@ -511,15 +511,31 @@ def default_tile_n(n: int, d: int, dtype=jnp.bfloat16, b: int = 1,
     [B, T] rounds make huge tiles merge-expensive at large B — measured
     on-chip at B=128, k=100: int8 tile 4096 -> 6.8 ms, 2048 -> 5.9 ms —
     so large-k selections cap B*T at the measured sweet spot. Every
-    k <= 16 path keeps the exact pre-existing tiling."""
+    k <= 16 path keeps the exact pre-existing tiling.
+
+    int8 (also packed int4) kernels stream a ``[1, N]`` row-scales
+    operand in ``(1, tile)`` blocks, and the Mosaic lowering requires a
+    block's LAST dim to be a multiple of 128 or the full array dim — so
+    scaled dtypes only get 128-multiple tiles, falling back to ONE
+    full-width block for small/odd N (found by running the example on
+    the real chip with a 56-row int8 index: tile 8 failed to lower)."""
     bytes_per = jnp.dtype(dtype).itemsize
-    for tile in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+    int_scaled = jnp.dtype(dtype) == jnp.dtype(jnp.int8)
+
+    def fits(tile):
         tiles = 2 * tile * d * bytes_per            # double-buffered stream
         merge = 3 * b * tile * 4                    # [B, T] f32 temporaries
-        if n % tile == 0 and tiles <= 6 * 1024 * 1024 \
-                and tiles + merge <= 10 * 1024 * 1024 \
-                and (k <= 16 or b * tile <= 128 * 2048):
+        return (tiles <= 6 * 1024 * 1024
+                and tiles + merge <= 10 * 1024 * 1024
+                and (k <= 16 or b * tile <= 128 * 2048))
+
+    for tile in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if int_scaled and tile % 128 and tile != n:
+            continue
+        if n % tile == 0 and fits(tile):
             return tile
+    if int_scaled and fits(n):
+        return n        # one full-width block always satisfies the lowering
     raise ValueError(f"no valid row tile for N={n}; pad rows to a multiple of 8")
 
 
@@ -529,11 +545,13 @@ def default_tile_n_int4(n: int, dp: int, b: int = 1, k: int = 10) -> int:
     ~15% at 1M×512). On top of default_tile_n's stream+merge budget the
     kernel holds the shifted high-nibble tile ([T, dp] int8, ~2 more
     dp-bytes per row with double buffering) and three [B, T] int32 matmul
-    accumulators — halve while those would crowd the ~16 MB VMEM."""
+    accumulators — halve while those would crowd the ~16 MB VMEM (stopping
+    at 128: the scales block must keep lowering, see default_tile_n)."""
     tile = default_tile_n(n, dp, jnp.int8, b=b, k=k)
-    while tile > 8 and tile * dp * 4 + 7 * b * tile * 4 > 12 * 1024 * 1024:
+    while (tile % 128 == 0 and tile > 128
+           and tile * dp * 4 + 7 * b * tile * 4 > 12 * 1024 * 1024):
         tile //= 2
-    if n % tile:
+    if n % tile and tile != n:
         raise ValueError(f"N={n} not a multiple of tile_n={tile}")
     return tile
 

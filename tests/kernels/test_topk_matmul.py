@@ -89,6 +89,39 @@ def test_default_tile_n():
         default_tile_n(999, 128)   # not a multiple of 8
 
 
+def test_default_tile_n_int8_scales_lowering():
+    """int8/int4 kernels stream a [1, N] scales operand in (1, tile)
+    blocks; the Mosaic lowering needs tile % 128 == 0 or tile == N, so
+    scaled dtypes must never get a small partial tile (found by running
+    a 56-row int8 index on the real chip: tile 8 failed to lower)."""
+    import jax.numpy as jnp
+    # tiny index -> one full-width block
+    assert default_tile_n(56, 512, jnp.int8) == 56
+    # 2056 = 8 * 257: no 128-multiple divides it -> full-width block
+    assert default_tile_n(2056, 512, jnp.int8) == 2056
+    # large indexes keep their 128-multiple tiles
+    assert default_tile_n(1_048_576, 512, jnp.int8, b=128) % 128 == 0
+    # int4 halving stops at 128 (never returns an unlowerable tile)
+    from instsearch_tpu.kernels.topk_matmul import default_tile_n_int4
+    t4 = default_tile_n_int4(1_048_576, 256, b=512)
+    assert t4 % 128 == 0 or t4 == 1_048_576
+    assert default_tile_n_int4(56, 256) == 56
+    # bf16 has no scales operand: small tiles stay legal (unchanged)
+    assert default_tile_n(56, 512) == 8
+
+
+def test_int8_tiny_index_full_width_tile(rng):
+    """End-to-end kernel at the full-width-block tile (tile == N)."""
+    from instsearch_tpu.kernels import topk_matmul_int8
+    from instsearch_tpu.ops.quantize import quantize_rows
+    X = rng.standard_normal((56, 64)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    qr = quantize_rows(jnp.asarray(X))
+    q = jnp.asarray(X[:3])
+    s, i = topk_matmul_int8(qr.values, qr.scales, q, k=5, **INTERP)
+    assert (np.asarray(i)[:, 0] == np.arange(3)).all()
+
+
 def test_bf16_index(rng):
     X = rng.standard_normal((512, 128)).astype(np.float32)
     Q = rng.standard_normal((2, 128)).astype(np.float32)
