@@ -162,3 +162,34 @@ def test_serve_batch_no_recompile(tmp_path):
             assert s.shape == (n, scfg.k) and i.shape == (n, scfg.k)
 
     assert _count_compiles(run) == 0
+
+
+@pytest.mark.slow
+def test_serve_lw_index_no_recompile(tmp_path):
+    """An lw-enabled index serves through the same warm buckets: the lw
+    composite (index._lw_composite_jit) is what the warm-up compiles, so
+    oversized requests still trigger zero new compilations."""
+    import numpy as np
+    from instsearch_tpu.cli import serve_batch, serve_buckets
+    from tests.bench.test_no_recompile import _count_compiles
+
+    mini = make_mini_dataset(str(tmp_path / "mini"), seed=11)
+    cfg = PipelineConfig(
+        extract=ExtractConfig(backbone="vgg16", pooling="gem", image_size=64,
+                              batch_size=8, dtype="float32"),
+        search=SearchConfig(k=5, use_pallas=False, rerank_depth=16))
+    idx = Index.build(mini.db_paths, cfg, seed=0)
+    idx.fit_local_whitening(n_clusters=4, seed=0)
+    assert idx.cfg.search.lw_enabled
+    buckets = serve_buckets(idx.cfg.search.query_chunk)
+    scfg = idx.cfg.search
+    for b in buckets:                                  # warm
+        idx.query_images(np.zeros((b, 64, 64, 3), np.uint8))
+
+    rng = np.random.default_rng(1)
+    def run():
+        batch = (rng.random((9, 64, 64, 3)) * 255).astype(np.uint8)
+        s, i = serve_batch(idx, None, batch, scfg, buckets)
+        assert s.shape == (9, scfg.k) and (np.asarray(i) >= 0).all()
+
+    assert _count_compiles(run) == 0
