@@ -77,11 +77,14 @@ class ExtractConfig(_JsonMixin):
     dtype: str = "bfloat16"             # on-device compute dtype
     batch_size: int = 64
     vit_attention: str = "auto"         # ViT backbones only: auto | xla |
-                                        # pallas — 'auto' = the XLA einsum
-                                        # path (measured faster in-model
-                                        # than the fused kernel on chip);
-                                        # 'pallas' is the explicit A/B
-                                        # opt-in (kernels/vit_attention.py)
+                                        # pallas | flash — 'auto' = the XLA
+                                        # einsum path (measured faster
+                                        # in-model than the fused kernels
+                                        # on chip); 'pallas' is the A/B
+                                        # opt-in, 'flash' the tiled kernel
+                                        # that alone can run 16k-token
+                                        # (2048²) extraction
+                                        # (kernels/vit_attention.py)
 
     @property
     def descriptor_dim(self) -> int:

@@ -45,17 +45,23 @@ import numpy as np
 
 
 def _resolve_attention(attention: str) -> str:
-    """'auto' -> the XLA einsum path. The fused Pallas kernel was built
-    and measured IN-MODEL on the chip and lost: 2,448 img/s (xla) vs
-    1,882 (best kernel variant) at ViT-B/224²/B=128 — XLA's fused
-    attention avoids the kernel's 197->256 pad and keeps q/k/v fused
-    with the projections (kernels/vit_attention.py docstring has the
-    full A/B). 'pallas' stays as an explicit opt-in for benches/tests
-    and as the starting point for long-token configs."""
+    """'auto' -> the XLA einsum path. The single-tile fused Pallas kernel
+    was built and measured IN-MODEL on the chip and lost: 2,448 img/s
+    (xla) vs 1,882 (best kernel variant) at ViT-B/224²/B=128 — XLA's
+    fused attention avoids the kernel's 197->256 pad and keeps q/k/v
+    fused with the projections (kernels/vit_attention.py docstring has
+    the full A/B). 'pallas' stays as an explicit opt-in for benches and
+    tests; 'flash' is the tiled online-softmax kernel for huge-
+    resolution extraction — measured on chip, XLA stays faster through
+    9k tokens, but at 16k tokens (2048² images) the XLA path cannot
+    compile at any batch size while 'flash' runs (its O(N²) HBM logits
+    term is deleted; kernels/vit_attention.py has the full table), so
+    'flash' is the explicit opt-in for that regime."""
     if attention == "auto":
         return "xla"
-    if attention not in ("xla", "pallas"):
-        raise ValueError(f"attention must be auto|xla|pallas, got {attention!r}")
+    if attention not in ("xla", "pallas", "flash"):
+        raise ValueError(
+            f"attention must be auto|xla|pallas|flash, got {attention!r}")
     return attention
 
 
@@ -140,7 +146,8 @@ class EncoderBlock(nn.Module):
                              f"hidden_dim {self.hidden_dim}")
         q, k, v = self.pre_attention(x)
         q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
-        if _resolve_attention(self.attention) == "pallas":
+        mode = _resolve_attention(self.attention)
+        if mode == "pallas":
             # fused single-tile attention kernel: zero logits traffic to
             # HBM, but measured SLOWER in-model than the einsum path —
             # kept as an explicit opt-in (kernels/vit_attention.py has
@@ -148,6 +155,11 @@ class EncoderBlock(nn.Module):
             from ..kernels.vit_attention import mha
             # interpret mode keeps attention='pallas' runnable in CPU tests
             o = mha(q, k, v, interpret=jax.default_backend() != "tpu")
+        elif mode == "flash":
+            # tiled online-softmax kernel: the [N, N] logits never touch
+            # HBM — wins at long token counts (kernels/vit_attention.py)
+            from ..kernels.vit_attention import flash_mha
+            o = flash_mha(q, k, v, interpret=jax.default_backend() != "tpu")
         else:
             o = attend(q, k, v, None, self.dtype)
         b, _, n, _ = o.shape
