@@ -19,7 +19,7 @@ def main() -> int:
     from instsearch_tpu.bench import (bench_diffusion, bench_extraction,
                                       bench_extraction_e2e,
                                       bench_protocol_eval, bench_qe,
-                                      bench_lw, bench_query,
+                                      bench_lw, bench_pq, bench_query,
                                       bench_query_e2e, bench_refine,
                                       bench_rerank)
 
@@ -52,6 +52,7 @@ def main() -> int:
     diff = _try(bench_diffusion)
     refine = _try(bench_refine)
     lw = _try(bench_lw)
+    pqc = _try(bench_pq)
     peval = _try(bench_protocol_eval)
 
     value = round(ext["images_per_sec"], 1)
@@ -121,6 +122,12 @@ def main() -> int:
             # reference = one scan + the full f32 bank read (amortizes
             # over the batch; B=1 pays both)
             line["lw_frac_of_roofline"] = round(lw["frac_of_roofline"], 3)
+    if pqc is not None:
+        line["pq_p50_ms_1M"] = round(pqc["p50_ms"], 3)
+        line["pq_recall_at_10"] = round(pqc["recall_at_k"], 4)
+        if "speedup_vs_full_stream" in pqc:
+            line["pq_speedup_vs_full_stream"] = round(
+                pqc["speedup_vs_full_stream"], 3)
     if peval is not None:
         line["eval105k_warm_sec"] = round(peval["total_warm_sec"], 3)
     print(json.dumps(line))

@@ -652,6 +652,108 @@ def bench_refine(n: int = 1_048_576, d: int = 512, depth: int = 100,
     return out
 
 
+def bench_pq(n: int = 1_048_576, d: int = 512, k: int = 10,
+             depth: int = 100, q_batch: int = 1, m: int | None = None,
+             iters: int = 8, fit_rows: int = 131_072) -> dict:
+    """PQ cascade end-to-end (search/pq_view.py): fused ADC scan over the
+    4-bit code stream (M/2 bytes/row — 32 B at D=512) selecting
+    ``depth`` candidates + exact re-score against the resident bf16
+    store, ONE composite program, timed chained-marginal.
+
+    The codebook fit + encode run entirely ON DEVICE (the PQView builder
+    round-trips rows through the host for generality; at bench scale that
+    would be minutes of tunnel time for data whose values don't matter
+    beyond being a real fit). Roofline reference = the interleaved bf16
+    stream scaled to (code stream + candidate gather) bytes;
+    ``speedup_vs_full_stream`` is the absolute statement vs a bf16 scan.
+    Recall@k vs the exact fused scan is the honesty number."""
+    from .ops.pq import encode_pq, fit_pq
+    from .search.pq_view import _pq_composite_jit
+
+    if m is None:
+        m = max(2, d // 8)
+    Xd, q = _make_index_device(n, d, q_batch)
+    ids = jax.block_until_ready(jnp.arange(n, dtype=jnp.int32))
+    nv = jnp.asarray(n, jnp.int32)
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    t0 = time.perf_counter()
+    fit_x = Xd[:min(fit_rows, n)].astype(jnp.float32)
+    cb = fit_pq(fit_x, m=m, iters=iters)
+    # encode in slices: the f32 staging of the full matrix (2 GB at
+    # 1M x 512) must not coexist with the bf16 store + probe temporaries
+    enc_chunk = 262_144 if n % 262_144 == 0 else n
+    codes = jnp.concatenate(
+        [encode_pq(Xd[s:s + enc_chunk].astype(jnp.float32), cb)
+         for s in range(0, n, enc_chunk)], axis=0)
+    codes = jax.block_until_ready(codes)
+    build_s = time.perf_counter() - t0
+
+    def op(codes, cent, X, ids, qq, nv):
+        return _pq_composite_jit(
+            codes, cent, X, ids, None, None, None, None, qq, nv,
+            k=k, depth=depth, qe_n=0, qe_alpha=3.0, do_qe=False,
+            do_rerank=False, int4=False, use_pallas=on_tpu,
+            spatial_weight=0.0)
+
+    def make_chained(chain):
+        def run(codes, cent, X, ids, qq, nv):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(chain):
+                s, _ = op(codes, cent, X, ids, qq + acc * 1e-30, nv)
+                acc = acc + s[0, 0]
+            return acc
+        return jax.jit(run)
+
+    args = (codes, cb.centroids, Xd, ids, q, nv)
+    scan_bytes = n * (m // 2)                       # the code stream
+    gather_bytes = q_batch * depth * d * 2          # exact re-score rows
+    out = {"n": n, "d": d, "k": k, "depth": depth, "q_batch": q_batch,
+           "m": m, "bytes_per_row": m // 2,
+           "build_sec": round(build_s, 2)}
+    if on_tpu:
+        q1 = jnp.ones((1, d), jnp.bfloat16)
+        probe_ests, ests = interleaved_marginal(
+            [(make_stream_probe, (Xd, q1)), (make_chained, args)],
+            n1=3, n2=11)
+        probe_bytes = n * d * 2
+        p50 = float(np.median(ests))
+        valid = (probe_ests > 2e-9) & (ests > 2e-9)
+        if valid.any():
+            pv, kv = probe_ests[valid], ests[valid]
+            ref_bytes = scan_bytes + gather_bytes
+            out["hbm_bw_gbps"] = probe_bytes / float(np.median(pv)) / 1e9
+            out["frac_of_pq_roofline"] = float(
+                np.median((pv * (ref_bytes / probe_bytes)) / kv))
+            out["speedup_vs_full_stream"] = float(np.median(pv / kv))
+    else:
+        ests = marginal_times(make_chained, args, n1=3, n2=11, reps=7)
+        p50 = float(np.median(ests))
+    out["p50_ms"] = p50 * 1e3
+    out["p99_ms"] = float(np.percentile(ests, 99)) * 1e3
+    out["qps"] = q_batch / p50
+    # recall@k vs the exact fused scan (perturbed rows, the bench's
+    # standing convention)
+    qs = jax.block_until_ready(
+        (Xd[:32].astype(jnp.float32)
+         + 0.01 * jax.random.normal(jax.random.PRNGKey(9), (32, d))))
+    if on_tpu:
+        from .kernels.pq_scan import pq_topk
+        from .kernels.topk_matmul import topk_matmul
+        _, exact_ids = topk_matmul(Xd, qs.astype(jnp.bfloat16), k=k)
+        _, cand = pq_topk(codes, qs, cb, k=depth)
+    else:
+        _, exact_ids = jax.lax.top_k(
+            qs.astype(jnp.bfloat16) @ Xd.T, k)
+        from .ops.pq import decode_pq
+        cand = jnp.argsort(
+            -(qs @ decode_pq(codes, cb).T), axis=1)[:, :depth]
+    e, c = np.asarray(exact_ids), np.asarray(cand)
+    out["recall_at_k"] = round(float(np.mean(
+        [len(set(e[i]) & set(c[i])) / k for i in range(e.shape[0])])), 4)
+    return out
+
+
 def bench_ivf(n: int = 1_048_576, d: int = 512, k: int = 10,
               q_batch: int = 1, n_clusters: int = 1024,
               nprobe: int = 32, cap_factor: float = 2.0) -> dict:
@@ -1159,5 +1261,6 @@ def run_bench(what: str = "all") -> dict:
                                                     dtype="int4")
         out["dba_1M"] = bench_dba()
         out["ivf_1M"] = bench_ivf()
+        out["pq_1M"] = bench_pq()
         out["train"] = bench_train()
     return out

@@ -98,6 +98,16 @@ def cmd_build_index(args) -> int:
     if args.lw:
         lw = idx.fit_local_whitening(n_clusters=args.lw_clusters or None)
         out["lw"] = {"clusters": lw.n_clusters, "dim": lw.dim}
+    if args.pq:
+        if args.ivf:
+            # both views would arm both candidate tiers in the saved
+            # config — Index.search rejects that combination per query
+            print("error: --ivf and --pq are mutually exclusive candidate "
+                  "tiers; pick one", file=sys.stderr)
+            return 2
+        pq = idx.build_pq(m=args.pq_m or None, depth=args.pq_depth)
+        out["pq"] = {"m": pq.m, "bytes_per_row": pq.bytes_per_row,
+                     "depth": pq.depth}
     idx.save(args.out)
     print(json.dumps(out))
     return 0
@@ -117,6 +127,7 @@ def cmd_update_index(args) -> int:
     ivf_params = ((idx.ivf.n_clusters, idx.ivf.nprobe)
                   if idx.ivf is not None else None)
     lw_clusters = idx.lw.n_clusters if idx.lw is not None else None
+    pq_params = ((idx.pq.m, idx.pq.depth) if idx.pq is not None else None)
     added = removed = 0
     if args.remove:
         removed = idx.remove(args.remove)
@@ -141,6 +152,8 @@ def cmd_update_index(args) -> int:
                       nprobe=ivf_params[1])
     if lw_clusters is not None and idx.lw is None and (added or removed):
         idx.fit_local_whitening(n_clusters=min(lw_clusters, idx.num_valid))
+    if pq_params is not None and idx.pq is None and (added or removed):
+        idx.build_pq(m=pq_params[0], depth=pq_params[1])
     idx.save(args.out or args.index)
     print(json.dumps({"added": added, "removed": removed,
                       "rows": idx.num_valid,
@@ -167,6 +180,8 @@ def cmd_query(args) -> int:
     scfg = idx.cfg.search.replace(k=args.k)
     if args.nprobe is not None:   # 0 = exact even when an IVF view exists
         scfg = scfg.replace(ivf_nprobe=args.nprobe)
+    if getattr(args, "pq_depth", None) is not None:  # 0 = exact likewise
+        scfg = scfg.replace(pq_depth=args.pq_depth)
     if getattr(args, "diffusion", False):
         scfg = scfg.replace(diffusion_enabled=True, rerank_enabled=False,
                             refine_enabled=False, lw_enabled=False)
@@ -395,6 +410,14 @@ def main(argv=None) -> int:
                         "enables lw_enabled in the saved SearchConfig)")
     b.add_argument("--lw-clusters", type=int, default=0,
                    help="local-whitening expert count (default: ~sqrt(N))")
+    b.add_argument("--pq", action="store_true",
+                   help="attach a product-quantization cascade view (4-bit "
+                        "ADC coarse scan + exact re-score of the top "
+                        "candidates; search/pq_view.py)")
+    b.add_argument("--pq-m", type=int, default=0,
+                   help="PQ subquantizer count (default: D/8)")
+    b.add_argument("--pq-depth", type=int, default=100,
+                   help="PQ cascade candidate depth (with --pq)")
     b.set_defaults(fn=cmd_build_index)
 
     u = sub.add_parser("update-index", help="add/remove images on a "
@@ -415,6 +438,9 @@ def main(argv=None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--nprobe", type=int, default=None,
                    help="IVF probes (indexes built with --ivf; 0 = exact)")
+    q.add_argument("--pq-depth", type=int, default=None,
+                   help="PQ cascade depth (indexes built with --pq; "
+                        "0 = exact)")
     q.add_argument("--diffusion", action="store_true",
                    help="diffusion re-ranking over the top candidates' "
                         "similarity graph (search/diffusion.py; depth etc. "

@@ -165,6 +165,12 @@ class SearchConfig(_JsonMixin):
     # force. Takes effect only when the index has an IVF view attached
     # (Index.build_ivf, which sets this to its nprobe).
     ivf_nprobe: int = 0
+    # PQ compressed-domain cascade (search/pq_view.py): ADC coarse scan
+    # over 4-bit product-quantized codes selects this many candidates,
+    # exactly re-scored against the main store in the same program.
+    # 0 = exact brute force. Takes effect only when the index has a PQ
+    # view attached (Index.build_pq, which sets this to its depth).
+    pq_depth: int = 0
     # local-whitening re-ranking (search/lw_rerank.py): re-score the
     # top-rerank_depth candidates under each candidate's own cluster
     # metric (k-means-routed per-cluster whitening bank,

@@ -354,6 +354,8 @@ class Index:
         self.ivf = None                     # search.ivf.IVFIndex ANN view
         self.lw = None                      # search.lw_rerank view (per-
         #                                     cluster-metric re-scoring)
+        self.pq = None                      # search.pq_view.PQView (ADC
+        #                                     coarse scan + exact re-score)
         self.regional_geom = None           # [R, 3] R-MAC grid geometry
         #                                     (spatial verification)
 
@@ -405,6 +407,12 @@ class Index:
                 "spatial_weight fuses into the regional re-rank; enable "
                 "rerank_enabled (spatial verification has no meaning "
                 "without region matches)")
+        if (scfg.pq_depth > 0 and scfg.ivf_nprobe > 0
+                and self.pq is not None and self.ivf is not None):
+            raise ValueError(
+                "pq_depth and ivf_nprobe are both set and both views are "
+                "attached — one candidate-selection tier per query "
+                "(disable one, e.g. search_cfg.replace(ivf_nprobe=0))")
         if (scfg.spatial_weight and scfg.rerank_enabled
                 and self.regional is not None and self.regional_geom is None):
             raise ValueError(
@@ -621,6 +629,7 @@ class Index:
             return 0
         self._drop_ivf("add()")   # the bucketed view would miss new rows
         self._drop_lw("add()")    # new rows are missing from the lw store
+        self._drop_pq("add()")    # new rows have no codes
         if self.regional is not None and reg_new is None:
             if self.has_refine_store:
                 # exact-refine store: the single "region" IS the row, so
@@ -760,6 +769,37 @@ class Index:
             search=self.cfg.search.replace(ivf_nprobe=nprobe))
         return self.ivf
 
+    def build_pq(self, m: int | None = None, iters: int = 15,
+                 seed: int = 0, sample: "int | None" = 262_144,
+                 depth: int = 100, chunk: int = 65_536):
+        """Attach a product-quantization cascade view (search/pq_view.py):
+        4-bit PQ codes (ops/pq.py, 32 B per 512-d row) scanned by the
+        fused ADC kernel select ``depth`` candidates, exactly re-scored
+        against the main store in the same program. Routes ``search()``
+        (including QE / regional re-ranking) while the exact path stays
+        available via ``search_cfg.replace(pq_depth=0)``. Quality =
+        candidate recall (``pq.measure_recall``); measured on-chip the
+        ADC scan is SLOWER than the packed-int4 exact scan at D=512
+        (VPU-bound one-hot expansion — see the kernel docstring), so this
+        tier is for corpus scales where even int4 rows don't fit, not
+        for latency. ``add()``/``remove()``/``augment_database()``
+        invalidate the view — rebuild after mutating. Single-device view
+        (the sharded path keeps the exact fused scan). Returns the
+        PQView."""
+        from .search.pq_view import PQView
+        self.pq = PQView.from_index(self, m=m, iters=iters, seed=seed,
+                                    sample=sample, depth=depth, chunk=chunk)
+        self.cfg = self.cfg.replace(
+            search=self.cfg.search.replace(pq_depth=depth))
+        return self.pq
+
+    def _drop_pq(self, why: str) -> None:
+        if self.pq is not None:
+            from .utils import get_logger
+            get_logger("instsearch.index").warning(
+                "PQ view invalidated by %s; rebuild with build_pq()", why)
+            self.pq = None
+
     def _drop_ivf(self, why: str) -> None:
         if self.ivf is not None:
             from .utils import get_logger
@@ -863,6 +903,7 @@ class Index:
             buf = _write_rows_jit(buf, rows, s32)
         self._drop_ivf("augment_database()")
         self._drop_lw("augment_database()")  # row values changed
+        self._drop_pq("augment_database()")  # codes no longer match rows
         if self.is_int4:
             from .ops.quantize import quantize_rows_int4
             qr = quantize_rows_int4(buf)
@@ -918,6 +959,7 @@ class Index:
             return 0
         self._drop_ivf("remove()")   # compaction moves row positions
         self._drop_lw("remove()")    # lw store/assign are position-aligned
+        self._drop_pq("remove()")    # codes are position-aligned
         n_valid = self.num_valid
         new_valid = n_valid - m
         # surviving rows now in the tail [new_valid, n_valid) move into
@@ -1021,6 +1063,12 @@ class Index:
             # set — both always take the exact fused scan
             return self._search_ivf(q, scfg, query_regional, do_rerank)
 
+        if (self.pq is not None and scfg.pq_depth > 0
+                and not do_diffusion and not do_lw and not do_refine):
+            # refine is redundant under PQ (the cascade's exact re-score
+            # IS a refine); diffusion/lw keep the exact scan like IVF
+            return self._search_pq(q, scfg, query_regional, do_rerank)
+
         if do_lw:
             return self._search_lw(q, scfg)
 
@@ -1088,6 +1136,45 @@ class Index:
                            (256 << 20) // per_q))
         from .utils.chunking import run_chunked
         top_scores, top_ids = run_chunked(run, chunk, q)
+        return np.asarray(top_scores), np.asarray(top_ids)
+
+    def _search_pq(self, q, scfg, query_regional, do_rerank: bool):
+        """PQ cascade path (search/pq_view.py): ADC coarse scan over the
+        4-bit code stream selects pq_depth candidates, exactly re-scored
+        against the main store — QE / re-rank stages compose by position,
+        ONE jitted program per chunk."""
+        pq = self.pq
+        depth = max(scfg.pq_depth, scfg.k,
+                    scfg.qe_n if scfg.qe_enabled else 0,
+                    scfg.rerank_depth if do_rerank else 0)
+        depth = min(depth, self.descriptors.shape[0])
+        use_pallas = (self.cfg.search.use_pallas
+                      and jax.devices()[0].platform == "tpu")
+        nv = jnp.asarray(self.num_valid, jnp.int32)
+        sw = float(scfg.spatial_weight) if do_rerank else 0.0
+        from .search.pq_view import _pq_composite_jit
+
+        def run(qq, *qreg):
+            return _pq_composite_jit(
+                pq.codes, pq.codebook.centroids, self.descriptors,
+                self.ids, self.scales,
+                self.regional if do_rerank else None,
+                self.regional_scales if do_rerank else None,
+                qreg[0] if do_rerank else None, qq, nv,
+                self.vote_matrix if sw else None,
+                k=scfg.k, depth=depth, qe_n=scfg.qe_n,
+                qe_alpha=scfg.qe_alpha, do_qe=scfg.qe_enabled,
+                do_rerank=do_rerank, int4=self.is_int4,
+                use_pallas=use_pallas, spatial_weight=sw,
+                rerank_depth=min(scfg.rerank_depth, depth))
+
+        # bound the per-stage [chunk, depth, D] f32 candidate gather
+        per_q = max(1, 2 * depth * self.dim * 4)
+        chunk = max(1, min(scfg.query_chunk or q.shape[0],
+                           (256 << 20) // per_q))
+        from .utils.chunking import run_chunked
+        args = (q, jnp.asarray(query_regional)) if do_rerank else (q,)
+        top_scores, top_ids = run_chunked(run, chunk, *args)
         return np.asarray(top_scores), np.asarray(top_ids)
 
     def _search_ivf(self, q, scfg, query_regional, do_rerank: bool):
@@ -1323,6 +1410,9 @@ class Index:
         if self.lw is not None:
             self.lw.save(os.path.join(path, "lw"))
             meta["lw"] = True
+        if self.pq is not None:
+            self.pq.save(os.path.join(path, "pq"))
+            meta["pq"] = True
         if self.regional_geom is not None:
             meta["regional_geom"] = np.asarray(self.regional_geom).tolist()
         if self.extractor is not None:
@@ -1410,6 +1500,9 @@ class Index:
         if meta.get("lw"):
             from .search.lw_rerank import LocalWhiteningView
             idx.lw = LocalWhiteningView.load(os.path.join(path, "lw"))
+        if meta.get("pq"):
+            from .search.pq_view import PQView
+            idx.pq = PQView.load(os.path.join(path, "pq"))
         if meta.get("regional_geom") is not None:
             idx.regional_geom = np.asarray(meta["regional_geom"], np.float32)
         return idx

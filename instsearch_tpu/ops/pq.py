@@ -1,0 +1,249 @@
+"""Product quantization (PQ) — the compressed-domain storage tier.
+
+The reference scores f32 rows with one BLAS matmul (SURVEY.md §1.1 C11);
+its only capacity lever is RAM. The rebuild already added int8/int4 rows
+(ops/quantize.py) — PQ is the classic next rung (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011): split D into M
+subspaces, vector-quantize each against a tiny per-subspace codebook, and
+store only the 4-bit code per subspace. At M = D/8 subquantizers a 512-d
+row costs 32 bytes — 8× less than int4, 64× less than bf16 — and scoring
+never reconstructs: ``score(q, x) = Σ_m LUT_q[m, code_m(x)]`` where
+``LUT_q[m, j] = q_m · C[m, j]`` is per-query (asymmetric distance
+computation, ADC — the query stays full precision, so only the DATABASE
+side is quantized).
+
+TPU-native design decisions (vs the CPU/GPU literature):
+
+  * K = 16 centroids per subspace (4-bit codes), NOT the classic 256.
+    TPUs have no fast random gather — the scan kernel
+    (kernels/pq_scan.py) turns the LUT lookup into MXU matmuls against a
+    16-wide one-hot, whose cost scales with K·M; K=16, M=D/8 makes the
+    one-hot contraction exactly 2·D wide, i.e. the compute of a bf16 scan
+    at the bandwidth of a 16×-compressed one. K=256 would be 32·D wide —
+    MXU-bound at large query batches, defeating the point.
+  * The fit runs ALL subspaces batched in one jitted program: Lloyd's
+    assignment is a [chunk, M, K] batched matmul and the accumulation an
+    einsum back onto [M, K, ds] — no per-subspace host loop, no sklearn.
+    Euclidean k-means (NOT the spherical variant in ops/kmeans.py): PQ
+    reconstruction error is what bounds the score error ``|q·x − q·x̂| ≤
+    ‖q‖·‖x − x̂‖``, so centroids must live where the sub-vectors live,
+    magnitudes included.
+  * Codes are packed two per byte in the SAME offset-nibble byte layout
+    as the int4 row store (ops/quantize.quantize_rows_int4: byte =
+    16·v_hi + (v_lo + 8) with v = code − 8, split-half subspace
+    mapping), so the scan kernel unpacks with the one proven int32 shift
+    and keeps every remaining op on the MXU.
+
+PQ is lossy — it is the coarse tier of a coarse→exact cascade
+(IndexRefine pairs it with an exact re-score, same as the int4 tier);
+recall@depth against the exact scan is the quality metric, measured in
+tests and on-chip benches.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kmeans import pick_chunk
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class PQCodebook:
+    """Per-subspace centroids ``[M, K, ds]`` f32; ``M·ds = D``, K = 16."""
+    centroids: jax.Array
+
+    def tree_flatten(self):
+        return (self.centroids,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def m(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.centroids.shape[1]
+
+    @property
+    def ds(self) -> int:
+        return self.centroids.shape[2]
+
+    @property
+    def dim(self) -> int:
+        return self.m * self.ds
+
+
+def _check_dims(d: int, m: int) -> int:
+    if m % 2:
+        raise ValueError(f"m={m} must be even (codes pack two per byte)")
+    if d % m:
+        raise ValueError(f"descriptor dim {d} not divisible by m={m}")
+    return d // m
+
+
+@partial(jax.jit, static_argnames=("n_clusters", "chunk"))
+def _pq_lloyd_iter(xs: jax.Array, cent: jax.Array,
+                   num_valid, *, n_clusters: int, chunk: int):
+    """One Lloyd iteration over ALL subspaces at once.
+
+    ``xs [N/chunk, chunk, M, ds]`` (pre-reshaped), ``cent [M, K, ds]`` →
+    (new centroids, counts [M, K], total sqerr). Assignment minimizes the
+    true Euclidean distance; ‖x‖² is constant per row so argmin over
+    ``‖c‖² − 2·x·c`` suffices.
+    """
+    nv = jnp.asarray(num_valid, jnp.int32)
+    cb = cent.astype(jnp.bfloat16)
+    cn2 = jnp.sum(cent * cent, axis=-1)                     # [M, K] f32
+
+    def step(carry, xc):
+        base, sums, counts, err = carry
+        xf = xc.astype(jnp.bfloat16)                        # [chunk, M, ds]
+        # batched over M: [M, chunk, ds] · [M, K, ds] -> [M, chunk, K]
+        dots = jax.lax.dot_general(
+            xf.transpose(1, 0, 2), cb,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dist = cn2[:, None, :] - 2.0 * dots                 # [M, chunk, K]
+        a = jnp.argmin(dist, axis=2)                        # [M, chunk]
+        pos = base + jnp.arange(chunk, dtype=jnp.int32)
+        valid = (pos < nv).astype(jnp.bfloat16)             # [chunk]
+        onehot = (jax.nn.one_hot(a, n_clusters, dtype=jnp.bfloat16)
+                  * valid[None, :, None])                   # [M, chunk, K]
+        # accumulation on the MXU: [M, K, chunk] @ [M, chunk, ds]
+        sums = sums + jax.lax.dot_general(
+            onehot, xf.transpose(1, 0, 2),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)             # [M, K, ds]
+        counts = counts + jnp.sum(onehot, axis=1).astype(jnp.int32)
+        # residual ‖x − c_a‖² = ‖x‖² + min dist (up to bf16 rounding)
+        xn2 = jnp.sum(xf.astype(jnp.float32) ** 2, axis=-1)  # [chunk, M]
+        err = err + jnp.sum(jnp.where(valid[:, None] > 0,
+                                      xn2 + jnp.min(dist, axis=2).T, 0.0))
+        return (base + chunk, sums, counts, err), None
+
+    init = (jnp.int32(0),
+            jnp.zeros_like(cent),
+            jnp.zeros((cent.shape[0], n_clusters), jnp.int32),
+            jnp.float32(0.0))
+    (_, sums, counts, err), _ = jax.lax.scan(step, init, xs)
+    new = jnp.where(counts[..., None] > 0,
+                    sums / jnp.maximum(counts[..., None], 1).astype(jnp.float32),
+                    cent)
+    return new, counts, err
+
+
+def fit_pq(x: jax.Array, m: int = 64, k: int = 16, *,
+           num_valid: int | None = None, iters: int = 15, seed: int = 0,
+           chunk: int = 16384) -> PQCodebook:
+    """Fit a PQ codebook on ``x [N, D]`` (rows ≥ num_valid are padding).
+
+    K is fixed at 16 by the scan kernel's one-hot width (module
+    docstring); the parameter exists so the constraint is explicit at the
+    call site. Init is a deterministic row sample per subspace; empty
+    clusters respawn on rows of the currently-largest cluster.
+    """
+    n, d = x.shape
+    ds = _check_dims(d, m)
+    if k != 16:
+        raise ValueError("PQ tier is 4-bit: k must be 16 "
+                         "(kernels/pq_scan.py one-hot width)")
+    nv = int(num_valid if num_valid is not None else n)
+    if nv < k:
+        raise ValueError(f"{nv} rows < {k} centroids")
+    chunk = pick_chunk(n, chunk)
+    rng = np.random.default_rng(seed)
+    take = rng.choice(nv, size=k, replace=False)
+    sample = np.asarray(x[take], np.float32)                # [K, D]
+    cent = jnp.asarray(sample.reshape(k, m, ds).transpose(1, 0, 2))
+    xs = x.reshape(n // chunk, chunk, m, ds)
+
+    for _ in range(iters):
+        cent, counts, _ = _pq_lloyd_iter(xs, cent, nv, n_clusters=k,
+                                         chunk=chunk)
+        counts_np = np.asarray(counts)                      # [M, K]
+        if (counts_np == 0).any():
+            rows = rng.choice(nv, size=k, replace=False)
+            resp = np.asarray(x[rows], np.float32).reshape(k, m, ds)
+            cent_np = np.asarray(cent)
+            for mi, ki in zip(*np.nonzero(counts_np == 0)):
+                cent_np[mi, ki] = resp[ki, mi]
+            cent = jnp.asarray(cent_np)
+    return PQCodebook(cent)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _encode_chunked(xs: jax.Array, cent: jax.Array, *, chunk: int):
+    cb = cent.astype(jnp.bfloat16)
+    cn2 = jnp.sum(cent * cent, axis=-1)                     # [M, K]
+
+    def step(_, xc):
+        dots = jax.lax.dot_general(
+            xc.astype(jnp.bfloat16).transpose(1, 0, 2), cb,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)             # [M, chunk, K]
+        a = jnp.argmin(cn2[:, None, :] - 2.0 * dots, axis=2)
+        return None, a.T.astype(jnp.int32)                  # [chunk, M]
+
+    _, codes = jax.lax.scan(step, None, xs)
+    return codes
+
+
+def encode_pq(x: jax.Array, cb: PQCodebook, *,
+              chunk: int = 16384) -> jax.Array:
+    """Encode ``x [N, D]`` → packed codes ``[N, M/2]`` int8.
+
+    Split-half offset-nibble layout (shared with quantize_rows_int4 so
+    kernels unpack identically): byte j holds subspace j in the LOW
+    nibble and subspace j + M/2 in the HIGH nibble, with the code c
+    stored as the signed nibble v = c − 8:  byte = 16·v_hi + (v_lo + 8).
+    """
+    n, d = x.shape
+    m = cb.m
+    ds = _check_dims(d, m)
+    if ds != cb.ds:
+        raise ValueError(f"x dim {d} != codebook dim {cb.dim}")
+    chunk = pick_chunk(n, chunk)
+    codes = _encode_chunked(x.reshape(n // chunk, chunk, m, ds),
+                            cb.centroids, chunk=chunk)
+    codes = codes.reshape(n, m)
+    v = codes - 8                                            # [-8, 8)
+    lo, hi = v[:, :m // 2], v[:, m // 2:]
+    return (16 * hi + lo + 8).astype(jnp.int8)
+
+
+def unpack_pq(packed: jax.Array) -> jax.Array:
+    """Packed ``[N, M/2]`` int8 → codes ``[N, M]`` int32 in [0, 16)."""
+    p = packed.astype(jnp.int32)
+    v_hi = p >> 4                       # exact: low half stored offset +8
+    lo = p - 16 * v_hi                  # = v_lo + 8 ∈ [0, 16)
+    return jnp.concatenate([lo, v_hi + 8], axis=1)
+
+
+def decode_pq(packed: jax.Array, cb: PQCodebook) -> jax.Array:
+    """Reconstruct ``x̂ [N, D]`` f32 — the test/oracle inverse; production
+    scoring never decodes (ADC in kernels/pq_scan.py)."""
+    codes = unpack_pq(packed)                                # [N, M]
+    m_idx = jnp.arange(cb.m)[None, :]                        # [1, M]
+    gathered = cb.centroids[m_idx, codes]                    # [N, M, ds]
+    return gathered.reshape(packed.shape[0], -1)
+
+
+def pq_lut(q: jax.Array, cb: PQCodebook) -> jax.Array:
+    """ADC lookup tables: ``q [B, D]`` → ``[B, M, K]`` f32,
+    ``lut[b, m, j] = q[b]_m · C[m, j]``. Scoring a row with codes c is
+    ``Σ_m lut[b, m, c_m]`` — equal to ``q · decode(codes)`` exactly."""
+    b, d = q.shape
+    ds = _check_dims(d, cb.m)
+    if ds != cb.ds:
+        raise ValueError(f"query dim {d} != codebook dim {cb.dim}")
+    qs = q.reshape(b, cb.m, ds)
+    return jnp.einsum("bmd,mkd->bmk", qs.astype(jnp.float32),
+                      cb.centroids)

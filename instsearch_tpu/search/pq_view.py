@@ -1,0 +1,257 @@
+"""PQ compressed-domain coarse tier: ADC candidate scan + exact re-score.
+
+The reference's only search is one brute-force matmul over full-precision
+rows (SURVEY.md §1.1 C11). This view is the rebuild's deepest compression
+rung (after int8 and packed int4): rows are product-quantized to 4-bit
+codes (ops/pq.py — M=D/8 subspaces, 16 centroids each, 32 B per 512-d
+row) and a query's candidate scan reads ONLY the code stream through the
+fused ADC kernel (kernels/pq_scan.py). Because PQ is lossy, the view is
+always a cascade: the ADC scan selects ``depth`` candidates, which are
+re-scored EXACTLY against the resident main store (f32 gather + dot) in
+the same jitted program — ADC ranks the haystack, the exact tier ranks
+the needles. With ``depth`` ≥ the corpus this degenerates to exact search
+(the equality the integration tests pin).
+
+Like the IVF and local-whitening views, the PQ view is POSITION-aligned
+with the padded main store: candidates compose with αQE neighbor gathers
+and regional re-ranking verbatim (the quality math lives in search/qe.py
+and search/rerank.py, shared with the exact path). Index mutation
+(add/remove/augment) invalidates the view — re-encode with
+``Index.build_pq`` (one codebook fit + a chunked encode pass).
+
+Memory story at D=512: codes are 32 B/row — a 16 GB chip holds the code
+stream for ~400M rows; the main store stays the capacity limit, so the
+view's value is LATENCY (scan 16× fewer bytes than int4, 64× fewer than
+bf16) and scan-cost isolation for huge-N serving, not standalone
+capacity. Codes ride save()/load() with the index.
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pq import PQCodebook, encode_pq, fit_pq, pq_lut
+
+NEG_INF = np.float32(-np.inf)
+
+
+def _pq_candidates(codes, centroids, descriptors, scales, q, nv,
+                   *, depth: int, int4: bool, use_pallas: bool):
+    """Trace-time candidate stage: ADC coarse top-``depth`` scan over the
+    code stream, then EXACT f32 re-score of those rows from the main
+    store. Returns ``(exact scores [B, depth] f32 desc-sorted, pos
+    [B, depth] int32 positions, -1 for empty)``."""
+    cb = PQCodebook(centroids)
+    if use_pallas:
+        from ..kernels.pq_scan import pq_topk
+        _, pos = pq_topk(codes, q, cb, k=depth, num_valid=nv)
+    else:
+        # XLA oracle (CPU rigs / tiny stores): same ADC quantity via the
+        # LUT identity, full [B, N] materialized — test-scale only
+        from ..ops.pq import unpack_pq
+        lut = pq_lut(q, cb)                                  # [B, M, 16]
+        c = unpack_pq(codes)                                 # [N, M]
+        oh = jax.nn.one_hot(c, 16, dtype=jnp.float32)        # [N, M, 16]
+        s = jnp.einsum("bmk,nmk->bn", lut, oh)
+        rows_ok = jnp.arange(codes.shape[0]) < nv
+        s = jnp.where(rows_ok[None, :], s, NEG_INF)
+        _, pos = jax.lax.top_k(s, depth)
+    from ..index import _gather_rows_f32
+    safe = jnp.maximum(pos, 0)
+    rows = _gather_rows_f32(descriptors, safe, scales, int4=int4)
+    exact = jnp.einsum("bkd,bd->bk", rows, q.astype(jnp.float32))
+    exact = jnp.where(pos >= 0, exact, NEG_INF)
+    # re-sort by the exact score so downstream stages (QE top-n slice,
+    # re-rank fusion) see the cascade's actual ranking
+    exact, order = jax.lax.top_k(exact, depth)
+    pos = jnp.take_along_axis(pos, order, axis=1)
+    return exact, jnp.where(exact > NEG_INF, pos, -1)
+
+
+@partial(jax.jit, static_argnames=("k", "depth", "qe_n", "qe_alpha",
+                                   "do_qe", "do_rerank", "int4",
+                                   "use_pallas", "spatial_weight",
+                                   "rerank_depth"))
+def _pq_composite_jit(codes, centroids, descriptors, ids, scales,
+                      regional, regional_scales, query_regional, q, nv,
+                      vote_matrix=None, *, k: int, depth: int, qe_n: int,
+                      qe_alpha: float, do_qe: bool, do_rerank: bool,
+                      int4: bool, use_pallas: bool,
+                      spatial_weight: float = 0.0, rerank_depth: int = 0):
+    """The PQ mirror of index._search_composite_jit: every candidate-
+    selection stage is the ADC-scan→exact-re-score cascade instead of the
+    full-precision scan; QE rows and re-rank regions gather from the MAIN
+    store by position, sharing the quality math with the exact path."""
+    q = jnp.asarray(q, jnp.float32)
+    sel = partial(_pq_candidates, codes, centroids, descriptors, scales,
+                  depth=depth, int4=int4, use_pallas=use_pallas)
+    if do_qe:
+        s, pos = sel(q, nv)
+        s_n, pos_n = s[:, :qe_n], pos[:, :qe_n]
+        from ..index import _gather_rows_f32
+        rows = _gather_rows_f32(descriptors, jnp.maximum(pos_n, 0), scales,
+                                int4=int4)
+        rows = jnp.where((s_n > NEG_INF)[..., None], rows, 0.0)
+        from .qe import expand_from_candidates
+        q = expand_from_candidates(q, s_n, rows, qe_alpha)
+    s, pos = sel(q, nv)
+    if do_rerank:
+        # re-rank over the top-rerank_depth of the cascade's EXACT
+        # ranking — the same candidate pool the exact/IVF composites
+        # hand their rerank stage (depth >= rerank_depth enforced by
+        # the caller), so full-depth PQ == exact rerank verbatim
+        rd = min(rerank_depth or depth, depth)
+        s, pos = s[:, :rd], pos[:, :rd]
+        from .rerank import rerank_from_candidates
+        return rerank_from_candidates(
+            regional, ids, s, pos, query_regional, k=k,
+            regional_scales=regional_scales,
+            spatial_weight=spatial_weight, vote_matrix=vote_matrix)
+    out_ids = jnp.where(pos >= 0, jnp.take(ids, jnp.maximum(pos, 0)), -1)
+    return s[:, :k], out_ids[:, :k]
+
+
+class PQView:
+    """Product-quantized coarse-scan view over an
+    :class:`instsearch_tpu.Index`.
+
+    Build with :meth:`from_index` (or ``Index.build_pq``); routes
+    ``Index.search`` when ``SearchConfig.pq_depth > 0``. The main store
+    stays authoritative — codes hold the SAME padded row positions, and
+    every returned candidate is exactly re-scored against it, so quality
+    degrades only through candidate recall (measure with
+    :meth:`measure_recall`)."""
+
+    def __init__(self, codebook: PQCodebook, codes: jax.Array,
+                 depth: int = 100):
+        self.codebook = codebook        # centroids [M, 16, ds] f32
+        self.codes = codes              # [N_pad, M/2] int8 packed nibbles
+        self.depth = depth
+
+    # ------------------------------------------------------------------
+    @property
+    def m(self) -> int:
+        return self.codebook.m
+
+    @property
+    def bytes_per_row(self) -> int:
+        return self.codes.shape[1]
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_index(cls, index, m: int | None = None, iters: int = 15,
+                   seed: int = 0, sample: "int | None" = 262_144,
+                   depth: int = 100, chunk: int = 65_536) -> "PQView":
+        """Fit the codebook and encode every stored row.
+
+        ``m`` defaults to D/8 (4-bit codes at 16× bf16 compression,
+        clamped so each subspace keeps ≥4 dims); the fit runs on at most
+        ``sample`` dequantized rows, the encode covers all of them in
+        ``chunk``-row slices (never materializing a full f32 copy of a
+        quantized store)."""
+        nv = index.num_valid
+        d = index.dim
+        if m is None:
+            m = max(2, d // 8)
+        if nv < 16:
+            raise ValueError("PQ needs at least 16 indexed rows")
+
+        n_pad = index.descriptors.shape[0]
+        chunk = math.gcd(n_pad, max(8, chunk))
+        # fit sample: contiguous dequantized slices up to `sample` rows
+        fit_rows = min(nv, sample if sample is not None else nv)
+        take = []
+        got = 0
+        for start in range(0, n_pad, chunk):
+            if got >= fit_rows:
+                break
+            sl = index._rows_f32_chunk(start, chunk)
+            keep = min(chunk, fit_rows - got, max(0, nv - start))
+            if keep <= 0:
+                break
+            take.append(np.asarray(sl[:keep]))
+            got += keep
+        fit_x = jnp.asarray(np.concatenate(take, axis=0))
+        cb = fit_pq(fit_x, m=m, iters=iters, seed=seed)
+
+        codes = np.empty((n_pad, m // 2), np.int8)
+        for start in range(0, n_pad, chunk):
+            sl = index._rows_f32_chunk(start, chunk)
+            codes[start:start + chunk] = np.asarray(encode_pq(sl, cb))
+        return cls(cb, jnp.asarray(codes), depth=depth)
+
+    # ------------------------------------------------------------------
+    def candidates(self, index, queries: jax.Array, depth: int | None = None,
+                   use_pallas: bool | None = None):
+        """(exact scores [B, depth], row POSITIONS [B, depth]) — the
+        composable cascade stage, already exactly re-scored."""
+        depth = min(depth or self.depth, self.codes.shape[0])
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None]
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform == "tpu"
+        nv = jnp.asarray(index.num_valid, jnp.int32)
+        return _pq_run_candidates_jit(
+            self.codes, self.codebook.centroids, index.descriptors,
+            index.scales, q, nv, depth=depth, int4=index.is_int4,
+            use_pallas=use_pallas)
+
+    def search(self, index, queries, k: int = 10,
+               depth: int | None = None):
+        """Descriptor-space cascade search → ``(scores [B,k], dataset
+        ids)``; mirrors ``Index.search`` output."""
+        s, pos = self.candidates(index, queries, depth)
+        ids = jnp.where(pos >= 0, jnp.take(index.ids, jnp.maximum(pos, 0)),
+                        -1)
+        return np.asarray(s[:, :k]), np.asarray(ids[:, :k])
+
+    # ------------------------------------------------------------------
+    def measure_recall(self, index, queries, k: int = 10,
+                       depth: int | None = None) -> float:
+        """recall@k vs the exact brute-force ranking — the build-time
+        honesty number for a chosen cascade depth."""
+        exact_s, exact_ids = index.search(
+            queries, index.cfg.search.replace(k=k, qe_enabled=False,
+                                              rerank_enabled=False,
+                                              pq_depth=0))
+        _, pq_ids = self.search(index, queries, k=k, depth=depth)
+        hits = total = 0
+        for e, a in zip(np.asarray(exact_ids), np.asarray(pq_ids)):
+            es = set(int(i) for i in e if i >= 0)
+            if not es:
+                continue
+            hits += len(es & set(int(i) for i in a if i >= 0))
+            total += len(es)
+        return hits / max(total, 1)
+
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.savez(os.path.join(path, "pq.npz"),
+                 centroids=np.asarray(self.codebook.centroids),
+                 codes=np.asarray(self.codes))
+        with open(os.path.join(path, "pq.json"), "w") as f:
+            json.dump({"depth": self.depth}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "PQView":
+        with open(os.path.join(path, "pq.json")) as f:
+            meta = json.load(f)
+        raw = np.load(os.path.join(path, "pq.npz"))
+        return cls(PQCodebook(jnp.asarray(raw["centroids"])),
+                   jnp.asarray(raw["codes"], jnp.int8),
+                   depth=int(meta["depth"]))
+
+
+@partial(jax.jit, static_argnames=("depth", "int4", "use_pallas"))
+def _pq_run_candidates_jit(codes, centroids, descriptors, scales, q, nv,
+                           *, depth: int, int4: bool, use_pallas: bool):
+    return _pq_candidates(codes, centroids, descriptors, scales, q, nv,
+                          depth=depth, int4=int4, use_pallas=use_pallas)
