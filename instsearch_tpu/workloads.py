@@ -68,7 +68,11 @@ def run_workload(name: str, dataset: RetrievalDataset,
     build_s = time.time() - t0
 
     protocol = cfg.eval.protocol if dataset.name != "mini" else "medium"
-    res = evaluate_index(idx, dataset, protocol)
+    scfg = cfg.search
+    rescoring_on = (scfg.rerank_enabled or scfg.refine_enabled
+                    or scfg.diffusion_enabled or scfg.lw_enabled
+                    or scfg.spatial_weight > 0)
+    res = evaluate_index(idx, dataset, protocol, include_ranks=True)
 
     out = {
         "workload": name,
@@ -78,6 +82,7 @@ def run_workload(name: str, dataset: RetrievalDataset,
         "scales": list(cfg.extract.scales),
         "qe": cfg.search.qe_enabled,
         "rerank": cfg.search.rerank_enabled,
+        "spatial": cfg.search.spatial_weight > 0,
         "lw": cfg.search.lw_enabled,
         "num_shards": shards,
         "num_images": idx.num_valid,
@@ -89,16 +94,49 @@ def run_workload(name: str, dataset: RetrievalDataset,
         if key in res:
             out[key] = round(res[key], 2)
 
+    # stage-dropout guard (the r3 lw wiring bug: evaluate silently
+    # reported a plain-cosine mAP for an lw-enabled preset, and the old
+    # isfinite-only checks couldn't see it). Two layers:
+    #   * stages_missing — every stage the preset enables must appear in
+    #     evaluate's execution record (catches a missing splice branch
+    #     even for a stage that is order-preserving on this dataset);
+    #   * rescoring_changed_ranking — the stage-on protocol ranking vs
+    #     the all-stages-off one (diffusion on the tight near-duplicate
+    #     mini clusters is legitimately order-preserving, so tests assert
+    #     this only for rank-moving stages: rerank/spatial/lw/refine).
+    enabled = [nm for nm, on in (("qe", scfg.qe_enabled),
+                                 ("rerank", scfg.rerank_enabled),
+                                 ("spatial", scfg.spatial_weight > 0),
+                                 ("refine", scfg.refine_enabled),
+                                 ("diffusion", scfg.diffusion_enabled),
+                                 ("lw", scfg.lw_enabled)) if on]
+    out["stages_missing"] = sorted(set(enabled)
+                                   - set(res["stages_applied"]))
+    if rescoring_on:
+        off = scfg.replace(rerank_enabled=False, refine_enabled=False,
+                           diffusion_enabled=False, lw_enabled=False,
+                           spatial_weight=0.0)
+        res_off = evaluate_index(idx, dataset, protocol, off,
+                                 include_ranks=True)
+        out["mAP_rescoring_off"] = round(res_off["mAP"], 2)
+        out["rescoring_changed_ranking"] = bool(
+            (res["ranks"] != res_off["ranks"]).any())
+
     if shards > 1:
         # the sharded workloads must compute their protocol metrics THROUGH
         # the distributed machinery and agree with the single-device path
         # exactly (SURVEY.md §4.4: sharded == single-device)
         sidx = idx.to_sharded()
         res_sharded = evaluate_index(idx, dataset, protocol,
-                                     sharded_index=sidx)
+                                     sharded_index=sidx,
+                                     include_ranks=True)
         out["mAP_sharded"] = round(res_sharded["mAP"], 2)
+        # rank-level equality, not just mAP: every re-scoring stage the
+        # preset enables (rerank/spatial/diffusion/lw) must produce the
+        # IDENTICAL protocol ranking through the distributed machinery
         out["sharded_matches_single"] = bool(
-            abs(res_sharded["mAP"] - res["mAP"]) < 1e-6)
+            abs(res_sharded["mAP"] - res["mAP"]) < 1e-6
+            and (res_sharded["ranks"] == res["ranks"]).all())
     return out
 
 

@@ -28,9 +28,21 @@ def test_preset_runs(mini, name):
     assert np.isfinite(res["mAP"]) and 0 <= res["mAP"] <= 100
     assert res["num_images"] == len(mini.imlist)
     if res["num_shards"] > 1:
-        # sharded workloads compute mAP through ShardedIndex and must
-        # agree with the single-device protocol run exactly
+        # sharded workloads compute the protocol RANKING through
+        # ShardedIndex and must agree with the single-device run exactly
+        # (rank-level, not just mAP — workloads.run_workload compares both)
         assert res["sharded_matches_single"], res
     if name == "oxford105k_sharded8":
         assert res["num_shards"] == 8   # CPU test rig has 8 virtual devices
         assert "mAP_sharded" in res
+    # every stage the preset enables must appear in evaluate's execution
+    # record — the guard that would have caught the r3 bug where evaluate
+    # silently dropped the lw stage and the lw preset's reported mAP was
+    # a plain-cosine number
+    assert res["stages_missing"] == [], res
+    if res.get("rerank") or res.get("lw"):
+        # rank-moving stages must also CHANGE the protocol ranking vs the
+        # all-stages-off config (diffusion is legitimately order-
+        # preserving on the tight near-duplicate mini clusters —
+        # test_quality_lift.py pins its effect on manifold data instead)
+        assert res["rescoring_changed_ranking"], res

@@ -42,7 +42,7 @@ def test_all_committed_presets_load():
     preset_dir = os.path.join(os.path.dirname(__file__), "..", "..",
                               "configs")
     presets = glob.glob(os.path.join(preset_dir, "*.json"))
-    assert len(presets) == 10, sorted(os.path.basename(p) for p in presets)
+    assert len(presets) == 11, sorted(os.path.basename(p) for p in presets)
     for p in presets:
         cfg = PipelineConfig.load(p)
         assert isinstance(cfg.extract, ExtractConfig)
