@@ -274,21 +274,64 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def load_backbone_variables(path: str, backbone: str) -> dict:
+    """Load extractor weights for ``--weights``: either a raw torch(vision)
+    ``state_dict`` checkpoint (``.pth``/``.pt`` — the format pretrained
+    ImageNet weights ship in) converted via models/torch_import, or an
+    orbax pytree written by ``finetune`` (anything else)."""
+    if path.endswith((".pth", ".pt")):
+        import torch
+
+        from .models import torch_import
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        if backbone.startswith("resnet"):
+            return torch_import.load_torch_resnet(sd)
+        if backbone.startswith("vgg"):
+            return torch_import.load_torch_vgg(sd)
+        if backbone.startswith("vit"):
+            return torch_import.load_torch_vit(sd)
+        raise ValueError(f"no torch importer for backbone {backbone!r}")
+    from .utils import load_pytree
+    return load_pytree(path)
+
+
 def cmd_evaluate(args) -> int:
     from .eval.datasets import load_dataset
     from .eval.evaluate import build_index_for_dataset, evaluate_index
     cfg = _load_cfg(args)
-    ds = load_dataset(args.dataset, args.data_root)
+    # flags override the preset's eval block; unset flags fall back to it
+    # so `evaluate --config configs/X.json` alone reproduces the workload
+    # (docs/RUNBOOK.md anchor-reproduction commands rely on this)
+    if args.config:
+        dataset = args.dataset or cfg.eval.dataset
+        data_root = args.data_root or cfg.eval.data_root
+        protocol = args.protocol or cfg.eval.protocol
+    else:   # no preset: the historical bare-invocation defaults
+        dataset = args.dataset or "mini"
+        data_root = args.data_root or "data"
+        protocol = args.protocol or "medium"
+    ds = load_dataset(dataset, data_root)
     if args.distractors:
         from .eval.datasets import with_distractors
         ds = with_distractors(ds, args.distractors)
-    idx = build_index_for_dataset(ds, cfg)
+    variables = None
+    if args.weights:
+        variables = load_backbone_variables(args.weights, cfg.extract.backbone)
+    idx = build_index_for_dataset(ds, cfg, variables=variables)
     sidx = idx.to_sharded() if args.sharded else None
-    res = evaluate_index(idx, ds, args.protocol, sharded_index=sidx)
+    res = evaluate_index(idx, ds, protocol, sharded_index=sidx)
     res.pop("per_query_ap", None)
     if args.sharded:
         res["sharded"] = True
         res["num_shards"] = int(sidx.mesh.shape[sidx.axis])
+    # measured-vs-anchor parity report (eval/anchors.py) whenever a
+    # literature anchor matches this config+dataset+protocol
+    from .eval.anchors import compare, lookup_anchor
+    anchor = lookup_anchor(cfg, dataset, protocol)
+    if anchor is not None and "mAP" in res:
+        res["anchor"] = compare(res["mAP"], anchor)
     print(json.dumps(res))
     return 0
 
@@ -455,12 +498,19 @@ def main(argv=None) -> int:
     q.set_defaults(fn=cmd_query)
 
     e = sub.add_parser("evaluate", help="protocol evaluation on a dataset")
-    e.add_argument("--dataset", default="mini")
-    e.add_argument("--data-root", default="data")
-    e.add_argument("--protocol", default="medium",
+    # None defaults fall back to the preset's eval block (see cmd_evaluate)
+    # so `evaluate --config configs/X.json` reproduces a workload verbatim;
+    # without a preset the old mini/data/medium defaults apply
+    e.add_argument("--dataset", default=None)
+    e.add_argument("--data-root", default=None)
+    e.add_argument("--protocol", default=None,
                    choices=["easy", "medium", "hard", "classic"])
     e.add_argument("--config", default=None)
     e.add_argument("--backbone", default=None)
+    e.add_argument("--weights", default=None,
+                   help="extractor weights: a torchvision .pth state_dict "
+                        "(converted on load) or an orbax pytree written by "
+                        "`finetune` — see docs/RUNBOOK.md")
     e.add_argument("--distractors", default=None,
                    help="directory of distractor images (Oxford105k-style)")
     e.add_argument("--sharded", action="store_true",
