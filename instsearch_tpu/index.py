@@ -778,11 +778,19 @@ class Index:
         against the main store in the same program. Routes ``search()``
         (including QE / regional re-ranking) while the exact path stays
         available via ``search_cfg.replace(pq_depth=0)``. Quality =
-        candidate recall (``pq.measure_recall``); measured on-chip the
-        ADC scan is SLOWER than the packed-int4 exact scan at D=512
-        (VPU-bound one-hot expansion — see the kernel docstring), so this
-        tier is for corpus scales where even int4 rows don't fit, not
-        for latency. ``add()``/``remove()``/``augment_database()``
+        candidate recall (``pq.measure_recall``; measured on clustered
+        1M data: 0.69@depth=100, 1.0@depth=1024 — i.i.d. data collapses
+        it for reasons that say nothing about the kernel). Measured
+        regime (chip, r4): the ADC scan is VPU-expansion-bound, so at
+        1M×512 it LOSES to the packed-int4 exact scan (0.68× the full
+        stream) and B=1 latency is poor even at capacity scale (~99 ms
+        over 64M rows); but past int4's ~62M-row ceiling on a 16 GB chip
+        the 4-bit codes (2 GB @64M) are the ONLY single-chip store, and
+        batching amortizes the expansion — B=128 costs ~1.9× B=1's time
+        for 128× the queries (~670 QPS over 64M rows, bench.py
+        ``bench_pq_capacity``). Use it for capacity + batched traffic;
+        use exact int4/IVF for latency at scales that fit.
+        ``add()``/``remove()``/``augment_database()``
         invalidate the view — rebuild after mutating. Single-device view
         (the sharded path keeps the exact fused scan). Returns the
         PQView."""

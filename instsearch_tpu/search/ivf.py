@@ -328,20 +328,20 @@ class IVFIndex:
     def measure_recall(self, index, queries, k: int = 10,
                        nprobe: int | None = None) -> float:
         """recall@k vs the exact brute-force ranking, averaged over
-        queries — the build-time honesty number for a chosen nprobe."""
+        queries — the build-time honesty number for a chosen nprobe.
+
+        ``ivf_nprobe=0`` in the reference config is load-bearing: once
+        this view is attached (Index.build_ivf sets cfg.search.ivf_nprobe)
+        ``index.search`` routes through the IVF path, and without the
+        reset the "exact" reference IS the ANN result — recall comes back
+        a vacuous 1.0 at any nprobe (found via the r4 bench honesty curve,
+        where full-probe recall ranked BELOW nprobe=8)."""
         exact_s, exact_ids = index.search(
             queries, index.cfg.search.replace(k=k, qe_enabled=False,
-                                              rerank_enabled=False))
+                                              rerank_enabled=False,
+                                              ivf_nprobe=0))
         _, ivf_ids = self.search(index, queries, k=k, nprobe=nprobe)
-        hits = 0
-        total = 0
-        for e, a in zip(np.asarray(exact_ids), np.asarray(ivf_ids)):
-            e = set(int(i) for i in e if i >= 0)
-            if not e:
-                continue
-            hits += len(e & set(int(i) for i in a if i >= 0))
-            total += len(e)
-        return hits / max(total, 1)
+        return recall_vs_exact(exact_ids, ivf_ids)
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:
@@ -376,3 +376,19 @@ class IVFIndex:
 @jax.jit
 def _dequant_rows_f32(x_int8, scales):
     return x_int8.astype(jnp.float32) * scales.reshape(-1, 1)
+
+
+def recall_vs_exact(exact_ids, approx_ids) -> float:
+    """Set-overlap recall of ``approx_ids`` against the exact top-k,
+    averaged over queries ([Q, k] id arrays, -1 = empty slot). Shared by
+    measure_recall and the bench honesty curves (one exact ranking can be
+    reused across many nprobe/depth points)."""
+    hits = 0
+    total = 0
+    for e, a in zip(np.asarray(exact_ids), np.asarray(approx_ids)):
+        e = set(int(i) for i in e if i >= 0)
+        if not e:
+            continue
+        hits += len(e & set(int(i) for i in a if i >= 0))
+        total += len(e)
+    return hits / max(total, 1)

@@ -1,0 +1,100 @@
+"""Smoke-run every bench stage the driver's bench.py invokes, at toy
+shapes on the CPU rig.
+
+The bench module otherwise executes ONLY on the real chip at the end of
+a round — a shape/API regression there silently costs the whole round's
+measured artifact (bench.py skips a crashed stage and the key vanishes
+from BENCH_rN.json). These tests pin the contract instead: each stage
+must run end-to-end on the CPU fallback path and emit the exact keys the
+driver-side bench.py reads. Timings at toy scale are noise and are only
+checked for finiteness.
+"""
+import numpy as np
+import pytest
+
+from instsearch_tpu import bench as B
+
+
+def _finite(x):
+    return np.isfinite(float(x))
+
+
+def test_bench_query_smoke():
+    out = B.bench_query(n=4096, d=64, k=5, q_batch=2)
+    assert _finite(out["p50_ms"]) and out["p50_ms"] > 0
+    assert _finite(out["qps"])
+
+
+def test_bench_qe_smoke():
+    out = B.bench_qe(n=4096, d=64, k=5, qe_n=3)
+    assert _finite(out["p50_ms"]) and out["p50_ms"] > 0
+
+
+def test_bench_rerank_smoke():
+    out = B.bench_rerank(n=2048, d=64, r=4, k=5, depth=32)
+    assert _finite(out["p50_ms"]) and out["p50_ms"] > 0
+
+
+def test_bench_refine_smoke():
+    out = B.bench_refine(n=4096, d=64, depth=32, k=5)
+    assert _finite(out["p50_ms"]) and out["p50_ms"] > 0
+
+
+def test_bench_diffusion_smoke():
+    out = B.bench_diffusion(n=4096, d=64, k=5, depth=32, knn=4, iters=3)
+    assert _finite(out["p50_ms"]) and out["p50_ms"] > 0
+
+
+def test_bench_lw_smoke():
+    out = B.bench_lw(n=4096, d=64, e=8, depth=32, k=5)
+    assert _finite(out["p50_ms"]) and out["p50_ms"] > 0
+
+
+def test_bench_ivf_smoke():
+    # the honesty-curve contract (VERDICT r3 item 6): driver bench.py
+    # reads recall_at_k_vs_nprobe / scan_fraction / p50_ms
+    out = B.bench_ivf(n=4096, d=64, k=5, n_clusters=16, nprobe=4,
+                      recall_nprobes=(1, 4, 16))
+    assert _finite(out["p50_ms"]) and out["p50_ms"] > 0
+    assert 0 < out["scan_fraction"] <= 1
+    curve = out["recall_at_k_vs_nprobe"]
+    assert set(curve) == {"1", "4", "16"}
+    for v in curve.values():
+        assert 0.0 <= v <= 1.0
+    # full probe scans every cluster -> recall must be exact; nprobe=1 on
+    # boundary queries must NOT report the vacuous 1.0 the r3 bug produced
+    assert curve["16"] == pytest.approx(1.0)
+    assert curve["1"] < 1.0
+    assert out["recall_at_k"] == curve["4"]
+
+
+def test_bench_pq_smoke():
+    # driver bench.py reads p50_ms / recall_at_k / recall_at_k_vs_depth
+    out = B.bench_pq(n=4096, d=64, k=5, depth=32, m=8, fit_rows=2048)
+    assert _finite(out["p50_ms"]) and out["p50_ms"] > 0
+    curve = out["recall_at_k_vs_depth"]
+    assert "32" in curve and "1024" in curve
+    assert out["recall_at_k"] == curve["32"]
+    # the cascade re-scores exactly: deeper candidate sets can only help
+    assert curve["1024"] >= curve["32"]
+
+
+def test_bench_pq_capacity_smoke():
+    # capacity regime (VERDICT r3 item 5): driver bench.py reads n /
+    # codes_gb / p50_ms / effective_gbps and the per-batch qps entries
+    out = B.bench_pq_capacity(n=8192, d=64, m=8, depth=16,
+                              q_batches=(1, 4))
+    assert out["n"] == 8192
+    assert _finite(out["p50_ms"]) and out["p50_ms"] > 0
+    assert _finite(out["effective_gbps"])
+    assert set(out["per_batch"]) == {"1", "4"}
+    for entry in out["per_batch"].values():
+        assert _finite(entry["p50_ms"]) and entry["p50_ms"] > 0
+        assert _finite(entry["qps"])
+    assert out["q_batch"] == 1
+    assert out["p50_ms"] == out["per_batch"]["1"]["p50_ms"]
+
+
+def test_bench_protocol_eval_smoke():
+    out = B.bench_protocol_eval(n=2048, n_queries=8, d=64)
+    assert _finite(out["total_warm_sec"])

@@ -69,6 +69,31 @@ def test_recall_on_clustered_corpus(rng):
     assert ivf.scan_fraction(4) < 0.5
 
 
+def test_measure_recall_exact_reference_ignores_attached_view(rng):
+    """Regression (r4): Index.build_ivf routes index.search through the
+    IVF view (cfg.search.ivf_nprobe), and measure_recall's "exact"
+    reference used to inherit that — comparing the ANN result to ITSELF
+    and reporting a vacuous 1.0 at any nprobe. With the reset, recall at
+    nprobe=1 on a corpus whose true top-k straddles clusters must drop
+    below 1, and must agree with the unattached-view measurement."""
+    x = _clustered(rng, n_per=64, centers=16, d=32, noise=0.5)
+    idx = _index(x)
+    ivf_attached = idx.build_ivf(n_clusters=16, nprobe=1, iters=8)
+    # out-of-sample mixture queries (perturbed rows are same-cluster by
+    # construction and can hide the bug at small noise)
+    q = _unit(rng, 20, 32)
+    r1 = ivf_attached.measure_recall(idx, q, k=10, nprobe=1)
+    r_full = ivf_attached.measure_recall(idx, q, k=10, nprobe=16)
+    assert r_full == pytest.approx(1.0)
+    assert r1 < 0.9, "nprobe=1 recall should be visibly lossy here"
+
+    # same measurement through an UNATTACHED view of identical build
+    idx2 = _index(x)
+    ivf_free = IVFIndex.from_index(idx2, n_clusters=16, iters=8)
+    assert ivf_free.measure_recall(idx2, q, k=10, nprobe=1) == \
+        pytest.approx(r1)
+
+
 def test_int8_storage(rng):
     x = _clustered(rng, n_per=40, centers=8, d=32)
     idx = _index(x, dtype="int8")
