@@ -808,6 +808,26 @@ def bench_pq(n: int = 1_048_576, d: int = 512, k: int = 10,
         curve[str(dd)] = round(recall_vs_exact(exact_ids, cand_at(dd)), 4)
     out["recall_at_k_vs_depth"] = curve
     out["recall_at_k"] = curve[str(depth)]
+
+    # OPQ A/B at the same depth: a learned rotation (ops/pq.fit_opq) is
+    # the standard recall lever at fixed 32 B/row — report it next to the
+    # plain number so the artifact shows what the knob buys at 1M scale.
+    # Scan time is unchanged (same kernel; the query rotates once).
+    from .ops.pq import fit_opq
+    rot, cb_o = fit_opq(fit_x, m=m, opq_iters=4, pq_iters=iters,
+                        refine_iters=3)
+    codes_o = jnp.concatenate(
+        [encode_pq(Xd[s:s + enc_chunk].astype(jnp.float32) @ rot, cb_o)
+         for s in range(0, n, enc_chunk)], axis=0)
+    codes_o = jax.block_until_ready(codes_o)
+    qs_rot = qs @ rot
+    if on_tpu:
+        cand_o = pq_topk(codes_o, qs_rot, cb_o, k=depth)[1]
+    else:
+        from .ops.pq import decode_pq
+        cand_o = jnp.argsort(
+            -(qs_rot @ decode_pq(codes_o, cb_o).T), axis=1)[:, :depth]
+    out["recall_at_k_opq"] = round(recall_vs_exact(exact_ids, cand_o), 4)
     return out
 
 

@@ -105,9 +105,10 @@ def cmd_build_index(args) -> int:
             print("error: --ivf and --pq are mutually exclusive candidate "
                   "tiers; pick one", file=sys.stderr)
             return 2
-        pq = idx.build_pq(m=args.pq_m or None, depth=args.pq_depth)
+        pq = idx.build_pq(m=args.pq_m or None, depth=args.pq_depth,
+                          opq_iters=args.opq_iters)
         out["pq"] = {"m": pq.m, "bytes_per_row": pq.bytes_per_row,
-                     "depth": pq.depth}
+                     "depth": pq.depth, "opq": pq.rotation is not None}
     idx.save(args.out)
     print(json.dumps(out))
     return 0
@@ -127,7 +128,9 @@ def cmd_update_index(args) -> int:
     ivf_params = ((idx.ivf.n_clusters, idx.ivf.nprobe)
                   if idx.ivf is not None else None)
     lw_clusters = idx.lw.n_clusters if idx.lw is not None else None
-    pq_params = ((idx.pq.m, idx.pq.depth) if idx.pq is not None else None)
+    pq_params = ((idx.pq.m, idx.pq.depth,
+                  8 if idx.pq.rotation is not None else 0)
+                 if idx.pq is not None else None)
     added = removed = 0
     if args.remove:
         removed = idx.remove(args.remove)
@@ -153,7 +156,8 @@ def cmd_update_index(args) -> int:
     if lw_clusters is not None and idx.lw is None and (added or removed):
         idx.fit_local_whitening(n_clusters=min(lw_clusters, idx.num_valid))
     if pq_params is not None and idx.pq is None and (added or removed):
-        idx.build_pq(m=pq_params[0], depth=pq_params[1])
+        idx.build_pq(m=pq_params[0], depth=pq_params[1],
+                     opq_iters=pq_params[2])
     idx.save(args.out or args.index)
     print(json.dumps({"added": added, "removed": removed,
                       "rows": idx.num_valid,
@@ -461,6 +465,10 @@ def main(argv=None) -> int:
                    help="PQ subquantizer count (default: D/8)")
     b.add_argument("--pq-depth", type=int, default=100,
                    help="PQ cascade candidate depth (with --pq)")
+    b.add_argument("--opq-iters", type=int, default=0,
+                   help="OPQ rotation alternations for --pq (0 = plain "
+                        "PQ; ~8 typical — better candidate recall at the "
+                        "same 32 B/row)")
     b.set_defaults(fn=cmd_build_index)
 
     u = sub.add_parser("update-index", help="add/remove images on a "

@@ -771,7 +771,8 @@ class Index:
 
     def build_pq(self, m: int | None = None, iters: int = 15,
                  seed: int = 0, sample: "int | None" = 262_144,
-                 depth: int = 100, chunk: int = 65_536):
+                 depth: int = 100, chunk: int = 65_536,
+                 opq_iters: int = 0):
         """Attach a product-quantization cascade view (search/pq_view.py):
         4-bit PQ codes (ops/pq.py, 32 B per 512-d row) scanned by the
         fused ADC kernel select ``depth`` candidates, exactly re-scored
@@ -790,13 +791,17 @@ class Index:
         for 128× the queries (~670 QPS over 64M rows, bench.py
         ``bench_pq_capacity``). Use it for capacity + batched traffic;
         use exact int4/IVF for latency at scales that fit.
+        ``opq_iters > 0`` learns an OPQ rotation with the codebook
+        (ops/pq.fit_opq) — better candidate recall at the same 32 B/row,
+        for one extra [B, D] query matmul at scan time.
         ``add()``/``remove()``/``augment_database()``
         invalidate the view — rebuild after mutating. Single-device view
         (the sharded path keeps the exact fused scan). Returns the
         PQView."""
         from .search.pq_view import PQView
         self.pq = PQView.from_index(self, m=m, iters=iters, seed=seed,
-                                    sample=sample, depth=depth, chunk=chunk)
+                                    sample=sample, depth=depth, chunk=chunk,
+                                    opq_iters=opq_iters)
         self.cfg = self.cfg.replace(
             search=self.cfg.search.replace(pq_depth=depth))
         return self.pq
@@ -1169,7 +1174,7 @@ class Index:
                 self.regional if do_rerank else None,
                 self.regional_scales if do_rerank else None,
                 qreg[0] if do_rerank else None, qq, nv,
-                self.vote_matrix if sw else None,
+                self.vote_matrix if sw else None, pq.rotation,
                 k=scfg.k, depth=depth, qe_n=scfg.qe_n,
                 qe_alpha=scfg.qe_alpha, do_qe=scfg.qe_enabled,
                 do_rerank=do_rerank, int4=self.is_int4,

@@ -140,6 +140,28 @@ def _pq_lloyd_iter(xs: jax.Array, cent: jax.Array,
     return new, counts, err
 
 
+def _lloyd_loop(x: jax.Array, cent: jax.Array, nv: int, iters: int,
+                chunk: int, rng, k: int) -> jax.Array:
+    """``iters`` Lloyd iterations over ALL subspaces with empty-cluster
+    respawn on fresh row samples — the shared core of fit_pq (cold init)
+    and fit_opq (warm-started refresh after each rotation update)."""
+    n, d = x.shape
+    m, _, ds = cent.shape
+    xs = x.reshape(n // chunk, chunk, m, ds)
+    for _ in range(iters):
+        cent, counts, _ = _pq_lloyd_iter(xs, cent, nv, n_clusters=k,
+                                         chunk=chunk)
+        counts_np = np.asarray(counts)                      # [M, K]
+        if (counts_np == 0).any():
+            rows = rng.choice(nv, size=k, replace=False)
+            resp = np.asarray(x[rows], np.float32).reshape(k, m, ds)
+            cent_np = np.asarray(cent)
+            for mi, ki in zip(*np.nonzero(counts_np == 0)):
+                cent_np[mi, ki] = resp[ki, mi]
+            cent = jnp.asarray(cent_np)
+    return cent
+
+
 def fit_pq(x: jax.Array, m: int = 64, k: int = 16, *,
            num_valid: int | None = None, iters: int = 15, seed: int = 0,
            chunk: int = 16384) -> PQCodebook:
@@ -163,20 +185,71 @@ def fit_pq(x: jax.Array, m: int = 64, k: int = 16, *,
     take = rng.choice(nv, size=k, replace=False)
     sample = np.asarray(x[take], np.float32)                # [K, D]
     cent = jnp.asarray(sample.reshape(k, m, ds).transpose(1, 0, 2))
-    xs = x.reshape(n // chunk, chunk, m, ds)
+    return PQCodebook(_lloyd_loop(x, cent, nv, iters, chunk, rng, k))
 
-    for _ in range(iters):
-        cent, counts, _ = _pq_lloyd_iter(xs, cent, nv, n_clusters=k,
-                                         chunk=chunk)
-        counts_np = np.asarray(counts)                      # [M, K]
-        if (counts_np == 0).any():
-            rows = rng.choice(nv, size=k, replace=False)
-            resp = np.asarray(x[rows], np.float32).reshape(k, m, ds)
-            cent_np = np.asarray(cent)
-            for mi, ki in zip(*np.nonzero(counts_np == 0)):
-                cent_np[mi, ki] = resp[ki, mi]
-            cent = jnp.asarray(cent_np)
-    return PQCodebook(cent)
+
+@jax.jit
+def _procrustes_update(x: jax.Array, xhat: jax.Array) -> jax.Array:
+    """Orthogonal Procrustes: ``argmin_R ‖X·R − X̂‖_F`` over R ∈ O(D) is
+    ``R = U·Vᵀ`` for ``Xᵀ·X̂ = U·S·Vᵀ`` — one [D, D] SVD on device."""
+    mm = jax.lax.dot_general(x, xhat, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    u, _, vt = jnp.linalg.svd(mm, full_matrices=False)
+    return u @ vt
+
+
+def fit_opq(x: jax.Array, m: int = 64, k: int = 16, *,
+            num_valid: int | None = None, opq_iters: int = 8,
+            pq_iters: int = 15, refine_iters: int = 4, seed: int = 0,
+            chunk: int = 16384) -> "tuple[jax.Array, PQCodebook]":
+    """Optimized Product Quantization (Ge et al., "Optimized Product
+    Quantization for Approximate Nearest Neighbor Search", CVPR 2013 —
+    the non-parametric alternation of §4.1): learn an orthogonal rotation
+    ``R [D, D]`` so PQ in the rotated space has minimal reconstruction
+    error. Plain PQ quantizes each D/M-dim slice independently, so
+    correlated dimensions that straddle subspace boundaries (the norm in
+    whitened/PCA'd descriptor spaces, where variance is deliberately
+    spread) waste code entropy; the rotation re-mixes coordinates to
+    balance variance and decorrelate across subspaces.
+
+    Alternation, everything on device: (1) encode X·R under the current
+    codebook and decode to X̂; (2) Procrustes-solve R ← U·Vᵀ from
+    SVD(Xᵀ·X̂) — the closed-form optimal rotation for fixed codes; (3)
+    refresh the codebook with warm-started Lloyd iterations in the new
+    space. Since R is orthogonal, ``q·x = (q·R)·(x·R)`` — scoring rotates
+    the QUERY once ([B, D] matmul, free) and the ADC kernel is untouched.
+
+    Returns ``(rotation [D, D] f32, PQCodebook)``; reconstruction error
+    is non-increasing in the alternation up to Lloyd re-assignment noise
+    (pinned looser in tests)."""
+    n, d = x.shape
+    _check_dims(d, m)
+    nv = int(num_valid if num_valid is not None else n)
+    chunk = pick_chunk(n, chunk)
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(x, jnp.float32)
+    cb = fit_pq(x, m=m, k=k, num_valid=nv, iters=pq_iters, seed=seed,
+                chunk=chunk)
+    r = jnp.eye(d, dtype=jnp.float32)
+    xr = x
+    for _ in range(opq_iters):
+        xhat = decode_pq(encode_pq(xr, cb, chunk=chunk), cb)
+        r = _procrustes_update(x[:nv], xhat[:nv])
+        xr = x @ r
+        cent = _lloyd_loop(xr, cb.centroids, nv, refine_iters, chunk,
+                           rng, k)
+        cb = PQCodebook(cent)
+    return r, cb
+
+
+def pq_reconstruction_mse(x: jax.Array, cb: PQCodebook,
+                          rotation: "jax.Array | None" = None) -> float:
+    """Mean squared reconstruction error of the (optionally rotated) PQ
+    code of ``x`` — the quantity OPQ's alternation minimizes, and the
+    honest A/B number between a plain and an OPQ codebook."""
+    xr = x if rotation is None else x @ rotation
+    err = xr - decode_pq(encode_pq(xr, cb), cb)
+    return float(jnp.mean(jnp.sum(err * err, axis=1)))
 
 
 @partial(jax.jit, static_argnames=("chunk",))

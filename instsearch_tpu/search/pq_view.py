@@ -42,20 +42,28 @@ NEG_INF = np.float32(-np.inf)
 
 
 def _pq_candidates(codes, centroids, descriptors, scales, q, nv,
-                   *, depth: int, int4: bool, use_pallas: bool):
+                   rotation=None, *, depth: int, int4: bool,
+                   use_pallas: bool):
     """Trace-time candidate stage: ADC coarse top-``depth`` scan over the
     code stream, then EXACT f32 re-score of those rows from the main
     store. Returns ``(exact scores [B, depth] f32 desc-sorted, pos
-    [B, depth] int32 positions, -1 for empty)``."""
+    [B, depth] int32 positions, -1 for empty)``.
+
+    ``rotation`` (OPQ, ops/pq.fit_opq): codes quantize X·R, so the ADC
+    side scores with the rotated query — ``(q·R)·(x·R) = q·x`` up to the
+    (reduced) quantization error; the exact re-score keeps the ORIGINAL
+    query against the unrotated main store, so only candidate recall
+    changes, never the re-scored ordering."""
     cb = PQCodebook(centroids)
+    q_adc = q if rotation is None else (q @ rotation).astype(q.dtype)
     if use_pallas:
         from ..kernels.pq_scan import pq_topk
-        _, pos = pq_topk(codes, q, cb, k=depth, num_valid=nv)
+        _, pos = pq_topk(codes, q_adc, cb, k=depth, num_valid=nv)
     else:
         # XLA oracle (CPU rigs / tiny stores): same ADC quantity via the
         # LUT identity, full [B, N] materialized — test-scale only
         from ..ops.pq import unpack_pq
-        lut = pq_lut(q, cb)                                  # [B, M, 16]
+        lut = pq_lut(q_adc, cb)                              # [B, M, 16]
         c = unpack_pq(codes)                                 # [N, M]
         oh = jax.nn.one_hot(c, 16, dtype=jnp.float32)        # [N, M, 16]
         s = jnp.einsum("bmk,nmk->bn", lut, oh)
@@ -80,7 +88,8 @@ def _pq_candidates(codes, centroids, descriptors, scales, q, nv,
                                    "rerank_depth"))
 def _pq_composite_jit(codes, centroids, descriptors, ids, scales,
                       regional, regional_scales, query_regional, q, nv,
-                      vote_matrix=None, *, k: int, depth: int, qe_n: int,
+                      vote_matrix=None, rotation=None, *, k: int,
+                      depth: int, qe_n: int,
                       qe_alpha: float, do_qe: bool, do_rerank: bool,
                       int4: bool, use_pallas: bool,
                       spatial_weight: float = 0.0, rerank_depth: int = 0):
@@ -90,6 +99,7 @@ def _pq_composite_jit(codes, centroids, descriptors, ids, scales,
     store by position, sharing the quality math with the exact path."""
     q = jnp.asarray(q, jnp.float32)
     sel = partial(_pq_candidates, codes, centroids, descriptors, scales,
+                  rotation=rotation,
                   depth=depth, int4=int4, use_pallas=use_pallas)
     if do_qe:
         s, pos = sel(q, nv)
@@ -129,10 +139,11 @@ class PQView:
     :meth:`measure_recall`)."""
 
     def __init__(self, codebook: PQCodebook, codes: jax.Array,
-                 depth: int = 100):
+                 depth: int = 100, rotation: "jax.Array | None" = None):
         self.codebook = codebook        # centroids [M, 16, ds] f32
         self.codes = codes              # [N_pad, M/2] int8 packed nibbles
         self.depth = depth
+        self.rotation = rotation        # OPQ rotation [D, D] f32 or None
 
     # ------------------------------------------------------------------
     @property
@@ -147,14 +158,17 @@ class PQView:
     @classmethod
     def from_index(cls, index, m: int | None = None, iters: int = 15,
                    seed: int = 0, sample: "int | None" = 262_144,
-                   depth: int = 100, chunk: int = 65_536) -> "PQView":
+                   depth: int = 100, chunk: int = 65_536,
+                   opq_iters: int = 0) -> "PQView":
         """Fit the codebook and encode every stored row.
 
         ``m`` defaults to D/8 (4-bit codes at 16× bf16 compression,
         clamped so each subspace keeps ≥4 dims); the fit runs on at most
         ``sample`` dequantized rows, the encode covers all of them in
         ``chunk``-row slices (never materializing a full f32 copy of a
-        quantized store)."""
+        quantized store). ``opq_iters > 0`` additionally learns an OPQ
+        rotation (ops/pq.fit_opq) on the fit sample — codes then quantize
+        X·R and queries rotate once at scan time."""
         nv = index.num_valid
         d = index.dim
         if m is None:
@@ -178,13 +192,21 @@ class PQView:
             take.append(np.asarray(sl[:keep]))
             got += keep
         fit_x = jnp.asarray(np.concatenate(take, axis=0))
-        cb = fit_pq(fit_x, m=m, iters=iters, seed=seed)
+        rot = None
+        if opq_iters > 0:
+            from ..ops.pq import fit_opq
+            rot, cb = fit_opq(fit_x, m=m, opq_iters=opq_iters,
+                              pq_iters=iters, seed=seed)
+        else:
+            cb = fit_pq(fit_x, m=m, iters=iters, seed=seed)
 
         codes = np.empty((n_pad, m // 2), np.int8)
         for start in range(0, n_pad, chunk):
             sl = index._rows_f32_chunk(start, chunk)
+            if rot is not None:
+                sl = sl @ rot
             codes[start:start + chunk] = np.asarray(encode_pq(sl, cb))
-        return cls(cb, jnp.asarray(codes), depth=depth)
+        return cls(cb, jnp.asarray(codes), depth=depth, rotation=rot)
 
     # ------------------------------------------------------------------
     def candidates(self, index, queries: jax.Array, depth: int | None = None,
@@ -200,8 +222,8 @@ class PQView:
         nv = jnp.asarray(index.num_valid, jnp.int32)
         return _pq_run_candidates_jit(
             self.codes, self.codebook.centroids, index.descriptors,
-            index.scales, q, nv, depth=depth, int4=index.is_int4,
-            use_pallas=use_pallas)
+            index.scales, q, nv, self.rotation, depth=depth,
+            int4=index.is_int4, use_pallas=use_pallas)
 
     def search(self, index, queries, k: int = 10,
                depth: int | None = None):
@@ -234,9 +256,11 @@ class PQView:
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        np.savez(os.path.join(path, "pq.npz"),
-                 centroids=np.asarray(self.codebook.centroids),
-                 codes=np.asarray(self.codes))
+        arrs = {"centroids": np.asarray(self.codebook.centroids),
+                "codes": np.asarray(self.codes)}
+        if self.rotation is not None:
+            arrs["rotation"] = np.asarray(self.rotation)
+        np.savez(os.path.join(path, "pq.npz"), **arrs)
         with open(os.path.join(path, "pq.json"), "w") as f:
             json.dump({"depth": self.depth}, f)
 
@@ -245,13 +269,17 @@ class PQView:
         with open(os.path.join(path, "pq.json")) as f:
             meta = json.load(f)
         raw = np.load(os.path.join(path, "pq.npz"))
+        rot = (jnp.asarray(raw["rotation"])
+               if "rotation" in raw.files else None)
         return cls(PQCodebook(jnp.asarray(raw["centroids"])),
                    jnp.asarray(raw["codes"], jnp.int8),
-                   depth=int(meta["depth"]))
+                   depth=int(meta["depth"]), rotation=rot)
 
 
 @partial(jax.jit, static_argnames=("depth", "int4", "use_pallas"))
 def _pq_run_candidates_jit(codes, centroids, descriptors, scales, q, nv,
-                           *, depth: int, int4: bool, use_pallas: bool):
+                           rotation=None, *, depth: int, int4: bool,
+                           use_pallas: bool):
     return _pq_candidates(codes, centroids, descriptors, scales, q, nv,
-                          depth=depth, int4=int4, use_pallas=use_pallas)
+                          rotation, depth=depth, int4=int4,
+                          use_pallas=use_pallas)

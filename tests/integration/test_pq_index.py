@@ -218,3 +218,60 @@ def test_cli_pq_flow(tmp_path):
     back = Index.load(idx_dir)
     assert back.pq is not None and back.pq.m == 4
     assert first_name not in back.names
+
+
+def _anisotropic(rng, n, d, decay=0.9):
+    z = rng.standard_normal((n, d)).astype(np.float32)
+    spec = (decay ** np.arange(d)).astype(np.float32)
+    basis, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    x = (z * spec) @ basis.astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_opq_full_depth_equals_bruteforce(rng):
+    # the cascade's exactness anchor must hold with a rotation attached:
+    # ADC admits every row at full depth and the exact re-score (which
+    # never sees the rotation) restores the brute-force ranking
+    x = _anisotropic(rng, 256, 32)
+    q = _unit(rng, 7, 32)
+    idx = _index(x)
+    pq = PQView.from_index(idx, m=4, iters=6, depth=256, opq_iters=3)
+    assert pq.rotation is not None
+    s, ids = pq.search(idx, q, k=10, depth=256)
+    want = np.argsort(-(q @ x.T), axis=1)[:, :10]
+    np.testing.assert_array_equal(ids, want)
+
+
+def test_opq_recall_beats_plain_on_anisotropic_corpus(rng):
+    # the reason OPQ exists: on spectrum-decayed data seen through a
+    # random basis (real descriptor spaces after PCA-whitening look like
+    # this), the learned rotation recovers candidate recall plain PQ
+    # loses to cross-subspace correlation (measured: 0.87 -> 0.94)
+    x = _anisotropic(rng, 4096, 64)
+    idx = _index(x)
+    q = x[rng.choice(len(x), 16, replace=False)]
+    q = q + 0.02 * rng.standard_normal(q.shape).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    plain = PQView.from_index(idx, m=8, iters=10, depth=100)
+    opq = PQView.from_index(idx, m=8, iters=10, depth=100, opq_iters=5)
+    r_plain = plain.measure_recall(idx, q, k=10, depth=100)
+    r_opq = opq.measure_recall(idx, q, k=10, depth=100)
+    assert r_opq >= r_plain, (r_opq, r_plain)
+    assert r_opq > 0.85, r_opq
+
+
+def test_opq_save_load_roundtrip(tmp_path, rng):
+    x = _anisotropic(rng, 128, 16)
+    idx = _index(x)
+    idx.build_pq(m=2, iters=4, depth=64, opq_iters=2)
+    assert idx.pq.rotation is not None
+    q = _unit(rng, 4, 16)
+    s1, i1 = idx.search(q)
+    idx.save(str(tmp_path / "idx"))
+    back = Index.load(str(tmp_path / "idx"))
+    assert back.pq is not None and back.pq.rotation is not None
+    np.testing.assert_allclose(np.asarray(back.pq.rotation),
+                               np.asarray(idx.pq.rotation), rtol=1e-6)
+    s2, i2 = back.search(q)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)

@@ -129,3 +129,62 @@ def test_recall_against_exact(rng):
     rec = np.mean([len(set(exact[:, b]) & set(pool[:, b])) / 10.0
                    for b in range(8)])
     assert rec > 0.6, f"exact-top-10 recall in ADC top-100 = {rec}"
+
+
+def _anisotropic(rng, n, d, decay=0.9):
+    """OPQ's win case: a decaying spectrum viewed through a random
+    orthogonal basis — every contiguous D/M slice mixes strong and weak
+    directions, so plain PQ wastes code entropy that a learned rotation
+    recovers (Ge et al. CVPR 2013 §1)."""
+    z = rng.standard_normal((n, d)).astype(np.float32)
+    spec = (decay ** np.arange(d)).astype(np.float32)
+    basis, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    x = (z * spec) @ basis.astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_opq_rotation_is_orthogonal(rng):
+    from instsearch_tpu.ops.pq import fit_opq
+    x = _anisotropic(rng, 512, 32)
+    r, cb = fit_opq(jnp.asarray(x), m=4, opq_iters=3, pq_iters=6,
+                    refine_iters=2, seed=0)
+    assert r.shape == (32, 32)
+    np.testing.assert_allclose(np.asarray(r).T @ np.asarray(r),
+                               np.eye(32), atol=1e-5)
+    assert cb.m == 4
+
+
+def test_opq_reduces_reconstruction_error(rng):
+    # measured on this construction: plain mse ~0.41, OPQ ~0.16 — the
+    # margin asserts the alternation actually learned a useful rotation,
+    # not just a permutation of the identity
+    from instsearch_tpu.ops.pq import fit_opq, pq_reconstruction_mse
+    x = jnp.asarray(_anisotropic(rng, 4096, 64))
+    cb_p = fit_pq(x, m=8, iters=12, seed=0)
+    r, cb_o = fit_opq(x, m=8, opq_iters=6, pq_iters=12, refine_iters=4,
+                      seed=0)
+    mse_p = pq_reconstruction_mse(x, cb_p)
+    mse_o = pq_reconstruction_mse(x, cb_o, rotation=r)
+    assert mse_o < 0.7 * mse_p, (mse_o, mse_p)
+
+
+def test_opq_adc_identity_with_rotation(rng):
+    # the scoring identity the view relies on: ADC with the ROTATED query
+    # over codes of X.R equals (q.R) . decode(codes) exactly — i.e. the
+    # rotation changes only which codes exist, never the ADC math
+    from instsearch_tpu.ops.pq import fit_opq
+    x = _anisotropic(rng, 256, 32)
+    q = _rows(rng, 3, 32)
+    r, cb = fit_opq(jnp.asarray(x), m=4, opq_iters=2, pq_iters=6,
+                    refine_iters=2, seed=1)
+    xr = jnp.asarray(x) @ r
+    packed = encode_pq(xr, cb)
+    qr = q @ np.asarray(r)
+    lut = np.asarray(pq_lut(jnp.asarray(qr), cb))
+    codes = np.asarray(unpack_pq(packed))
+    want = np.asarray(decode_pq(packed, cb)) @ qr.T      # [N, B]
+    got = np.zeros((3, 256), np.float32)
+    for b in range(3):
+        for m in range(4):
+            got[b] += lut[b, m, codes[:, m]]
+    np.testing.assert_allclose(got, want.T, rtol=1e-4, atol=1e-5)
