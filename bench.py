@@ -18,6 +18,7 @@ def main() -> int:
     # backend hangs when the persistent compilation cache is active.
     from instsearch_tpu.bench import (bench_diffusion, bench_extraction,
                                       bench_extraction_e2e, bench_ivf,
+                                      bench_ivfpq, bench_ivfpq_capacity,
                                       bench_protocol_eval, bench_qe,
                                       bench_lw, bench_pq, bench_pq_capacity,
                                       bench_query, bench_query_e2e,
@@ -60,6 +61,10 @@ def main() -> int:
     # still all emit
     ivf = _try(bench_ivf)
     pqcap = _try(bench_pq_capacity)
+    # newest stages last: if the soft budget is hit, the r3/r4 keys
+    # above still all emit
+    ivfpq = _try(bench_ivfpq)
+    ivfpqcap = _try(bench_ivfpq_capacity)
 
     value = round(ext["images_per_sec"], 1)
     line = {
@@ -147,6 +152,22 @@ def main() -> int:
         if "speedup_vs_full_stream" in ivf:
             line["ivf_speedup_vs_full_stream"] = round(
                 ivf["speedup_vs_full_stream"], 3)
+    if ivfpq is not None:
+        line["ivfpq_p50_ms_1M"] = round(ivfpq["p50_ms"], 3)
+        line["ivfpq_scan_fraction"] = ivfpq["scan_fraction"]
+        line["ivfpq_recall_at_10_vs_nprobe"] = ivfpq["recall_at_k_vs_nprobe"]
+        if "speedup_vs_full_stream" in ivfpq:
+            line["ivfpq_speedup_vs_full_stream"] = round(
+                ivfpq["speedup_vs_full_stream"], 3)
+    if ivfpqcap is not None:
+        line["ivfpq_capacity_rows"] = ivfpqcap["n"]
+        line["ivfpq_capacity_p50_ms"] = round(ivfpqcap["p50_ms"], 3)
+        line["ivfpq_capacity_scan_fraction"] = ivfpqcap["scan_fraction"]
+        for b, e in ivfpqcap.get("per_batch", {}).items():
+            if b == str(ivfpqcap.get("q_batch")):
+                continue
+            line[f"ivfpq_capacity_p50_ms_b{b}"] = round(e["p50_ms"], 3)
+            line[f"ivfpq_capacity_qps_b{b}"] = round(e["qps"], 1)
     if pqcap is not None:
         # no roofline frac here: the interleaved probe misreads next to
         # ~100 ms kernels (read 131 GB/s vs 753 standalone); the honest

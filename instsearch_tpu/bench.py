@@ -1019,6 +1019,182 @@ def bench_ivf(n: int = 1_048_576, d: int = 512, k: int = 10,
     return out
 
 
+def bench_ivfpq(n: int = 1_048_576, d: int = 512, k: int = 10,
+                q_batch: int = 1, n_clusters: int = 1024,
+                nprobe: int = 32, m: int = 64, depth: int = 100,
+                recall_nprobes: tuple = (1, 8, 32, 128)) -> dict:
+    """IVF-PQ cascade at production scale (search/ivfpq.py): coarse fit +
+    residual encode on device, then the full candidates program (pruned
+    ADC + exact re-score) timed chained-marginal, with the same
+    out-of-sample honesty curve as bench_ivf. The point vs the flat PQ
+    tier: the ADC expansion — PQ's whole cost — scales by the scan
+    fraction."""
+    from .config import IndexConfig, PipelineConfig, SearchConfig
+    from .index import Index
+    from .search.ivfpq import IVFPQView, _ivfpq_candidates_jit
+
+    Xq, qs_all = _make_clustered_device(n, d, max(q_batch, 32))
+    Xd, q = Xq, qs_all[:q_batch]
+    cfg = PipelineConfig(index=IndexConfig(dtype="bfloat16", row_tile=4096),
+                         search=SearchConfig(k=k, use_pallas=True))
+    idx = Index(Xd, jnp.arange(n, dtype=jnp.int32), [""] * n, cfg)
+    t0 = time.perf_counter()
+    v = IVFPQView.from_index(idx, n_clusters=n_clusters, nprobe=nprobe,
+                             m=m, depth=depth)
+    build_s = time.perf_counter() - t0
+    nv = jnp.asarray(n, jnp.int32)
+
+    def op(cent, codes, bpos, scodes, spos, sclu, pqc, X, ids, qq, nv):
+        return _ivfpq_candidates_jit(cent, codes, bpos, scodes, spos,
+                                     sclu, pqc, X, None, qq, nv,
+                                     depth=depth, nprobe=nprobe,
+                                     int4=False)
+
+    def make_chained(chain):
+        def run(*a):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(chain):
+                s, _ = op(*a[:-2], a[-2] + acc * 1e-30, a[-1])
+                acc = acc + s[0, 0]
+            return acc
+        return jax.jit(run)
+
+    args = (v.centroids, v.codes, v.bucket_pos, v.spill_codes,
+            v.spill_pos, v.spill_cluster, v.codebook.centroids,
+            idx.descriptors, idx.ids, q, nv)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    out = {"n": n, "d": d, "k": k, "q_batch": q_batch,
+           "n_clusters": v.n_clusters, "nprobe": nprobe, "m": m,
+           "depth": depth, "bytes_per_row": v.bytes_per_row,
+           "scan_fraction": round(v.scan_fraction(), 4),
+           "build_sec": round(build_s, 2)}
+    if on_tpu:
+        # VERY long chains: the pruned op is ~0.1-0.4 ms — a chain-scaling
+        # probe on chip found chain=1 and chain=33 indistinguishable
+        # (~30-35 ms wall, all fixed dispatch), so standard n2=11/20
+        # marginals collapse to the clamp floor. 128 marginal ops puts the
+        # signal at ~25-50 ms, well past the ~5 ms rep-to-rep jitter.
+        q1 = jnp.ones((1, d), jnp.bfloat16)
+        probe_ests, ests = interleaved_marginal(
+            [(make_stream_probe, (Xd, q1)), (make_chained, args)],
+            n1=8, n2=136, reps=7)
+        p50 = float(np.median(ests))
+        valid = (probe_ests > 2e-9) & (ests > 2e-9)
+        if valid.any():
+            pv, kv = probe_ests[valid], ests[valid]
+            out["speedup_vs_full_stream"] = float(np.median(pv / kv))
+    else:
+        ests = marginal_times(make_chained, args, n1=3, n2=11, reps=7)
+        p50 = float(np.median(ests))
+    out["p50_ms"] = p50 * 1e3
+    out["p99_ms"] = float(np.percentile(ests, 99)) * 1e3
+    out["qps"] = q_batch / p50
+    # honesty curve (same discipline as bench_ivf: out-of-sample mixture
+    # boundary queries, one exact ranking shared across nprobe points)
+    from .search.ivf import recall_vs_exact
+    exact_s, exact_ids = idx.search(
+        qs_all, idx.cfg.search.replace(k=k, qe_enabled=False,
+                                       rerank_enabled=False,
+                                       ivfpq_nprobe=0))
+    curve = {}
+    for p in recall_nprobes:
+        p_eff = min(p, v.n_clusters)
+        _, got = v.search(idx, qs_all, k=k, nprobe=p_eff)
+        curve[str(p_eff)] = round(recall_vs_exact(exact_ids, got), 4)
+    out["recall_at_k_vs_nprobe"] = curve
+    out["recall_at_k"] = curve.get(str(min(nprobe, v.n_clusters)))
+    return out
+
+
+def bench_ivfpq_capacity(n: int = 67_108_864, d: int = 512, m: int = 64,
+                         n_clusters: int = 8192, nprobe: int = 64,
+                         depth: int = 100,
+                         q_batches: tuple = (1, 128)) -> dict:
+    """IVF-PQ in the claimed capacity regime: 64M×512 where ONLY the 2 GB
+    code store fits the chip (bench_pq_capacity's setting) — now with the
+    ADC pruned to ~nprobe/n_clusters of the codes. bench_pq_capacity
+    measured the flat scan EXPANSION-bound at ~99 ms B=1; pruning attacks
+    exactly that term, so this is the B=1 LATENCY answer at capacity
+    scale. It is NOT the batched-throughput answer: the probed-bucket
+    gather is per-query, so at B=128 the op costs ~300 ms (chip
+    chain-probe) vs the flat scan's ~190 ms — serve batched traffic from
+    the flat PQ tier and single-query latency from this one; the
+    q_batches sweep keeps that crossover measured, not assumed. Codes
+    are random bytes bucketed synthetically (ADC time is
+    content-independent; a real 64M k-means + encode through this box's
+    tunnel is hours for values that cannot change the timing — the
+    honest recall number lives in bench_ivfpq's 1M curve). No exact
+    re-score: nothing to re-score against on a chip this store fills
+    (the deployment answer is a host-side gather of the depth
+    candidates' exact rows)."""
+    from .ops.pq import PQCodebook
+    from .search.ivfpq import _adc_select_jit
+
+    groups = m // 2
+    cap = n // n_clusters
+    max_b = max(q_batches)
+
+    @jax.jit
+    def make():
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
+        bits = jax.random.bits(k1, (n_clusters, cap, groups), jnp.uint8)
+        codes = jax.lax.bitcast_convert_type(bits, jnp.int8)
+        cents = jax.random.normal(k2, (n_clusters, d), jnp.float32)
+        cents = cents / jnp.linalg.norm(cents, axis=1, keepdims=True)
+        pqc = jax.random.normal(k3, (m, 16, d // m), jnp.float32)
+        q = jax.random.normal(k4, (max_b, d), jnp.float32)
+        bpos = jnp.arange(n, dtype=jnp.int32).reshape(n_clusters, cap)
+        return (codes, cents, pqc, bpos,
+                q / jnp.linalg.norm(q, axis=1, keepdims=True))
+
+    codes, cents, pqc, bpos, qall = make()
+    codes = jax.block_until_ready(codes)
+    spill_c = jnp.zeros((0, groups), jnp.int8)
+    spill_p = jnp.zeros((0,), jnp.int32)
+    spill_cl = jnp.zeros((0,), jnp.int32)
+
+    def op(cents, codes, bpos, pqc, qq):
+        return _adc_select_jit(cents, codes, bpos, spill_c, spill_p,
+                               spill_cl, pqc, qq, depth=depth,
+                               nprobe=nprobe)
+
+    def make_chained(chain):
+        def run(cents, codes, bpos, pqc, qq):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(chain):
+                s, _ = op(cents, codes, bpos, pqc, qq + acc * 1e-30)
+                acc = acc + s[0, 0]
+            return acc
+        return jax.jit(run)
+
+    out = {"n": n, "d": d, "m": m, "n_clusters": n_clusters,
+           "nprobe": nprobe, "depth": depth,
+           "codes_gb": round(n * groups / 2**30, 2),
+           "scan_fraction": round(nprobe / n_clusters, 4),
+           "per_batch": {}}
+    for b in q_batches:
+        q = jax.block_until_ready(qall[:b])
+        # chain lengths from a chip chain-scaling probe: at B=1 the
+        # pruned op is ~0.75 ms (1/128 of the flat 99 ms scan) so 32
+        # marginal ops put ~24 ms of signal over the ~5 ms rep jitter;
+        # at B=128 the per-query bucket gather makes the op ~250 ms and
+        # short pq_capacity-style chains are correct
+        n1, n2 = (4, 36) if b < 32 else (2, 6)
+        ests = marginal_times(make_chained, (cents, codes, bpos, pqc, q),
+                              n1=n1, n2=n2, reps=7)
+        p50 = float(np.median(ests))
+        out["per_batch"][str(b)] = {
+            "p50_ms": p50 * 1e3,
+            "p99_ms": float(np.percentile(ests, 99)) * 1e3,
+            "qps": b / p50}
+    b0 = str(q_batches[0])
+    out["q_batch"] = q_batches[0]
+    out["p50_ms"] = out["per_batch"][b0]["p50_ms"]
+    out["p99_ms"] = out["per_batch"][b0]["p99_ms"]
+    out["qps"] = out["per_batch"][b0]["qps"]
+    return out
+
+
 def bench_rerank(n: int = 1_048_576, d: int = 512, r: int = 16,
                  depth: int = 100, k: int = 10, q_batch: int = 1,
                  regional_dtype: str = "int8") -> dict:

@@ -109,6 +109,19 @@ def cmd_build_index(args) -> int:
                           opq_iters=args.opq_iters)
         out["pq"] = {"m": pq.m, "bytes_per_row": pq.bytes_per_row,
                      "depth": pq.depth, "opq": pq.rotation is not None}
+    if getattr(args, "ivfpq", False):
+        if args.ivf or args.pq:
+            print("error: --ivfpq is mutually exclusive with --ivf/--pq "
+                  "(one candidate-selection tier per index)",
+                  file=sys.stderr)
+            return 2
+        v = idx.build_ivfpq(n_clusters=args.ivf_clusters or None,
+                            nprobe=args.nprobe, m=args.pq_m or None,
+                            depth=args.pq_depth)
+        out["ivfpq"] = {"clusters": v.n_clusters, "nprobe": v.nprobe,
+                        "m": v.m, "bytes_per_row": v.bytes_per_row,
+                        "depth": v.depth,
+                        "scan_fraction": round(v.scan_fraction(), 4)}
     idx.save(args.out)
     print(json.dumps(out))
     return 0
@@ -131,6 +144,9 @@ def cmd_update_index(args) -> int:
     pq_params = ((idx.pq.m, idx.pq.depth,
                   8 if idx.pq.rotation is not None else 0)
                  if idx.pq is not None else None)
+    ivfpq_params = ((idx.ivfpq.n_clusters, idx.ivfpq.nprobe,
+                     idx.ivfpq.m, idx.ivfpq.depth)
+                    if idx.ivfpq is not None else None)
     added = removed = 0
     if args.remove:
         removed = idx.remove(args.remove)
@@ -158,6 +174,10 @@ def cmd_update_index(args) -> int:
     if pq_params is not None and idx.pq is None and (added or removed):
         idx.build_pq(m=pq_params[0], depth=pq_params[1],
                      opq_iters=pq_params[2])
+    if ivfpq_params is not None and idx.ivfpq is None and (added or removed):
+        idx.build_ivfpq(n_clusters=min(ivfpq_params[0], idx.num_valid),
+                        nprobe=ivfpq_params[1], m=ivfpq_params[2],
+                        depth=ivfpq_params[3])
     idx.save(args.out or args.index)
     print(json.dumps({"added": added, "removed": removed,
                       "rows": idx.num_valid,
@@ -186,6 +206,8 @@ def cmd_query(args) -> int:
         scfg = scfg.replace(ivf_nprobe=args.nprobe)
     if getattr(args, "pq_depth", None) is not None:  # 0 = exact likewise
         scfg = scfg.replace(pq_depth=args.pq_depth)
+    if getattr(args, "ivfpq_nprobe", None) is not None:  # 0 = exact
+        scfg = scfg.replace(ivfpq_nprobe=args.ivfpq_nprobe)
     if getattr(args, "diffusion", False):
         scfg = scfg.replace(diffusion_enabled=True, rerank_enabled=False,
                             refine_enabled=False, lw_enabled=False)
@@ -469,6 +491,13 @@ def main(argv=None) -> int:
                    help="OPQ rotation alternations for --pq (0 = plain "
                         "PQ; ~8 typical — better candidate recall at the "
                         "same 32 B/row)")
+    b.add_argument("--ivfpq", action="store_true",
+                   help="attach an IVF-PQ cascade view (k-means-bucketed "
+                        "4-bit residual codes: the PQ store's 32 B/row "
+                        "with the ADC scan pruned to ~nprobe/clusters; "
+                        "search/ivfpq.py). Mutually exclusive with "
+                        "--ivf/--pq; uses --ivf-clusters/--nprobe/--pq-m/"
+                        "--pq-depth for its sizing")
     b.set_defaults(fn=cmd_build_index)
 
     u = sub.add_parser("update-index", help="add/remove images on a "
@@ -491,6 +520,9 @@ def main(argv=None) -> int:
                    help="IVF probes (indexes built with --ivf; 0 = exact)")
     q.add_argument("--pq-depth", type=int, default=None,
                    help="PQ cascade depth (indexes built with --pq; "
+                        "0 = exact)")
+    q.add_argument("--ivfpq-nprobe", type=int, default=None,
+                   help="IVF-PQ probes (indexes built with --ivfpq; "
                         "0 = exact)")
     q.add_argument("--diffusion", action="store_true",
                    help="diffusion re-ranking over the top candidates' "

@@ -171,6 +171,13 @@ class SearchConfig(_JsonMixin):
     # 0 = exact brute force. Takes effect only when the index has a PQ
     # view attached (Index.build_pq, which sets this to its depth).
     pq_depth: int = 0
+    # IVF-PQ pruned cascade (search/ivfpq.py): probes per query over the
+    # bucketed 4-bit residual-code store; candidates exactly re-scored
+    # like the PQ cascade. 0 = exact brute force. Takes effect only when
+    # the index has an IVF-PQ view attached (Index.build_ivfpq, which
+    # sets this to its nprobe). Mutually exclusive with the IVF and PQ
+    # views at build time (one candidate tier per index).
+    ivfpq_nprobe: int = 0
     # local-whitening re-ranking (search/lw_rerank.py): re-score the
     # top-rerank_depth candidates under each candidate's own cluster
     # metric (k-means-routed per-cluster whitening bank,

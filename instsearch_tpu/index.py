@@ -356,6 +356,8 @@ class Index:
         #                                     cluster-metric re-scoring)
         self.pq = None                      # search.pq_view.PQView (ADC
         #                                     coarse scan + exact re-score)
+        self.ivfpq = None                   # search.ivfpq.IVFPQView
+        #                                     (pruned residual-ADC cascade)
         self.regional_geom = None           # [R, 3] R-MAC grid geometry
         #                                     (spatial verification)
 
@@ -413,6 +415,15 @@ class Index:
                 "pq_depth and ivf_nprobe are both set and both views are "
                 "attached — one candidate-selection tier per query "
                 "(disable one, e.g. search_cfg.replace(ivf_nprobe=0))")
+        armed_tiers = [nm for nm, on in (
+            ("ivf_nprobe", scfg.ivf_nprobe > 0 and self.ivf is not None),
+            ("pq_depth", scfg.pq_depth > 0 and self.pq is not None),
+            ("ivfpq_nprobe",
+             scfg.ivfpq_nprobe > 0 and self.ivfpq is not None)) if on]
+        if len(armed_tiers) > 1:
+            raise ValueError(
+                f"{' and '.join(armed_tiers)} all armed — one candidate-"
+                f"selection tier per query (disable the others)")
         if (scfg.spatial_weight and scfg.rerank_enabled
                 and self.regional is not None and self.regional_geom is None):
             raise ValueError(
@@ -761,6 +772,10 @@ class Index:
                 "gather re-materializes rows; use int8 for IVF, or int4 "
                 "with the exact fused scan — it reads a quarter of bf16's "
                 "bytes, which is the same latency class IVF targets)")
+        if self.ivfpq is not None:
+            raise ValueError(
+                "an IVF-PQ view is attached — mutually exclusive "
+                "candidate-selection tiers (one per index)")
         from .search.ivf import IVFIndex
         self.ivf = IVFIndex.from_index(self, n_clusters=n_clusters,
                                        nprobe=nprobe, iters=iters, seed=seed,
@@ -798,6 +813,10 @@ class Index:
         invalidate the view — rebuild after mutating. Single-device view
         (the sharded path keeps the exact fused scan). Returns the
         PQView."""
+        if self.ivfpq is not None:
+            raise ValueError(
+                "an IVF-PQ view is attached — mutually exclusive "
+                "candidate-selection tiers (one per index)")
         from .search.pq_view import PQView
         self.pq = PQView.from_index(self, m=m, iters=iters, seed=seed,
                                     sample=sample, depth=depth, chunk=chunk,
@@ -806,12 +825,51 @@ class Index:
             search=self.cfg.search.replace(pq_depth=depth))
         return self.pq
 
+    def build_ivfpq(self, n_clusters: int | None = None, nprobe: int = 32,
+                    m: int | None = None, kmeans_iters: int = 10,
+                    pq_iters: int = 15, seed: int = 0,
+                    cap_factor: float = 4.0,
+                    sample: "int | None" = 262_144, depth: int = 100,
+                    chunk: int = 65_536):
+        """Attach an IVF-PQ cascade view (search/ivfpq.py): k-means
+        bucketing of 4-bit RESIDUAL PQ codes — the PQ tier's 32 B/row
+        store with its ADC expansion (the tier's whole cost) pruned to
+        ``nprobe/n_clusters`` of the rows, exact re-score against the
+        main store in the same program. Routes ``search()`` (including
+        QE / regional re-ranking) when ``SearchConfig.ivfpq_nprobe > 0``;
+        the exact path stays available via
+        ``search_cfg.replace(ivfpq_nprobe=0)``. Quality = candidate
+        recall over (nprobe, depth) jointly (``ivfpq.measure_recall``).
+        Mutually exclusive with the IVF and PQ views (one candidate tier
+        per index). ``add()``/``remove()``/``augment_database()``
+        invalidate the view — rebuild after mutating. Returns the
+        IVFPQView."""
+        if self.ivf is not None or self.pq is not None:
+            raise ValueError(
+                "IVF-PQ is mutually exclusive with the IVF and PQ views "
+                "(one candidate-selection tier per index); drop the "
+                "other view first")
+        from .search.ivfpq import IVFPQView
+        self.ivfpq = IVFPQView.from_index(
+            self, n_clusters=n_clusters, nprobe=nprobe, m=m,
+            kmeans_iters=kmeans_iters, pq_iters=pq_iters, seed=seed,
+            cap_factor=cap_factor, sample=sample, depth=depth, chunk=chunk)
+        self.cfg = self.cfg.replace(
+            search=self.cfg.search.replace(ivfpq_nprobe=self.ivfpq.nprobe))
+        return self.ivfpq
+
     def _drop_pq(self, why: str) -> None:
         if self.pq is not None:
             from .utils import get_logger
             get_logger("instsearch.index").warning(
                 "PQ view invalidated by %s; rebuild with build_pq()", why)
             self.pq = None
+        if self.ivfpq is not None:
+            from .utils import get_logger
+            get_logger("instsearch.index").warning(
+                "IVF-PQ view invalidated by %s; rebuild with "
+                "build_ivfpq()", why)
+            self.ivfpq = None
 
     def _drop_ivf(self, why: str) -> None:
         if self.ivf is not None:
@@ -1082,6 +1140,12 @@ class Index:
             # IS a refine); diffusion/lw keep the exact scan like IVF
             return self._search_pq(q, scfg, query_regional, do_rerank)
 
+        if (self.ivfpq is not None and scfg.ivfpq_nprobe > 0
+                and not do_diffusion and not do_lw and not do_refine):
+            # same routing discipline as the PQ cascade (the exact
+            # re-score IS a refine; diffusion/lw keep the exact scan)
+            return self._search_ivfpq(q, scfg, query_regional, do_rerank)
+
         if do_lw:
             return self._search_lw(q, scfg)
 
@@ -1183,6 +1247,47 @@ class Index:
 
         # bound the per-stage [chunk, depth, D] f32 candidate gather
         per_q = max(1, 2 * depth * self.dim * 4)
+        chunk = max(1, min(scfg.query_chunk or q.shape[0],
+                           (256 << 20) // per_q))
+        from .utils.chunking import run_chunked
+        args = (q, jnp.asarray(query_regional)) if do_rerank else (q,)
+        top_scores, top_ids = run_chunked(run, chunk, *args)
+        return np.asarray(top_scores), np.asarray(top_ids)
+
+    def _search_ivfpq(self, q, scfg, query_regional, do_rerank: bool):
+        """IVF-PQ cascade path (search/ivfpq.py): cluster-pruned residual
+        ADC over bucketed 4-bit codes selects the candidates, exactly
+        re-scored against the main store — QE / re-rank stages compose by
+        position, ONE jitted program per chunk."""
+        v = self.ivfpq
+        nprobe = min(scfg.ivfpq_nprobe, v.n_clusters)
+        depth = max(v.depth, scfg.k,
+                    scfg.qe_n if scfg.qe_enabled else 0,
+                    scfg.rerank_depth if do_rerank else 0)
+        depth = min(depth, self.descriptors.shape[0])
+        nv = jnp.asarray(self.num_valid, jnp.int32)
+        sw = float(scfg.spatial_weight) if do_rerank else 0.0
+        from .search.ivfpq import _ivfpq_composite_jit
+
+        def run(qq, *qreg):
+            return _ivfpq_composite_jit(
+                v.centroids, v.codes, v.bucket_pos, v.spill_codes,
+                v.spill_pos, v.spill_cluster, v.codebook.centroids,
+                self.descriptors, self.ids, self.scales,
+                self.regional if do_rerank else None,
+                self.regional_scales if do_rerank else None,
+                qreg[0] if do_rerank else None, qq, nv,
+                self.vote_matrix if sw else None,
+                k=scfg.k, depth=depth, qe_n=scfg.qe_n,
+                qe_alpha=scfg.qe_alpha, nprobe=nprobe,
+                do_qe=scfg.qe_enabled, do_rerank=do_rerank,
+                int4=self.is_int4, spatial_weight=sw,
+                rerank_depth=min(scfg.rerank_depth, depth))
+
+        # bound the [chunk, nprobe, M, m/2] code gather + the
+        # [chunk, depth, D] exact-re-score gather
+        per_q = max(1, nprobe * v.bucket_capacity * v.bytes_per_row
+                    + 2 * depth * self.dim * 4)
         chunk = max(1, min(scfg.query_chunk or q.shape[0],
                            (256 << 20) // per_q))
         from .utils.chunking import run_chunked
@@ -1294,6 +1399,21 @@ class Index:
             return self.search(q, scfg, query_regional=qreg)
         from .utils import COUNTERS
         COUNTERS.add("queries_served", q.shape[0])
+        # IVF-PQ on the mesh: same gating as the single-device router
+        # EXCEPT rerank — the cascade composite has no sharded
+        # regional-rerank form yet, so a rerank-enabled config keeps the
+        # sharded exact-selection rerank below (candidate quality >= the
+        # cascade's; latency is the exact scan's)
+        if (scfg.ivfpq_nprobe > 0 and sharded_index.ivfpq is not None
+                and not (scfg.diffusion_enabled or scfg.lw_enabled
+                         or scfg.refine_enabled)
+                and not (scfg.rerank_enabled
+                         and sharded_index.regional is not None)):
+            s, i = sharded_index.search_ivfpq(
+                q, k=scfg.k, nprobe=scfg.ivfpq_nprobe,
+                qe_n=scfg.qe_n if scfg.qe_enabled else 0,
+                qe_alpha=scfg.qe_alpha)
+            return np.asarray(s), np.asarray(i)
         if scfg.qe_enabled:
             q = sharded_index.expand_queries(q, qe_n=scfg.qe_n,
                                              alpha=scfg.qe_alpha)
@@ -1354,7 +1474,7 @@ class Index:
         if use_pallas is None:
             use_pallas = (self.cfg.search.use_pallas
                           and jax.devices()[0].platform == "tpu")
-        return ShardedIndex(self.descriptors, self.ids, mesh=mesh,
+        sidx = ShardedIndex(self.descriptors, self.ids, mesh=mesh,
                             k=self.cfg.search.k, use_pallas=use_pallas,
                             scales=self.scales, regional=self.regional,
                             regional_scales=self.regional_scales,
@@ -1367,6 +1487,9 @@ class Index:
                             lw_params=None if self.lw is None
                             else self.lw.params,
                             regional_geom=self.regional_geom)
+        if self.ivfpq is not None:
+            sidx.attach_ivfpq(self.ivfpq)
+        return sidx
 
     # ------------------------------------------------------------------
     # Persistence. Two storage formats behind one API:
@@ -1433,6 +1556,9 @@ class Index:
         if self.pq is not None:
             self.pq.save(os.path.join(path, "pq"))
             meta["pq"] = True
+        if self.ivfpq is not None:
+            self.ivfpq.save(os.path.join(path, "ivfpq"))
+            meta["ivfpq"] = True
         if self.regional_geom is not None:
             meta["regional_geom"] = np.asarray(self.regional_geom).tolist()
         if self.extractor is not None:
@@ -1523,6 +1649,9 @@ class Index:
         if meta.get("pq"):
             from .search.pq_view import PQView
             idx.pq = PQView.load(os.path.join(path, "pq"))
+        if meta.get("ivfpq"):
+            from .search.ivfpq import IVFPQView
+            idx.ivfpq = IVFPQView.load(os.path.join(path, "ivfpq"))
         if meta.get("regional_geom") is not None:
             idx.regional_geom = np.asarray(meta["regional_geom"], np.float32)
         return idx

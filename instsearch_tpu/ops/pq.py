@@ -155,7 +155,9 @@ def _lloyd_loop(x: jax.Array, cent: jax.Array, nv: int, iters: int,
         if (counts_np == 0).any():
             rows = rng.choice(nv, size=k, replace=False)
             resp = np.asarray(x[rows], np.float32).reshape(k, m, ds)
-            cent_np = np.asarray(cent)
+            # np.array, not asarray: device arrays view as READ-ONLY
+            # numpy (surfaced the first time a respawn actually fired)
+            cent_np = np.array(cent)
             for mi, ki in zip(*np.nonzero(counts_np == 0)):
                 cent_np[mi, ki] = resp[ki, mi]
             cent = jnp.asarray(cent_np)

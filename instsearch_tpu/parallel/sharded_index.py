@@ -454,6 +454,109 @@ def sharded_diffusion_fn(mesh: Mesh, k: int, depth: int, knn: int = 10,
     return jax.jit(mapped)
 
 
+def sharded_ivfpq_fn(mesh: Mesh, k: int, depth: int, nprobe: int,
+                     axis: str = "shard", int8: bool = False,
+                     int4: bool = False, do_qe: bool = False,
+                     qe_n: int = 10, qe_alpha: float = 3.0):
+    """Distributed IVF-PQ cascade (search/ivfpq.py on the sharded path) —
+    the multi-chip capacity tier: S chips hold S× the 32 B/row code store
+    (e.g. 8 × v5e = ~512M rows of codes), exact vs the single-device
+    ``_ivfpq_composite_jit``.
+
+    Sharding layout — CAPACITY axis, not cluster axis: every chip holds a
+    ``[C, M/S, m/2]`` slice of EVERY bucket (plus 1/S of the spill rows),
+    so the replicated probe selection needs no dynamic bucket→chip
+    routing (which would be data-dependent shapes — not SPMD) and the
+    scanned slot set is exactly the single-device one:
+
+      1. replicated centroid matmul → top-``nprobe`` cluster ids
+         (identical on every chip; centroids + codebook replicate — KBs)
+      2. local residual ADC over this chip's slice of the probed buckets
+         (+ its spill slice) → local top-min(depth, local slots) — the
+         shared ``_adc_select`` body, unchanged
+      3. allgather of (ADC score, row position) → replicated top-depth
+      4. exact re-score from the ROW-sharded main store: each chip scores
+         the candidates whose rows it owns (positions are global; a row
+         lives on exactly one chip) and one psum reassembles [Q, depth]
+      5. ``do_qe`` mirrors the composite's αQE: the top-qe_n candidate
+         rows come back through one [Q, qe_n, D] psum and the cascade
+         reruns with the expanded query
+
+    ICI per query: two [S·dd] allgathers + two [depth] psums (+ one
+    [qe_n·D] row psum under QE) — the code store and the main store are
+    never gathered.
+    """
+    from ..search.ivfpq import NEG_INF, _adc_select
+
+    def per_shard(cents, codes_s, bpos_s, sc_s, sp_s, scl_s, pqc,
+                  X, ids_s, q, *extras):
+        scales_s = extras[0] if int8 else None
+        c = X.shape[0]
+        lo = jax.lax.axis_index(axis) * c
+
+        def cascade(qq):
+            adc_s, pos = _adc_select(cents, codes_s, bpos_s, sc_s, sp_s,
+                                     scl_s, pqc, qq, depth=depth,
+                                     nprobe=nprobe)
+            s_all = jax.lax.all_gather(adc_s, axis, axis=1, tiled=True)
+            p_all = jax.lax.all_gather(pos, axis, axis=1, tiled=True)
+            dd = min(depth, s_all.shape[1])
+            g_s, g_j = jax.lax.top_k(s_all, dd)
+            g_pos = jnp.where(g_s > NEG_INF,
+                              jnp.take_along_axis(p_all, g_j, axis=1), -1)
+            # exact re-score: local rows for owned candidates, zeros
+            # elsewhere; the psum reassembles the full scores
+            loc = g_pos - lo
+            inr = (g_pos >= 0) & (loc >= 0) & (loc < c)
+            rows = _gather_rows_f32(X, jnp.where(inr, loc, -1), scales_s,
+                                    int8=int8, int4=int4)    # [Q, dd, D]
+            exact_l = jnp.einsum("bkd,bd->bk", rows, qq)
+            exact = jax.lax.psum(jnp.where(inr, exact_l, 0.0), axis)
+            exact = jnp.where(g_pos >= 0, exact, NEG_INF)
+            exact, order = jax.lax.top_k(exact, dd)
+            g_pos = jnp.take_along_axis(g_pos, order, axis=1)
+            g_pos = jnp.where(exact > NEG_INF, g_pos, -1)
+            rows = jnp.take_along_axis(rows, order[..., None], axis=1)
+            return exact, g_pos, rows
+
+        qf = q.astype(jnp.float32)
+        if do_qe:
+            s, _, rows_l = cascade(qf)
+            rows_n = jax.lax.psum(rows_l[:, :qe_n], axis)    # [Q, n, D]
+            from ..search.qe import expand_from_candidates
+            qf = expand_from_candidates(qf, s[:, :qe_n], rows_n, qe_alpha)
+        exact, g_pos, _ = cascade(qf)
+        # global ids for the winners: same one-owner psum
+        loc = g_pos - lo
+        inr = (g_pos >= 0) & (loc >= 0) & (loc < c)
+        ids_l = jnp.where(inr, jnp.take(ids_s, jnp.maximum(loc, 0)), 0)
+        out_ids = jnp.where(g_pos >= 0, jax.lax.psum(ids_l, axis), -1)
+        kk = min(k, exact.shape[1])
+        fs, fi = exact[:, :kk], out_ids[:, :kk]
+        if kk < k:
+            padw = ((0, 0), (0, k - kk))
+            fs = jnp.pad(fs, padw, constant_values=-jnp.inf)
+            fi = jnp.pad(fi, padw, constant_values=-1)
+        return fs, fi
+
+    in_specs = [P(None, None),          # centroids (replicated)
+                P(None, axis, None),    # codes: capacity-axis slices
+                P(None, axis),          # bucket positions
+                P(axis, None),          # spill codes
+                P(axis),                # spill positions
+                P(axis),                # spill cluster ids
+                P(None, None, None),    # PQ codebook (replicated)
+                P(axis, None),          # descriptors (row-sharded)
+                P(axis),                # ids
+                P(None, None)]          # queries (replicated)
+    if int8:
+        in_specs.append(P(None, axis))  # [1, N] row scales
+    mapped = shard_map(per_shard, mesh=mesh, in_specs=tuple(in_specs),
+                       out_specs=(P(None, None), P(None, None)),
+                       check_vma=False)
+    return jax.jit(mapped)
+
+
 class ShardedIndex:
     """Thin distribution layer over Index storage.
 
@@ -521,6 +624,7 @@ class ShardedIndex:
             mu=replicate(self.mesh, lw_params.mu)))
         self.regional_geom = regional_geom   # [R, 3] grid geometry for
         #                                      spatial verification
+        self.ivfpq = None                    # attach_ivfpq namespace
         self._fns: dict[int, callable] = {}
         self.default_k = k
         self.use_pallas = use_pallas
@@ -601,6 +705,79 @@ class ShardedIndex:
             return self._fns[key](*operands)
 
         return self._run_chunked(run, queries, query_regional)
+
+    def attach_ivfpq(self, view, nprobe: int | None = None,
+                     depth: int | None = None) -> None:
+        """Place a :class:`search.ivfpq.IVFPQView`'s arrays onto the mesh
+        for :meth:`search_ivfpq`: codes/bucket positions shard on the
+        CAPACITY axis (every chip holds M/S slots of every bucket, padded
+        with -1 slots to divide — masked exactly like single-device
+        padding), spill rows shard evenly, centroids/codebook replicate.
+        ``to_sharded()`` calls this automatically when the Index carries
+        the view."""
+        from types import SimpleNamespace
+
+        s = self.mesh.shape[self.axis]
+        codes = np.asarray(view.codes)
+        bpos = np.asarray(view.bucket_pos)
+        pad = (-codes.shape[1]) % s
+        if pad:
+            codes = np.pad(codes, ((0, 0), (0, pad), (0, 0)))
+            bpos = np.pad(bpos, ((0, 0), (0, pad)), constant_values=-1)
+        sc = np.asarray(view.spill_codes)
+        sp = np.asarray(view.spill_pos)
+        scl = np.asarray(view.spill_cluster)
+        spad = (-sc.shape[0]) % s
+        if spad:
+            sc = np.pad(sc, ((0, spad), (0, 0)))
+            sp = np.pad(sp, (0, spad), constant_values=-1)
+            scl = np.pad(scl, (0, spad), constant_values=-1)
+        self.ivfpq = SimpleNamespace(
+            centroids=replicate(self.mesh, jnp.asarray(view.centroids)),
+            codes=place(self.mesh, jnp.asarray(codes),
+                        P(None, self.axis, None)),
+            bucket_pos=place(self.mesh, jnp.asarray(bpos),
+                             P(None, self.axis)),
+            spill_codes=place(self.mesh, jnp.asarray(sc),
+                              P(self.axis, None)),
+            spill_pos=place(self.mesh, jnp.asarray(sp), P(self.axis)),
+            spill_cluster=place(self.mesh, jnp.asarray(scl),
+                                P(self.axis)),
+            pq_centroids=replicate(
+                self.mesh, jnp.asarray(view.codebook.centroids)),
+            nprobe=nprobe or view.nprobe,
+            depth=depth or view.depth)
+
+    def search_ivfpq(self, queries: jax.Array, k: int | None = None,
+                     nprobe: int | None = None, depth: int | None = None,
+                     qe_n: int = 0, qe_alpha: float = 3.0):
+        """Distributed IVF-PQ cascade over the capacity-sharded code
+        store (equals Index.search with ivfpq_nprobe armed; ``qe_n > 0``
+        mirrors the composite's αQE — expansion candidates come from the
+        cascade, exactly like the single-device program)."""
+        assert self.ivfpq is not None, \
+            "no IVF-PQ view attached (attach_ivfpq / to_sharded)"
+        v = self.ivfpq
+        k = k or self.default_k
+        nprobe = min(nprobe or v.nprobe, v.centroids.shape[0])
+        depth = min(depth or v.depth, self.descriptors.shape[0])
+        key = ("ivfpq", k, depth, nprobe, qe_n, qe_alpha)
+        if key not in self._fns:
+            self._fns[key] = sharded_ivfpq_fn(
+                self.mesh, k, depth, nprobe, axis=self.axis,
+                int8=self.int8, int4=self.int4, do_qe=qe_n > 0,
+                qe_n=qe_n, qe_alpha=qe_alpha)
+
+        def run(qq):
+            q, _ = self._common_operands(qq)
+            operands = [v.centroids, v.codes, v.bucket_pos, v.spill_codes,
+                        v.spill_pos, v.spill_cluster, v.pq_centroids,
+                        self.descriptors, self.ids, q]
+            if self.int8:
+                operands.append(self.scales)
+            return self._fns[key](*operands)
+
+        return self._run_chunked(run, queries)
 
     def search_lw(self, queries: jax.Array, k: int | None = None,
                   depth: int = 100):

@@ -1,0 +1,426 @@
+"""IVF-PQ: coarse k-means pruning over 4-bit residual PQ codes — the
+classic IVFADC system (Jégou et al., TPAMI 2011 §IV) rebuilt TPU-first.
+
+Why it exists next to the IVF and PQ tiers it composes:
+
+  * The IVF tier (search/ivf.py) prunes the scan to ``nprobe/C`` of the
+    rows, but its buckets hold full rows — at 64M×512 even int8 buckets
+    are 32 GB, past a 16 GB chip.
+  * The PQ tier (search/pq_view.py) stores 32 B/row (2 GB at 64M) but
+    scans EVERY code: its ADC expansion is the whole cost (~99 ms B=1 at
+    64M, bench_pq_capacity).
+  * IVF-PQ keeps the 32 B/row store AND prunes the ADC to the probed
+    buckets: the expansion cost — the PQ tier's entire bottleneck —
+    scales down by the scan fraction.
+
+The TPU-native trick — bucket-independent LUTs: codes quantize the
+RESIDUAL ``r = x − c(x)`` (much smaller variance than raw rows → finer
+quantization at the same 4 bits), and for the INNER-PRODUCT metric
+
+    score(q, x̂) = q·c + q·r̂ = cq[cluster] + Σ_m lut[m, code_m],
+    lut[m, j] = q_m · C[m, j]
+
+so the per-bucket term is the centroid score the probe selection already
+computed, and ONE query LUT serves every bucket — no per-bucket LUT
+rebuild (the classic CPU IVFADC recomputes ``(q−c)``-LUTs per probed
+list; on TPU that would be nprobe tiny matmuls of dynamic provenance).
+Euclidean-metric IVFADC needs per-bucket LUTs; unit-norm descriptor
+search is inner-product, which is why this factorization is exact here.
+
+Static-shape layout mirrors the IVF tier (same ``_bucket_layout``):
+``codes [C, M, m/2]`` fixed-capacity buckets of packed nibbles +
+always-scanned spill codes with their cluster ids for the offset. Like
+every compressed tier this is a CASCADE: ADC selects ``depth``
+candidates, exactly re-scored against the main store in the same jitted
+program — full probe + full depth degenerates to brute force (the
+integration tests' exactness anchor).
+"""
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pq import PQCodebook, encode_pq, fit_pq, pq_lut, unpack_pq
+
+NEG_INF = np.float32(-np.inf)
+
+
+def _adc_block(codes_packed: jax.Array, lut: jax.Array) -> jax.Array:
+    """ADC scores of a shared code block: ``codes [N', m/2]`` int8 ×
+    ``lut [B, m, 16]`` f32 → ``[B, N']`` f32. One-hot × LUT einsum — the
+    16-wide contraction the PQ scan kernel uses, in XLA form (the
+    blocks here are gathered per query, so the streaming kernel's fixed
+    layout doesn't apply)."""
+    c = unpack_pq(codes_packed)                             # [N', m]
+    oh = jax.nn.one_hot(c, 16, dtype=jnp.float32)           # [N', m, 16]
+    return jnp.einsum("nmk,bmk->bn", oh, lut)
+
+
+def _adc_select(centroids, codes, bucket_pos, spill_codes, spill_pos,
+                spill_cluster, pq_centroids, q, *, depth: int,
+                nprobe: int):
+    """The pruned residual-ADC selection (trace-time stage, no exact
+    re-score): centroid matmul → top-``nprobe`` → bucket-code gather →
+    ADC + centroid offset → spill merge → top-``depth``. Returns
+    ``(adc scores [B, dd], pos [B, dd])`` with dd = min(depth, scanned
+    slots). Shared by the cascade composite and the codes-only capacity
+    bench (at 64M rows no exact store fits the chip — deployment gathers
+    exact rows for the depth-candidates from host storage)."""
+    b = q.shape[0]
+    qf = q.astype(jnp.float32)
+    cq = jax.lax.dot_general(
+        qf, centroids, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [B, C]
+    _, cids = jax.lax.top_k(cq, nprobe)                     # [B, p]
+    cb = PQCodebook(pq_centroids)
+    lut = pq_lut(qf, cb)                                    # [B, m, 16]
+
+    codes_g = jnp.take(codes, cids, axis=0)                 # [B, p, M, m/2]
+    pos_g = jnp.take(bucket_pos, cids, axis=0)              # [B, p, M]
+    coff = jnp.take_along_axis(cq, cids, axis=1)            # [B, p]
+    m_cap = codes.shape[1]
+
+    # probes are processed in GROUPS of up to 8: a per-probe scan
+    # serializes nprobe tiny einsums (measured dispatch-bound at B=1 on
+    # chip), while one ungrouped one-hot over all probes materializes a
+    # [B, p·M, m, 16] intermediate — grouping bounds the buffer to 8
+    # buckets and cuts the sequential steps 8x
+    g = 8 if nprobe % 8 == 0 else (4 if nprobe % 4 == 0 else
+                                   (2 if nprobe % 2 == 0 else 1))
+    rows_g = g * m_cap
+
+    def probe_step(_, op):
+        cp, off = op                                # [B,g,M,m/2], [B,g]
+        c = unpack_pq(cp.reshape(b * rows_g, -1)).reshape(b, rows_g, -1)
+        oh = jax.nn.one_hot(c, 16, dtype=jnp.float32)   # [B,gM,m,16]
+        s = jnp.einsum("bnmk,bmk->bn", oh, lut)         # [B, gM]
+        return None, (s.reshape(b, g, m_cap)
+                      + off[:, :, None]).reshape(b, rows_g)
+
+    _, s_probe = jax.lax.scan(
+        probe_step, None,
+        (codes_g.reshape(b, nprobe // g, g, m_cap, -1).transpose(
+            1, 0, 2, 3, 4),
+         coff.reshape(b, nprobe // g, g).transpose(1, 0, 2)))
+    # s_probe [p/g, B, gM] -> [B, p*M]
+    flat_s = jnp.where(pos_g.reshape(b, -1) >= 0,
+                       s_probe.transpose(1, 0, 2).reshape(b, -1), NEG_INF)
+    flat_p = pos_g.reshape(b, nprobe * m_cap)
+
+    if spill_codes.shape[0]:
+        sp = (_adc_block(spill_codes, lut)
+              + jnp.take(cq, jnp.maximum(spill_cluster, 0), axis=1))
+        sp = jnp.where(spill_pos[None, :] >= 0, sp, NEG_INF)
+        flat_s = jnp.concatenate([flat_s, sp], axis=1)
+        flat_p = jnp.concatenate(
+            [flat_p, jnp.broadcast_to(spill_pos[None, :],
+                                      (b, spill_pos.shape[0]))], axis=1)
+
+    dd = min(depth, flat_s.shape[1])
+    adc_s, idx = jax.lax.top_k(flat_s, dd)
+    pos = jnp.where(adc_s > NEG_INF,
+                    jnp.take_along_axis(flat_p, idx, axis=1), -1)
+    return adc_s, pos
+
+
+@partial(jax.jit, static_argnames=("depth", "nprobe"))
+def _adc_select_jit(centroids, codes, bucket_pos, spill_codes, spill_pos,
+                    spill_cluster, pq_centroids, q, *, depth: int,
+                    nprobe: int):
+    return _adc_select(centroids, codes, bucket_pos, spill_codes,
+                       spill_pos, spill_cluster, pq_centroids, q,
+                       depth=depth, nprobe=nprobe)
+
+
+@partial(jax.jit, static_argnames=("depth", "nprobe", "int4"))
+def _ivfpq_candidates_jit(centroids, codes, bucket_pos,
+                          spill_codes, spill_pos, spill_cluster,
+                          pq_centroids, descriptors, scales, q, nv,
+                          *, depth: int, nprobe: int, int4: bool):
+    """ONE jitted cascade stage: the pruned ADC selection (_adc_select)
+    followed by the EXACT re-score from the main store. Returns
+    ``(exact scores [B, depth] desc, pos [B, depth], -1 empty)``."""
+    qf = q.astype(jnp.float32)
+    adc_s, pos = _adc_select(centroids, codes, bucket_pos, spill_codes,
+                             spill_pos, spill_cluster, pq_centroids, qf,
+                             depth=depth, nprobe=nprobe)
+    dd = adc_s.shape[1]
+
+    # exact re-score from the main store (the cascade's quality anchor)
+    from ..index import _gather_rows_f32
+    rows = _gather_rows_f32(descriptors, jnp.maximum(pos, 0), scales,
+                            int4=int4)                      # [B, dd, D]
+    exact = jnp.einsum("bkd,bd->bk", rows, qf)
+    exact = jnp.where(pos >= 0, exact, NEG_INF)
+    exact, order = jax.lax.top_k(exact, dd)
+    pos = jnp.take_along_axis(pos, order, axis=1)
+    pos = jnp.where(exact > NEG_INF, pos, -1)
+    if dd < depth:
+        pad = ((0, 0), (0, depth - dd))
+        exact = jnp.pad(exact, pad, constant_values=NEG_INF)
+        pos = jnp.pad(pos, pad, constant_values=-1)
+    return exact, pos
+
+
+@partial(jax.jit, static_argnames=("k", "depth", "qe_n", "qe_alpha",
+                                   "nprobe", "do_qe", "do_rerank", "int4",
+                                   "spatial_weight", "rerank_depth"))
+def _ivfpq_composite_jit(centroids, codes, bucket_pos,
+                         spill_codes, spill_pos, spill_cluster,
+                         pq_centroids, descriptors, ids, scales,
+                         regional, regional_scales, query_regional, q, nv,
+                         vote_matrix=None, *, k: int, depth: int,
+                         qe_n: int, qe_alpha: float, nprobe: int,
+                         do_qe: bool, do_rerank: bool, int4: bool,
+                         spatial_weight: float = 0.0, rerank_depth: int = 0):
+    """The IVF-PQ mirror of the exact/IVF/PQ composites: every candidate
+    stage is the pruned-ADC→exact-re-score cascade; QE rows and re-rank
+    regions gather from the MAIN store by position (shared quality math,
+    search/qe.py + search/rerank.py)."""
+    q = jnp.asarray(q, jnp.float32)
+    sel = partial(_ivfpq_candidates_jit, centroids, codes, bucket_pos,
+                  spill_codes, spill_pos, spill_cluster, pq_centroids,
+                  descriptors, scales, depth=depth, nprobe=nprobe,
+                  int4=int4)
+    if do_qe:
+        s, pos = sel(q, nv)
+        s_n, pos_n = s[:, :qe_n], pos[:, :qe_n]
+        from ..index import _gather_rows_f32
+        rows = _gather_rows_f32(descriptors, jnp.maximum(pos_n, 0), scales,
+                                int4=int4)
+        rows = jnp.where((s_n > NEG_INF)[..., None], rows, 0.0)
+        from .qe import expand_from_candidates
+        q = expand_from_candidates(q, s_n, rows, qe_alpha)
+    s, pos = sel(q, nv)
+    if do_rerank:
+        rd = min(rerank_depth or depth, depth)
+        s, pos = s[:, :rd], pos[:, :rd]
+        from .rerank import rerank_from_candidates
+        return rerank_from_candidates(
+            regional, ids, s, pos, query_regional, k=k,
+            regional_scales=regional_scales,
+            spatial_weight=spatial_weight, vote_matrix=vote_matrix)
+    out_ids = jnp.where(pos >= 0, jnp.take(ids, jnp.maximum(pos, 0)), -1)
+    return s[:, :k], out_ids[:, :k]
+
+
+class IVFPQView:
+    """Pruned compressed-domain cascade view over an
+    :class:`instsearch_tpu.Index` — IVF bucketing of 4-bit residual PQ
+    codes. Build with :meth:`from_index` (or ``Index.build_ivfpq``);
+    routes ``Index.search`` when ``SearchConfig.ivfpq_nprobe > 0``. The
+    main store stays authoritative (codes hold padded row positions;
+    every candidate is exactly re-scored), so quality degrades only
+    through candidate recall: measure with :meth:`measure_recall`, over
+    (nprobe, depth) jointly."""
+
+    def __init__(self, centroids, codes, bucket_pos, spill_codes,
+                 spill_pos, spill_cluster, codebook: PQCodebook,
+                 nprobe: int = 32, depth: int = 100):
+        self.centroids = centroids          # [C, D] f32 unit rows
+        self.codes = codes                  # [C, M, m/2] int8 packed
+        self.bucket_pos = bucket_pos        # [C, M] int32 positions
+        self.spill_codes = spill_codes      # [S_pad, m/2] int8
+        self.spill_pos = spill_pos          # [S_pad] int32
+        self.spill_cluster = spill_cluster  # [S_pad] int32 (-1 pad)
+        self.codebook = codebook            # residual-space [m, 16, ds]
+        self.nprobe = nprobe
+        self.depth = depth
+
+    # ------------------------------------------------------------------
+    @property
+    def n_clusters(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def bucket_capacity(self) -> int:
+        return self.codes.shape[1]
+
+    @property
+    def m(self) -> int:
+        return self.codebook.m
+
+    @property
+    def bytes_per_row(self) -> int:
+        return self.codes.shape[2]
+
+    def scan_fraction(self, nprobe: int | None = None) -> float:
+        p = min(nprobe or self.nprobe, self.n_clusters)
+        total = (self.n_clusters * self.bucket_capacity
+                 + self.spill_codes.shape[0])
+        return (p * self.bucket_capacity
+                + self.spill_codes.shape[0]) / max(total, 1)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_index(cls, index, n_clusters: int | None = None,
+                   nprobe: int = 32, m: int | None = None,
+                   kmeans_iters: int = 10, pq_iters: int = 15,
+                   seed: int = 0, cap_factor: float = 4.0,
+                   sample: "int | None" = 262_144, depth: int = 100,
+                   chunk: int = 65_536) -> "IVFPQView":
+        """Coarse k-means fit + residual PQ fit + chunked encode + bucket
+        layout. The k-means fit and the bucket layout are the IVF tier's
+        (ops/kmeans.py, search/ivf._bucket_layout) — one coarse-quantizer
+        definition across tiers; the PQ fit runs on residual samples."""
+        import math
+
+        from ..ops.kmeans import assign_clusters, fit_kmeans, pick_chunk
+        from .ivf import _bucket_layout
+
+        nv = index.num_valid
+        d = index.dim
+        if nv < 16:
+            raise ValueError("IVF-PQ needs at least 16 indexed rows")
+        if n_clusters is None:
+            n_clusters = max(2, 1 << int(round(np.log2(max(2,
+                                                           np.sqrt(nv))))))
+        n_clusters = min(n_clusters, nv)
+        if m is None:
+            m = max(2, d // 8)
+
+        n_pad = index.descriptors.shape[0]
+        chunk = math.gcd(n_pad, max(8, chunk))
+
+        # --- coarse quantizer on dequantized rows (sampled fit) --------
+        def rows_f32(start, count):
+            return index._rows_f32_chunk(start, count)
+
+        if sample is not None and nv > sample:
+            rng = np.random.default_rng(seed)
+            take = np.sort(rng.choice(nv, size=sample, replace=False))
+            # gather the sample in chunk-sized strides (no full f32 copy)
+            parts = []
+            for start in range(0, n_pad, chunk):
+                sel = take[(take >= start) & (take < start + chunk)]
+                if len(sel):
+                    sl = rows_f32(start, chunk)
+                    parts.append(np.asarray(
+                        jnp.take(sl, jnp.asarray(sel - start), axis=0)))
+            fit_x = jnp.asarray(np.concatenate(parts, axis=0))
+        else:
+            parts = [np.asarray(rows_f32(s, chunk))
+                     for s in range(0, n_pad, chunk)]
+            fit_x = jnp.asarray(np.concatenate(parts, axis=0)[:nv])
+        cent, _ = fit_kmeans(fit_x, n_clusters, iters=kmeans_iters,
+                             seed=seed)
+
+        # --- residual PQ fit on the sample ------------------------------
+        nfit = fit_x.shape[0]
+        pad = (-nfit) % 8
+        fit_pad = jnp.pad(fit_x, ((0, pad), (0, 0)))
+        a_fit = assign_clusters(fit_pad, cent, nfit,
+                                chunk=pick_chunk(nfit + pad))[:nfit]
+        res_fit = fit_x - jnp.take(cent, jnp.maximum(a_fit, 0), axis=0)
+        cb = fit_pq(res_fit, m=m, iters=pq_iters, seed=seed)
+
+        # --- full-corpus assignment + chunked residual encode ----------
+        assignments = np.empty((n_pad,), np.int32)
+        codes_all = np.empty((n_pad, m // 2), np.int8)
+        for start in range(0, n_pad, chunk):
+            sl = rows_f32(start, chunk)
+            nv_local = int(np.clip(nv - start, 0, chunk))
+            a = assign_clusters(sl, cent, nv_local,
+                                chunk=pick_chunk(chunk))
+            assignments[start:start + chunk] = np.asarray(a)
+            res = sl - jnp.take(cent, jnp.maximum(a, 0), axis=0)
+            codes_all[start:start + chunk] = np.asarray(encode_pq(res, cb))
+
+        bucket_pos, spill_pos = _bucket_layout(assignments, nv,
+                                               n_clusters, cap_factor)
+        s_pad = (max(8, ((len(spill_pos) + 7) // 8) * 8)
+                 if len(spill_pos) else 0)
+        sp = np.full((s_pad,), -1, np.int32)
+        sp[:len(spill_pos)] = spill_pos
+        spc = np.full((s_pad,), -1, np.int32)
+        if len(spill_pos):
+            spc[:len(spill_pos)] = assignments[spill_pos]
+
+        codes_j = jnp.asarray(codes_all)
+        bucket_pos = jnp.asarray(bucket_pos)
+        codes_b = jnp.take(codes_j, jnp.maximum(bucket_pos, 0), axis=0)
+        codes_b = jnp.where((bucket_pos >= 0)[..., None], codes_b, 0)
+        if s_pad:
+            spill_codes = jnp.take(codes_j,
+                                   jnp.maximum(jnp.asarray(sp), 0), axis=0)
+            spill_codes = jnp.where((jnp.asarray(sp) >= 0)[:, None],
+                                    spill_codes, 0)
+        else:
+            spill_codes = jnp.zeros((0, m // 2), jnp.int8)
+        return cls(cent, codes_b, bucket_pos, spill_codes,
+                   jnp.asarray(sp), jnp.asarray(spc), cb,
+                   nprobe=nprobe, depth=depth)
+
+    # ------------------------------------------------------------------
+    def candidates(self, index, queries, depth: int | None = None,
+                   nprobe: int | None = None):
+        """(exact scores [B, depth], row POSITIONS) — the composable,
+        already-exactly-re-scored cascade stage."""
+        p = min(nprobe or self.nprobe, self.n_clusters)
+        depth = depth or self.depth
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None]
+        nv = jnp.asarray(index.num_valid, jnp.int32)
+        return _ivfpq_candidates_jit(
+            self.centroids, self.codes, self.bucket_pos,
+            self.spill_codes, self.spill_pos, self.spill_cluster,
+            self.codebook.centroids, index.descriptors, index.scales,
+            q, nv, depth=depth, nprobe=p, int4=index.is_int4)
+
+    def search(self, index, queries, k: int = 10,
+               depth: int | None = None, nprobe: int | None = None):
+        s, pos = self.candidates(index, queries, depth, nprobe)
+        ids = jnp.where(pos >= 0,
+                        jnp.take(index.ids, jnp.maximum(pos, 0)), -1)
+        return np.asarray(s[:, :k]), np.asarray(ids[:, :k])
+
+    # ------------------------------------------------------------------
+    def measure_recall(self, index, queries, k: int = 10,
+                       depth: int | None = None,
+                       nprobe: int | None = None) -> float:
+        """recall@k vs the exact brute-force ranking — the build-time
+        honesty number, jointly over (nprobe, depth). The exact reference
+        resets EVERY candidate-tier routing field (the IVF tier's r4
+        lesson: an attached view must not define its own truth)."""
+        from .ivf import recall_vs_exact
+        exact_s, exact_ids = index.search(
+            queries, index.cfg.search.replace(
+                k=k, qe_enabled=False, rerank_enabled=False,
+                ivf_nprobe=0, pq_depth=0, ivfpq_nprobe=0))
+        _, got = self.search(index, queries, k=k, depth=depth,
+                             nprobe=nprobe)
+        return recall_vs_exact(exact_ids, got)
+
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.savez(os.path.join(path, "ivfpq.npz"),
+                 centroids=np.asarray(self.centroids),
+                 codes=np.asarray(self.codes),
+                 bucket_pos=np.asarray(self.bucket_pos),
+                 spill_codes=np.asarray(self.spill_codes),
+                 spill_pos=np.asarray(self.spill_pos),
+                 spill_cluster=np.asarray(self.spill_cluster),
+                 pq_centroids=np.asarray(self.codebook.centroids))
+        with open(os.path.join(path, "ivfpq.json"), "w") as f:
+            json.dump({"nprobe": self.nprobe, "depth": self.depth}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "IVFPQView":
+        with open(os.path.join(path, "ivfpq.json")) as f:
+            meta = json.load(f)
+        raw = np.load(os.path.join(path, "ivfpq.npz"))
+        return cls(jnp.asarray(raw["centroids"]),
+                   jnp.asarray(raw["codes"], jnp.int8),
+                   jnp.asarray(raw["bucket_pos"], jnp.int32),
+                   jnp.asarray(raw["spill_codes"], jnp.int8),
+                   jnp.asarray(raw["spill_pos"], jnp.int32),
+                   jnp.asarray(raw["spill_cluster"], jnp.int32),
+                   PQCodebook(jnp.asarray(raw["pq_centroids"])),
+                   nprobe=int(meta["nprobe"]), depth=int(meta["depth"]))

@@ -98,3 +98,22 @@ def test_bench_pq_capacity_smoke():
 def test_bench_protocol_eval_smoke():
     out = B.bench_protocol_eval(n=2048, n_queries=8, d=64)
     assert _finite(out["total_warm_sec"])
+
+
+def test_bench_ivfpq_smoke():
+    out = B.bench_ivfpq(n=4096, d=64, k=5, n_clusters=16, nprobe=4, m=8,
+                        depth=32, recall_nprobes=(1, 4, 16))
+    assert _finite(out["p50_ms"]) and out["p50_ms"] > 0
+    assert 0 < out["scan_fraction"] <= 1
+    curve = out["recall_at_k_vs_nprobe"]
+    assert set(curve) == {"1", "4", "16"}
+    assert curve["16"] >= curve["1"]
+    assert out["recall_at_k"] == curve["4"]
+
+
+def test_bench_ivfpq_capacity_smoke():
+    out = B.bench_ivfpq_capacity(n=8192, d=64, m=8, n_clusters=32,
+                                 nprobe=4, depth=16, q_batches=(1, 4))
+    assert _finite(out["p50_ms"]) and out["p50_ms"] > 0
+    assert set(out["per_batch"]) == {"1", "4"}
+    assert out["scan_fraction"] == pytest.approx(4 / 32)
