@@ -1022,7 +1022,7 @@ def bench_ivf(n: int = 1_048_576, d: int = 512, k: int = 10,
 def bench_ivfpq(n: int = 1_048_576, d: int = 512, k: int = 10,
                 q_batch: int = 1, n_clusters: int = 1024,
                 nprobe: int = 32, m: int = 64, depth: int = 100,
-                recall_nprobes: tuple = (1, 8, 32, 128)) -> dict:
+                recall_nprobes: tuple = (1, 8, 32)) -> dict:
     """IVF-PQ cascade at production scale (search/ivfpq.py): coarse fit +
     residual encode on device, then the full candidates program (pruned
     ADC + exact re-score) timed chained-marginal, with the same
@@ -1039,8 +1039,13 @@ def bench_ivfpq(n: int = 1_048_576, d: int = 512, k: int = 10,
                          search=SearchConfig(k=k, use_pallas=True))
     idx = Index(Xd, jnp.arange(n, dtype=jnp.int32), [""] * n, cfg)
     t0 = time.perf_counter()
+    # trimmed fit budget: default iters/sample measured 385 s of the
+    # bench's 707 s total through this box's tunnel, for an honesty
+    # curve whose values barely move (recall is depth-bound here);
+    # keeps the whole stage inside the driver's soft budget
     v = IVFPQView.from_index(idx, n_clusters=n_clusters, nprobe=nprobe,
-                             m=m, depth=depth)
+                             m=m, depth=depth, kmeans_iters=6,
+                             pq_iters=8, sample=131_072)
     build_s = time.perf_counter() - t0
     nv = jnp.asarray(n, jnp.int32)
 
