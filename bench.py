@@ -156,6 +156,10 @@ def main() -> int:
         line["ivfpq_p50_ms_1M"] = round(ivfpq["p50_ms"], 3)
         line["ivfpq_scan_fraction"] = ivfpq["scan_fraction"]
         line["ivfpq_recall_at_10_vs_nprobe"] = ivfpq["recall_at_k_vs_nprobe"]
+        for key in ivfpq:
+            if key.startswith("recall_at_k_depth"):
+                line["ivfpq_" + key.replace("_at_k_", "_at_10_")] = \
+                    ivfpq[key]
         if "speedup_vs_full_stream" in ivfpq:
             line["ivfpq_speedup_vs_full_stream"] = round(
                 ivfpq["speedup_vs_full_stream"], 3)

@@ -117,10 +117,11 @@ def cmd_build_index(args) -> int:
             return 2
         v = idx.build_ivfpq(n_clusters=args.ivf_clusters or None,
                             nprobe=args.nprobe, m=args.pq_m or None,
-                            depth=args.pq_depth)
+                            depth=args.pq_depth,
+                            opq_iters=args.opq_iters)
         out["ivfpq"] = {"clusters": v.n_clusters, "nprobe": v.nprobe,
                         "m": v.m, "bytes_per_row": v.bytes_per_row,
-                        "depth": v.depth,
+                        "depth": v.depth, "opq": v.rotation is not None,
                         "scan_fraction": round(v.scan_fraction(), 4)}
     idx.save(args.out)
     print(json.dumps(out))
@@ -145,7 +146,8 @@ def cmd_update_index(args) -> int:
                   8 if idx.pq.rotation is not None else 0)
                  if idx.pq is not None else None)
     ivfpq_params = ((idx.ivfpq.n_clusters, idx.ivfpq.nprobe,
-                     idx.ivfpq.m, idx.ivfpq.depth)
+                     idx.ivfpq.m, idx.ivfpq.depth,
+                     8 if idx.ivfpq.rotation is not None else 0)
                     if idx.ivfpq is not None else None)
     added = removed = 0
     if args.remove:
@@ -177,7 +179,7 @@ def cmd_update_index(args) -> int:
     if ivfpq_params is not None and idx.ivfpq is None and (added or removed):
         idx.build_ivfpq(n_clusters=min(ivfpq_params[0], idx.num_valid),
                         nprobe=ivfpq_params[1], m=ivfpq_params[2],
-                        depth=ivfpq_params[3])
+                        depth=ivfpq_params[3], opq_iters=ivfpq_params[4])
     idx.save(args.out or args.index)
     print(json.dumps({"added": added, "removed": removed,
                       "rows": idx.num_valid,
@@ -488,9 +490,10 @@ def main(argv=None) -> int:
     b.add_argument("--pq-depth", type=int, default=100,
                    help="PQ cascade candidate depth (with --pq)")
     b.add_argument("--opq-iters", type=int, default=0,
-                   help="OPQ rotation alternations for --pq (0 = plain "
-                        "PQ; ~8 typical — better candidate recall at the "
-                        "same 32 B/row)")
+                   help="OPQ rotation alternations for --pq / --ivfpq "
+                        "(0 = plain PQ; ~8 typical — better candidate "
+                        "recall at the same 32 B/row; for --ivfpq the "
+                        "rotation is learned in residual space)")
     b.add_argument("--ivfpq", action="store_true",
                    help="attach an IVF-PQ cascade view (k-means-bucketed "
                         "4-bit residual codes: the PQ store's 32 B/row "

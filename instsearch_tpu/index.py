@@ -830,7 +830,7 @@ class Index:
                     pq_iters: int = 15, seed: int = 0,
                     cap_factor: float = 4.0,
                     sample: "int | None" = 262_144, depth: int = 100,
-                    chunk: int = 65_536):
+                    chunk: int = 65_536, opq_iters: int = 0):
         """Attach an IVF-PQ cascade view (search/ivfpq.py): k-means
         bucketing of 4-bit RESIDUAL PQ codes — the PQ tier's 32 B/row
         store with its ADC expansion (the tier's whole cost) pruned to
@@ -841,7 +841,9 @@ class Index:
         ``search_cfg.replace(ivfpq_nprobe=0)``. Quality = candidate
         recall over (nprobe, depth) jointly (``ivfpq.measure_recall``).
         Mutually exclusive with the IVF and PQ views (one candidate tier
-        per index). ``add()``/``remove()``/``augment_database()``
+        per index). ``opq_iters > 0`` learns an OPQ rotation in RESIDUAL
+        space (Ge CVPR'13; ops/pq.fit_opq) — better candidate recall at
+        the same 32 B/row. ``add()``/``remove()``/``augment_database()``
         invalidate the view — rebuild after mutating. Returns the
         IVFPQView."""
         if self.ivf is not None or self.pq is not None:
@@ -853,7 +855,8 @@ class Index:
         self.ivfpq = IVFPQView.from_index(
             self, n_clusters=n_clusters, nprobe=nprobe, m=m,
             kmeans_iters=kmeans_iters, pq_iters=pq_iters, seed=seed,
-            cap_factor=cap_factor, sample=sample, depth=depth, chunk=chunk)
+            cap_factor=cap_factor, sample=sample, depth=depth, chunk=chunk,
+            opq_iters=opq_iters)
         self.cfg = self.cfg.replace(
             search=self.cfg.search.replace(ivfpq_nprobe=self.ivfpq.nprobe))
         return self.ivfpq
@@ -1277,7 +1280,7 @@ class Index:
                 self.regional if do_rerank else None,
                 self.regional_scales if do_rerank else None,
                 qreg[0] if do_rerank else None, qq, nv,
-                self.vote_matrix if sw else None,
+                self.vote_matrix if sw else None, v.rotation,
                 k=scfg.k, depth=depth, qe_n=scfg.qe_n,
                 qe_alpha=scfg.qe_alpha, nprobe=nprobe,
                 do_qe=scfg.qe_enabled, do_rerank=do_rerank,

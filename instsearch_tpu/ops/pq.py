@@ -81,6 +81,17 @@ class PQCodebook:
         return self.m * self.ds
 
 
+def default_m(d: int) -> int:
+    """Largest even subquantizer count ≤ max(2, d//8) that divides d —
+    the D/8 heuristic of Jégou TPAMI'11 adjusted to the nibble packing
+    (even m) and the subspace constraint (m | d). Plain d//8 breaks on
+    dims like 56 (m=7: odd) that real scaled-down extractors produce."""
+    for m in range(max(2, (d // 8) & ~1), 1, -2):
+        if d % m == 0:
+            return m
+    raise ValueError(f"no even subquantizer count divides dim {d}")
+
+
 def _check_dims(d: int, m: int) -> int:
     if m % 2:
         raise ValueError(f"m={m} must be even (codes pack two per byte)")

@@ -457,7 +457,8 @@ def sharded_diffusion_fn(mesh: Mesh, k: int, depth: int, knn: int = 10,
 def sharded_ivfpq_fn(mesh: Mesh, k: int, depth: int, nprobe: int,
                      axis: str = "shard", int8: bool = False,
                      int4: bool = False, do_qe: bool = False,
-                     qe_n: int = 10, qe_alpha: float = 3.0):
+                     qe_n: int = 10, qe_alpha: float = 3.0,
+                     has_rotation: bool = False):
     """Distributed IVF-PQ cascade (search/ivfpq.py on the sharded path) —
     the multi-chip capacity tier: S chips hold S× the 32 B/row code store
     (e.g. 8 × v5e = ~512M rows of codes), exact vs the single-device
@@ -490,13 +491,15 @@ def sharded_ivfpq_fn(mesh: Mesh, k: int, depth: int, nprobe: int,
 
     def per_shard(cents, codes_s, bpos_s, sc_s, sp_s, scl_s, pqc,
                   X, ids_s, q, *extras):
-        scales_s = extras[0] if int8 else None
+        it = iter(extras)
+        scales_s = next(it) if int8 else None
+        rot = next(it) if has_rotation else None   # OPQ residual [D, D]
         c = X.shape[0]
         lo = jax.lax.axis_index(axis) * c
 
         def cascade(qq):
             adc_s, pos = _adc_select(cents, codes_s, bpos_s, sc_s, sp_s,
-                                     scl_s, pqc, qq, depth=depth,
+                                     scl_s, pqc, qq, rot, depth=depth,
                                      nprobe=nprobe)
             s_all = jax.lax.all_gather(adc_s, axis, axis=1, tiled=True)
             p_all = jax.lax.all_gather(pos, axis, axis=1, tiled=True)
@@ -551,6 +554,8 @@ def sharded_ivfpq_fn(mesh: Mesh, k: int, depth: int, nprobe: int,
                 P(None, None)]          # queries (replicated)
     if int8:
         in_specs.append(P(None, axis))  # [1, N] row scales
+    if has_rotation:
+        in_specs.append(P(None, None))  # OPQ rotation (replicated)
     mapped = shard_map(per_shard, mesh=mesh, in_specs=tuple(in_specs),
                        out_specs=(P(None, None), P(None, None)),
                        check_vma=False)
@@ -745,6 +750,8 @@ class ShardedIndex:
                                 P(self.axis)),
             pq_centroids=replicate(
                 self.mesh, jnp.asarray(view.codebook.centroids)),
+            rotation=(replicate(self.mesh, jnp.asarray(view.rotation))
+                      if view.rotation is not None else None),
             nprobe=nprobe or view.nprobe,
             depth=depth or view.depth)
 
@@ -766,7 +773,8 @@ class ShardedIndex:
             self._fns[key] = sharded_ivfpq_fn(
                 self.mesh, k, depth, nprobe, axis=self.axis,
                 int8=self.int8, int4=self.int4, do_qe=qe_n > 0,
-                qe_n=qe_n, qe_alpha=qe_alpha)
+                qe_n=qe_n, qe_alpha=qe_alpha,
+                has_rotation=v.rotation is not None)
 
         def run(qq):
             q, _ = self._common_operands(qq)
@@ -775,6 +783,8 @@ class ShardedIndex:
                         self.descriptors, self.ids, q]
             if self.int8:
                 operands.append(self.scales)
+            if v.rotation is not None:
+                operands.append(v.rotation)
             return self._fns[key](*operands)
 
         return self._run_chunked(run, queries)

@@ -62,15 +62,20 @@ def _adc_block(codes_packed: jax.Array, lut: jax.Array) -> jax.Array:
 
 
 def _adc_select(centroids, codes, bucket_pos, spill_codes, spill_pos,
-                spill_cluster, pq_centroids, q, *, depth: int,
-                nprobe: int):
+                spill_cluster, pq_centroids, q, rotation=None, *,
+                depth: int, nprobe: int):
     """The pruned residual-ADC selection (trace-time stage, no exact
     re-score): centroid matmul → top-``nprobe`` → bucket-code gather →
     ADC + centroid offset → spill merge → top-``depth``. Returns
     ``(adc scores [B, dd], pos [B, dd])`` with dd = min(depth, scanned
     slots). Shared by the cascade composite and the codes-only capacity
     bench (at 64M rows no exact store fits the chip — deployment gathers
-    exact rows for the depth-candidates from host storage)."""
+    exact rows for the depth-candidates from host storage).
+
+    ``rotation`` (OPQ in residual space, ops/pq.fit_opq): codes quantize
+    ``(x − c)·R``, and since R is orthogonal ``q·r = (q·R)·(r·R)`` — the
+    LUT side rotates the QUERY once; the centroid-offset term ``q·c`` is
+    untouched (the rotation lives entirely inside the residual factor)."""
     b = q.shape[0]
     qf = q.astype(jnp.float32)
     cq = jax.lax.dot_general(
@@ -78,7 +83,8 @@ def _adc_select(centroids, codes, bucket_pos, spill_codes, spill_pos,
         preferred_element_type=jnp.float32)                 # [B, C]
     _, cids = jax.lax.top_k(cq, nprobe)                     # [B, p]
     cb = PQCodebook(pq_centroids)
-    lut = pq_lut(qf, cb)                                    # [B, m, 16]
+    q_adc = qf if rotation is None else qf @ rotation
+    lut = pq_lut(q_adc, cb)                                 # [B, m, 16]
 
     codes_g = jnp.take(codes, cids, axis=0)                 # [B, p, M, m/2]
     pos_g = jnp.take(bucket_pos, cids, axis=0)              # [B, p, M]
@@ -130,25 +136,28 @@ def _adc_select(centroids, codes, bucket_pos, spill_codes, spill_pos,
 
 @partial(jax.jit, static_argnames=("depth", "nprobe"))
 def _adc_select_jit(centroids, codes, bucket_pos, spill_codes, spill_pos,
-                    spill_cluster, pq_centroids, q, *, depth: int,
-                    nprobe: int):
+                    spill_cluster, pq_centroids, q, rotation=None, *,
+                    depth: int, nprobe: int):
     return _adc_select(centroids, codes, bucket_pos, spill_codes,
                        spill_pos, spill_cluster, pq_centroids, q,
-                       depth=depth, nprobe=nprobe)
+                       rotation, depth=depth, nprobe=nprobe)
 
 
 @partial(jax.jit, static_argnames=("depth", "nprobe", "int4"))
 def _ivfpq_candidates_jit(centroids, codes, bucket_pos,
                           spill_codes, spill_pos, spill_cluster,
                           pq_centroids, descriptors, scales, q, nv,
-                          *, depth: int, nprobe: int, int4: bool):
+                          rotation=None, *, depth: int, nprobe: int,
+                          int4: bool):
     """ONE jitted cascade stage: the pruned ADC selection (_adc_select)
-    followed by the EXACT re-score from the main store. Returns
+    followed by the EXACT re-score from the main store (the ORIGINAL
+    query against unrotated rows — an OPQ rotation changes only
+    candidate recall, never the re-scored ordering). Returns
     ``(exact scores [B, depth] desc, pos [B, depth], -1 empty)``."""
     qf = q.astype(jnp.float32)
     adc_s, pos = _adc_select(centroids, codes, bucket_pos, spill_codes,
                              spill_pos, spill_cluster, pq_centroids, qf,
-                             depth=depth, nprobe=nprobe)
+                             rotation, depth=depth, nprobe=nprobe)
     dd = adc_s.shape[1]
 
     # exact re-score from the main store (the cascade's quality anchor)
@@ -174,19 +183,22 @@ def _ivfpq_composite_jit(centroids, codes, bucket_pos,
                          spill_codes, spill_pos, spill_cluster,
                          pq_centroids, descriptors, ids, scales,
                          regional, regional_scales, query_regional, q, nv,
-                         vote_matrix=None, *, k: int, depth: int,
-                         qe_n: int, qe_alpha: float, nprobe: int,
-                         do_qe: bool, do_rerank: bool, int4: bool,
-                         spatial_weight: float = 0.0, rerank_depth: int = 0):
+                         vote_matrix=None, rotation=None, *, k: int,
+                         depth: int, qe_n: int, qe_alpha: float,
+                         nprobe: int, do_qe: bool, do_rerank: bool,
+                         int4: bool, spatial_weight: float = 0.0,
+                         rerank_depth: int = 0):
     """The IVF-PQ mirror of the exact/IVF/PQ composites: every candidate
     stage is the pruned-ADC→exact-re-score cascade; QE rows and re-rank
     regions gather from the MAIN store by position (shared quality math,
     search/qe.py + search/rerank.py)."""
     q = jnp.asarray(q, jnp.float32)
-    sel = partial(_ivfpq_candidates_jit, centroids, codes, bucket_pos,
-                  spill_codes, spill_pos, spill_cluster, pq_centroids,
-                  descriptors, scales, depth=depth, nprobe=nprobe,
-                  int4=int4)
+
+    def sel(qq, nvv):
+        return _ivfpq_candidates_jit(
+            centroids, codes, bucket_pos, spill_codes, spill_pos,
+            spill_cluster, pq_centroids, descriptors, scales, qq, nvv,
+            rotation, depth=depth, nprobe=nprobe, int4=int4)
     if do_qe:
         s, pos = sel(q, nv)
         s_n, pos_n = s[:, :qe_n], pos[:, :qe_n]
@@ -221,7 +233,7 @@ class IVFPQView:
 
     def __init__(self, centroids, codes, bucket_pos, spill_codes,
                  spill_pos, spill_cluster, codebook: PQCodebook,
-                 nprobe: int = 32, depth: int = 100):
+                 nprobe: int = 32, depth: int = 100, rotation=None):
         self.centroids = centroids          # [C, D] f32 unit rows
         self.codes = codes                  # [C, M, m/2] int8 packed
         self.bucket_pos = bucket_pos        # [C, M] int32 positions
@@ -229,6 +241,7 @@ class IVFPQView:
         self.spill_pos = spill_pos          # [S_pad] int32
         self.spill_cluster = spill_cluster  # [S_pad] int32 (-1 pad)
         self.codebook = codebook            # residual-space [m, 16, ds]
+        self.rotation = rotation            # OPQ residual-space [D, D]
         self.nprobe = nprobe
         self.depth = depth
 
@@ -263,11 +276,16 @@ class IVFPQView:
                    kmeans_iters: int = 10, pq_iters: int = 15,
                    seed: int = 0, cap_factor: float = 4.0,
                    sample: "int | None" = 262_144, depth: int = 100,
-                   chunk: int = 65_536) -> "IVFPQView":
+                   chunk: int = 65_536, opq_iters: int = 0
+                   ) -> "IVFPQView":
         """Coarse k-means fit + residual PQ fit + chunked encode + bucket
         layout. The k-means fit and the bucket layout are the IVF tier's
         (ops/kmeans.py, search/ivf._bucket_layout) — one coarse-quantizer
-        definition across tiers; the PQ fit runs on residual samples."""
+        definition across tiers; the PQ fit runs on residual samples.
+        ``opq_iters > 0`` learns an OPQ rotation (ops/pq.fit_opq) in
+        RESIDUAL space — codes then quantize ``(x − c)·R`` and the ADC
+        side rotates the query once; the centroid-score term is
+        untouched."""
         import math
 
         from ..ops.kmeans import assign_clusters, fit_kmeans, pick_chunk
@@ -282,7 +300,8 @@ class IVFPQView:
                                                            np.sqrt(nv))))))
         n_clusters = min(n_clusters, nv)
         if m is None:
-            m = max(2, d // 8)
+            from ..ops.pq import default_m
+            m = default_m(d)
 
         n_pad = index.descriptors.shape[0]
         chunk = math.gcd(n_pad, max(8, chunk))
@@ -317,7 +336,13 @@ class IVFPQView:
         a_fit = assign_clusters(fit_pad, cent, nfit,
                                 chunk=pick_chunk(nfit + pad))[:nfit]
         res_fit = fit_x - jnp.take(cent, jnp.maximum(a_fit, 0), axis=0)
-        cb = fit_pq(res_fit, m=m, iters=pq_iters, seed=seed)
+        rot = None
+        if opq_iters > 0:
+            from ..ops.pq import fit_opq
+            rot, cb = fit_opq(res_fit, m=m, opq_iters=opq_iters,
+                              pq_iters=pq_iters, seed=seed)
+        else:
+            cb = fit_pq(res_fit, m=m, iters=pq_iters, seed=seed)
 
         # --- full-corpus assignment + chunked residual encode ----------
         assignments = np.empty((n_pad,), np.int32)
@@ -329,6 +354,8 @@ class IVFPQView:
                                 chunk=pick_chunk(chunk))
             assignments[start:start + chunk] = np.asarray(a)
             res = sl - jnp.take(cent, jnp.maximum(a, 0), axis=0)
+            if rot is not None:
+                res = res @ rot
             codes_all[start:start + chunk] = np.asarray(encode_pq(res, cb))
 
         bucket_pos, spill_pos = _bucket_layout(assignments, nv,
@@ -354,7 +381,7 @@ class IVFPQView:
             spill_codes = jnp.zeros((0, m // 2), jnp.int8)
         return cls(cent, codes_b, bucket_pos, spill_codes,
                    jnp.asarray(sp), jnp.asarray(spc), cb,
-                   nprobe=nprobe, depth=depth)
+                   nprobe=nprobe, depth=depth, rotation=rot)
 
     # ------------------------------------------------------------------
     def candidates(self, index, queries, depth: int | None = None,
@@ -371,7 +398,8 @@ class IVFPQView:
             self.centroids, self.codes, self.bucket_pos,
             self.spill_codes, self.spill_pos, self.spill_cluster,
             self.codebook.centroids, index.descriptors, index.scales,
-            q, nv, depth=depth, nprobe=p, int4=index.is_int4)
+            q, nv, self.rotation, depth=depth, nprobe=p,
+            int4=index.is_int4)
 
     def search(self, index, queries, k: int = 10,
                depth: int | None = None, nprobe: int | None = None):
@@ -400,14 +428,16 @@ class IVFPQView:
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        np.savez(os.path.join(path, "ivfpq.npz"),
-                 centroids=np.asarray(self.centroids),
-                 codes=np.asarray(self.codes),
-                 bucket_pos=np.asarray(self.bucket_pos),
-                 spill_codes=np.asarray(self.spill_codes),
-                 spill_pos=np.asarray(self.spill_pos),
-                 spill_cluster=np.asarray(self.spill_cluster),
-                 pq_centroids=np.asarray(self.codebook.centroids))
+        arrs = dict(centroids=np.asarray(self.centroids),
+                    codes=np.asarray(self.codes),
+                    bucket_pos=np.asarray(self.bucket_pos),
+                    spill_codes=np.asarray(self.spill_codes),
+                    spill_pos=np.asarray(self.spill_pos),
+                    spill_cluster=np.asarray(self.spill_cluster),
+                    pq_centroids=np.asarray(self.codebook.centroids))
+        if self.rotation is not None:
+            arrs["rotation"] = np.asarray(self.rotation)
+        np.savez(os.path.join(path, "ivfpq.npz"), **arrs)
         with open(os.path.join(path, "ivfpq.json"), "w") as f:
             json.dump({"nprobe": self.nprobe, "depth": self.depth}, f)
 
@@ -423,4 +453,6 @@ class IVFPQView:
                    jnp.asarray(raw["spill_pos"], jnp.int32),
                    jnp.asarray(raw["spill_cluster"], jnp.int32),
                    PQCodebook(jnp.asarray(raw["pq_centroids"])),
-                   nprobe=int(meta["nprobe"]), depth=int(meta["depth"]))
+                   nprobe=int(meta["nprobe"]), depth=int(meta["depth"]),
+                   rotation=(jnp.asarray(raw["rotation"])
+                             if "rotation" in raw.files else None))

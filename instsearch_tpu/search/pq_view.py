@@ -172,7 +172,8 @@ class PQView:
         nv = index.num_valid
         d = index.dim
         if m is None:
-            m = max(2, d // 8)
+            from ..ops.pq import default_m
+            m = default_m(d)
         if nv < 16:
             raise ValueError("PQ needs at least 16 indexed rows")
 

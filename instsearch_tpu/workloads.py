@@ -65,6 +65,13 @@ def run_workload(name: str, dataset: RetrievalDataset,
         # the local-whitening view is a post-build fit (same lifecycle as
         # the IVF view); expert count defaults to ~sqrt(N)
         idx.fit_local_whitening(seed=seed)
+    if cfg.search.ivfpq_nprobe > 0:
+        # candidate-tier lifecycle is a post-build fit too; sizing
+        # defaults (~sqrt(N) clusters, D/8 subspaces). Protocol metrics
+        # below always rank the FULL index exactly (AP consumes the
+        # complete ranking), so the tier shows up in the serving-route
+        # guard, not in mAP
+        idx.build_ivfpq(nprobe=cfg.search.ivfpq_nprobe, seed=seed)
     build_s = time.time() - t0
 
     protocol = cfg.eval.protocol if dataset.name != "mini" else "medium"
@@ -90,6 +97,16 @@ def run_workload(name: str, dataset: RetrievalDataset,
         "build_sec": round(build_s, 2),
         "mAP": round(res["mAP"], 2),
     }
+    if scfg.ivfpq_nprobe > 0:
+        # routing guard for the candidate tier: the view must exist and
+        # actually serve Index.search (in-sample recall is a smoke
+        # number — the honest out-of-sample curve lives in bench_ivfpq)
+        assert idx.ivfpq is not None
+        q0 = np.asarray(idx._rows_f32_chunk(0, 8))
+        rec = idx.ivfpq.measure_recall(idx, q0,
+                                       k=min(10, idx.num_valid))
+        out["ivfpq"] = True
+        out["ivfpq_recall_at_10_insample"] = round(float(rec), 3)
     for key in ("mP@1", "mP@5", "mP@10"):
         if key in res:
             out[key] = round(res[key], 2)

@@ -140,3 +140,19 @@ def test_query_images_sharded_routes_ivfpq(rng, tmp_path):
                                         sharded_index=sidx)
         np.testing.assert_array_equal(got_i, want_i)
         np.testing.assert_allclose(got_s, want_s, rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_ivfpq_opq_matches_single_device(rng):
+    # OPQ rotation rides as a replicated operand; the sharded cascade
+    # must stay exactly equal to the single-device composite with it
+    idx, q = _make_index(rng)
+    idx.ivfpq = None
+    idx.build_ivfpq(n_clusters=6, nprobe=3, m=8, depth=48, sample=None,
+                    opq_iters=3, pq_iters=6)
+    assert idx.ivfpq.rotation is not None
+    want_s, want_i = idx.search(q)
+    sidx = idx.to_sharded(mesh=make_mesh(8))
+    got_s, got_i = sidx.search_ivfpq(q, k=idx.cfg.search.k)
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+    np.testing.assert_allclose(np.asarray(got_s), want_s,
+                               rtol=2e-5, atol=2e-6)

@@ -253,3 +253,70 @@ def test_cli_ivfpq_flow(tmp_path):
                "--out", str(tmp_path / "idx2"), "--config", cfg_path,
                "--ivfpq", "--pq"])
     assert rc == 2
+
+
+# ---------------------------------------------------------------------------
+# OPQ rotation in residual space (build_ivfpq(opq_iters=), ops/pq.fit_opq)
+
+def _clustered_aniso(rng, n_per, centers, d, decay=0.9, noise=0.3):
+    """Clusters whose WITHIN-cluster spread is spectrum-decayed through a
+    shared random basis — the residual-space analog of the flat tier's
+    `_anisotropic` corpus (real descriptor residuals after PCA-whitening
+    look like this): plain residual PQ wastes code entropy on the
+    correlated axes, the learned rotation recovers it."""
+    anchors = _unit(rng, centers, d)
+    spec = (decay ** np.arange(d)).astype(np.float32)
+    basis, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    z = rng.standard_normal((centers * n_per, d)).astype(np.float32)
+    x = np.repeat(anchors, n_per, axis=0) \
+        + noise * (z * spec) @ basis.astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_opq_full_probe_equals_bruteforce(rng):
+    # the exactness anchor must hold with a rotation attached: the ADC
+    # admits every row at full probe+depth and the exact re-score (which
+    # never sees the rotation) restores the brute-force ranking
+    x = _clustered_aniso(rng, n_per=32, centers=8, d=32)
+    q = _unit(rng, 7, 32)
+    idx = _index(x)
+    v = IVFPQView.from_index(idx, n_clusters=8, nprobe=8, m=4,
+                             depth=256, opq_iters=3, pq_iters=6)
+    assert v.rotation is not None
+    s, ids = v.search(idx, q, k=10, depth=256, nprobe=8)
+    want = np.argsort(-(q @ x.T), axis=1)[:, :10]
+    np.testing.assert_array_equal(ids, want)
+
+
+def test_opq_residual_recall_beats_plain(rng):
+    x = _clustered_aniso(rng, n_per=128, centers=16, d=64)
+    idx = _index(x)
+    q = x[rng.choice(len(x), 16, replace=False)]
+    q = q + 0.02 * rng.standard_normal(q.shape).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    plain = IVFPQView.from_index(idx, n_clusters=16, nprobe=16, m=8,
+                                 pq_iters=10, depth=32)
+    opq = IVFPQView.from_index(idx, n_clusters=16, nprobe=16, m=8,
+                               pq_iters=10, depth=32, opq_iters=5)
+    r_plain = plain.measure_recall(idx, q, k=10, depth=32, nprobe=16)
+    r_opq = opq.measure_recall(idx, q, k=10, depth=32, nprobe=16)
+    assert r_opq >= r_plain, (r_opq, r_plain)
+    assert r_opq > 0.8, r_opq
+
+
+def test_opq_persistence(tmp_path, rng):
+    x = _clustered_aniso(rng, n_per=32, centers=4, d=16)
+    idx = _index(x)
+    idx.build_ivfpq(n_clusters=4, nprobe=2, m=2, depth=48, opq_iters=2,
+                    pq_iters=6)
+    assert idx.ivfpq.rotation is not None
+    q = _unit(rng, 4, 16)
+    s1, i1 = idx.search(q)
+    idx.save(str(tmp_path / "idx"))
+    back = Index.load(str(tmp_path / "idx"))
+    assert back.ivfpq.rotation is not None
+    np.testing.assert_allclose(np.asarray(back.ivfpq.rotation),
+                               np.asarray(idx.ivfpq.rotation))
+    s2, i2 = back.search(q)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)

@@ -193,3 +193,36 @@ def test_serve_lw_index_no_recompile(tmp_path):
         assert s.shape == (9, scfg.k) and (np.asarray(i) >= 0).all()
 
     assert _count_compiles(run) == 0
+
+
+@pytest.mark.slow
+def test_serve_ivfpq_index_no_recompile(tmp_path):
+    """An IVF-PQ index serves through the same warm buckets: the cascade
+    composite (search/ivfpq._ivfpq_composite_jit) is what the warm-up
+    compiles, so oversized requests still trigger zero new
+    compilations."""
+    import numpy as np
+    from instsearch_tpu.cli import serve_batch, serve_buckets
+    from tests.bench.test_no_recompile import _count_compiles
+
+    mini = make_mini_dataset(str(tmp_path / "mini"), seed=12)
+    cfg = PipelineConfig(
+        extract=ExtractConfig(backbone="vgg16", pooling="gem", image_size=64,
+                              batch_size=8, dtype="float32"),
+        search=SearchConfig(k=5, use_pallas=False))
+    idx = Index.build(mini.db_paths, cfg, seed=0)
+    idx.build_ivfpq(n_clusters=4, nprobe=2, m=8, depth=16, sample=None)
+    assert idx.cfg.search.ivfpq_nprobe == 2
+    buckets = serve_buckets(idx.cfg.search.query_chunk)
+    scfg = idx.cfg.search
+    for b in buckets:                                  # warm
+        idx.query_images(np.zeros((b, 64, 64, 3), np.uint8))
+
+    rng = np.random.default_rng(1)
+
+    def run():
+        batch = (rng.random((9, 64, 64, 3)) * 255).astype(np.uint8)
+        s, i = serve_batch(idx, None, batch, scfg, buckets)
+        assert s.shape == (9, scfg.k) and (np.asarray(i) >= 0).all()
+
+    assert _count_compiles(run) == 0

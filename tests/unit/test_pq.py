@@ -188,3 +188,15 @@ def test_opq_adc_identity_with_rotation(rng):
         for m in range(4):
             got[b] += lut[b, m, codes[:, m]]
     np.testing.assert_allclose(got, want.T, rtol=1e-4, atol=1e-5)
+
+
+def test_default_m_even_and_divides():
+    from instsearch_tpu.ops.pq import default_m
+    for d in (16, 56, 64, 96, 512, 2048):
+        m = default_m(d)
+        assert m % 2 == 0 and d % m == 0 and m >= 2
+        assert m <= max(2, d // 8)
+    assert default_m(56) == 4          # the scaled-preset dim that broke
+    assert default_m(512) == 64
+    with pytest.raises(ValueError, match="no even"):
+        default_m(15)
