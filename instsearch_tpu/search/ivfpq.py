@@ -286,13 +286,31 @@ class IVFPQView:
         RESIDUAL space — codes then quantize ``(x − c)·R`` and the ADC
         side rotates the query once; the centroid-score term is
         untouched."""
+        def rows_f32(start, count):
+            return index._rows_f32_chunk(start, count)
+
+        return cls._fit(rows_f32, index.num_valid,
+                        index.descriptors.shape[0], index.dim,
+                        n_clusters=n_clusters, nprobe=nprobe, m=m,
+                        kmeans_iters=kmeans_iters, pq_iters=pq_iters,
+                        seed=seed, cap_factor=cap_factor, sample=sample,
+                        depth=depth, chunk=chunk, opq_iters=opq_iters)
+
+    @classmethod
+    def _fit(cls, rows_f32, nv: int, n_pad: int, d: int, *,
+             n_clusters, nprobe, m, kmeans_iters, pq_iters, seed,
+             cap_factor, sample, depth, chunk, opq_iters) -> "IVFPQView":
+        """The shared fit core behind :meth:`from_index` and
+        :meth:`from_host_store`: ``rows_f32(start, count)`` yields
+        dequantized f32 row chunks from WHEREVER the exact rows live
+        (device store or host memmap) — everything else (sampled coarse
+        fit, residual PQ fit, chunked encode, bucket layout) is
+        identical."""
         import math
 
         from ..ops.kmeans import assign_clusters, fit_kmeans, pick_chunk
         from .ivf import _bucket_layout
 
-        nv = index.num_valid
-        d = index.dim
         if nv < 16:
             raise ValueError("IVF-PQ needs at least 16 indexed rows")
         if n_clusters is None:
@@ -303,13 +321,9 @@ class IVFPQView:
             from ..ops.pq import default_m
             m = default_m(d)
 
-        n_pad = index.descriptors.shape[0]
         chunk = math.gcd(n_pad, max(8, chunk))
 
         # --- coarse quantizer on dequantized rows (sampled fit) --------
-        def rows_f32(start, count):
-            return index._rows_f32_chunk(start, count)
-
         if sample is not None and nv > sample:
             rng = np.random.default_rng(seed)
             take = np.sort(rng.choice(nv, size=sample, replace=False))
@@ -319,8 +333,14 @@ class IVFPQView:
                 sel = take[(take >= start) & (take < start + chunk)]
                 if len(sel):
                     sl = rows_f32(start, chunk)
-                    parts.append(np.asarray(
-                        jnp.take(sl, jnp.asarray(sel - start), axis=0)))
+                    # host readers (HostRowStore memmap) subset in numpy —
+                    # jnp.take would ship the whole chunk to the device
+                    # just to keep a few sampled rows
+                    if isinstance(sl, np.ndarray):
+                        parts.append(sl[sel - start])
+                    else:
+                        parts.append(np.asarray(
+                            jnp.take(sl, jnp.asarray(sel - start), axis=0)))
             fit_x = jnp.asarray(np.concatenate(parts, axis=0))
         else:
             parts = [np.asarray(rows_f32(s, chunk))
@@ -409,6 +429,63 @@ class IVFPQView:
         return np.asarray(s[:, :k]), np.asarray(ids[:, :k])
 
     # ------------------------------------------------------------------
+    # Capacity-scale serving: codes on chip, exact rows on the host.
+    @classmethod
+    def from_host_store(cls, store: "HostRowStore",
+                        n_clusters: int | None = None, nprobe: int = 32,
+                        m: int | None = None, kmeans_iters: int = 10,
+                        pq_iters: int = 15, seed: int = 0,
+                        cap_factor: float = 4.0,
+                        sample: "int | None" = 262_144, depth: int = 100,
+                        chunk: int = 65_536, opq_iters: int = 0
+                        ) -> "IVFPQView":
+        """Build the view straight from a :class:`HostRowStore` — no
+        device-resident Index required, which is the whole point at
+        capacity scale (64M×512 exact rows = 32–128 GB; only the ~2 GB
+        of codes ever reach the chip). Row chunks stream host→device
+        once for the fit/encode and are dropped."""
+        return cls._fit(store.rows_f32, store.n, store.n, store.d,
+                        n_clusters=n_clusters, nprobe=nprobe, m=m,
+                        kmeans_iters=kmeans_iters, pq_iters=pq_iters,
+                        seed=seed, cap_factor=cap_factor, sample=sample,
+                        depth=depth, chunk=chunk, opq_iters=opq_iters)
+
+    def search_host(self, store: "HostRowStore", queries, k: int = 10,
+                    depth: int | None = None, nprobe: int | None = None):
+        """The capacity-scale cascade: pruned residual ADC ON CHIP over
+        the resident codes (``_adc_select_jit``), then the exact re-score
+        ON HOST against the memory-mapped row store — only ``depth`` rows
+        per query are ever read (random reads of depth·D bytes), so the
+        exact store never needs to fit any chip. Returns
+        ``(scores [B, k], ids [B, k])`` with the store's ids (positions
+        when none were given). Equals the device cascade's ranking
+        exactly — same ADC candidates, same exact scores."""
+        p = min(nprobe or self.nprobe, self.n_clusters)
+        depth = depth or self.depth
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        _, pos = _adc_select_jit(
+            self.centroids, self.codes, self.bucket_pos,
+            self.spill_codes, self.spill_pos, self.spill_cluster,
+            self.codebook.centroids, jnp.asarray(q), self.rotation,
+            depth=depth, nprobe=p)
+        pos = np.asarray(pos)                                # [B, dd]
+        rows = store.gather(pos)                             # [B, dd, D]
+        exact = np.einsum("bkd,bd->bk", rows, q,
+                          dtype=np.float32)
+        exact = np.where(pos >= 0, exact, -np.inf)
+        order = np.argsort(-exact, axis=1, kind="stable")[:, :k]
+        s = np.take_along_axis(exact, order, axis=1)
+        out_pos = np.take_along_axis(pos, order, axis=1)
+        ids = np.where(out_pos >= 0, store.ids_at(out_pos), -1)
+        if s.shape[1] < k:
+            padw = ((0, 0), (0, k - s.shape[1]))
+            s = np.pad(s, padw, constant_values=-np.inf)
+            ids = np.pad(ids, padw, constant_values=-1)
+        return s.astype(np.float32), ids.astype(np.int32)
+
+    # ------------------------------------------------------------------
     def measure_recall(self, index, queries, k: int = 10,
                        depth: int | None = None,
                        nprobe: int | None = None) -> float:
@@ -456,3 +533,102 @@ class IVFPQView:
                    nprobe=int(meta["nprobe"]), depth=int(meta["depth"]),
                    rotation=(jnp.asarray(raw["rotation"])
                              if "rotation" in raw.files else None))
+
+
+class HostRowStore:
+    """Memory-mapped host-side exact-row store for capacity-scale
+    serving (the deployment form of the regime ``bench_ivfpq_capacity``
+    measures: the chip holds the 32 B/row codes, the host holds the
+    exact rows, and a query reads only its ``depth`` candidates — a few
+    hundred KB of random reads — never the whole store).
+
+    On-disk layout under ``path/``: ``rows.bin`` ([N, D] row-major in
+    the storage dtype), optional ``scales.bin`` ([N] f32 per-row scales
+    for int8 storage), optional ``ids.bin`` ([N] int32 — absent means
+    ids ARE positions), ``store.json`` metadata. int8 rows dequantize
+    with their scales at gather time; float16/float32 pass through.
+    """
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, "store.json")) as f:
+            meta = json.load(f)
+        self.n, self.d = int(meta["n"]), int(meta["d"])
+        self._dtype = np.dtype(meta["dtype"])
+        self.rows = np.memmap(os.path.join(path, "rows.bin"), mode="r",
+                              dtype=self._dtype, shape=(self.n, self.d))
+        spath = os.path.join(path, "scales.bin")
+        # per-row scales / ids are tiny next to the rows (4 B vs D+ B per
+        # row) — load them fully, only rows.bin stays a mapping
+        self.scales = (np.fromfile(spath, dtype=np.float32)
+                       if os.path.exists(spath) else None)
+        ipath = os.path.join(path, "ids.bin")
+        self.ids = (np.fromfile(ipath, dtype=np.int32)
+                    if os.path.exists(ipath) else None)
+
+    # ---- construction -------------------------------------------------
+    @classmethod
+    def create(cls, path: str, rows, scales=None, ids=None,
+               dtype: str = "int8", chunk: int = 262_144
+               ) -> "HostRowStore":
+        """Write a store from an array-like ``rows`` ([N, D], any float
+        dtype, or pre-quantized int8 WITH ``scales``). ``dtype='int8'``
+        with float input quantizes per-row symmetric (the int4/int8
+        tiers' convention: scale = max|row| / 127)."""
+        rows = np.asarray(rows)
+        n, d = rows.shape
+        os.makedirs(path, exist_ok=True)
+        out_dtype = np.dtype(dtype)
+        mm = np.memmap(os.path.join(path, "rows.bin"), mode="w+",
+                       dtype=out_dtype, shape=(n, d))
+        if rows.dtype == np.int8:
+            if out_dtype != np.int8 or scales is None:
+                raise ValueError("int8 input rows need dtype='int8' and "
+                                 "their per-row scales")
+            mm[:] = rows
+        elif out_dtype == np.int8:
+            scales = np.empty((n,), np.float32)
+            for s in range(0, n, chunk):
+                blk = rows[s:s + chunk].astype(np.float32)
+                sc = np.abs(blk).max(axis=1) / 127.0
+                sc = np.where(sc > 0, sc, 1.0).astype(np.float32)
+                scales[s:s + chunk] = sc
+                mm[s:s + chunk] = np.clip(
+                    np.rint(blk / sc[:, None]), -127, 127).astype(np.int8)
+        else:
+            for s in range(0, n, chunk):
+                mm[s:s + chunk] = rows[s:s + chunk].astype(out_dtype)
+        mm.flush()
+        if scales is not None:
+            np.asarray(scales, np.float32).tofile(
+                os.path.join(path, "scales.bin"))
+        if ids is not None:
+            np.asarray(ids, np.int32).tofile(os.path.join(path, "ids.bin"))
+        with open(os.path.join(path, "store.json"), "w") as f:
+            json.dump({"n": n, "d": d, "dtype": out_dtype.name}, f)
+        return cls(path)
+
+    # ---- serving-side reads -------------------------------------------
+    def rows_f32(self, start: int, count: int) -> np.ndarray:
+        """Dequantized f32 chunk [count, D] (zero-padded past N) — the
+        reader contract IVFPQView._fit consumes."""
+        end = min(start + count, self.n)
+        blk = np.asarray(self.rows[start:end], np.float32)
+        if self.scales is not None:
+            blk = blk * self.scales[start:end, None]
+        if end - start < count:
+            blk = np.pad(blk, ((0, count - (end - start)), (0, 0)))
+        return blk
+
+    def gather(self, pos: np.ndarray) -> np.ndarray:
+        """Dequantized f32 rows at ``pos`` [B, n] (zeros for pos < 0)."""
+        safe = np.maximum(pos, 0)
+        rows = np.asarray(self.rows[safe.ravel()], np.float32)
+        rows = rows.reshape(*pos.shape, self.d)
+        if self.scales is not None:
+            rows = rows * self.scales[safe][..., None]
+        return np.where((pos >= 0)[..., None], rows, 0.0)
+
+    def ids_at(self, pos: np.ndarray) -> np.ndarray:
+        safe = np.maximum(pos, 0)
+        return (safe if self.ids is None else self.ids[safe]).astype(
+            np.int32)
