@@ -106,9 +106,11 @@ def cmd_build_index(args) -> int:
                   "tiers; pick one", file=sys.stderr)
             return 2
         pq = idx.build_pq(m=args.pq_m or None, depth=args.pq_depth,
-                          opq_iters=args.opq_iters)
+                          opq_iters=args.opq_iters,
+                          anisotropic_t=args.apq_t or None)
         out["pq"] = {"m": pq.m, "bytes_per_row": pq.bytes_per_row,
-                     "depth": pq.depth, "opq": pq.rotation is not None}
+                     "depth": pq.depth, "opq": pq.rotation is not None,
+                     "anisotropic_t": pq.anisotropic_t}
     if getattr(args, "ivfpq", False):
         if args.ivf or args.pq:
             print("error: --ivfpq is mutually exclusive with --ivf/--pq "
@@ -118,10 +120,12 @@ def cmd_build_index(args) -> int:
         v = idx.build_ivfpq(n_clusters=args.ivf_clusters or None,
                             nprobe=args.nprobe, m=args.pq_m or None,
                             depth=args.pq_depth,
-                            opq_iters=args.opq_iters)
+                            opq_iters=args.opq_iters,
+                            anisotropic_t=args.apq_t or None)
         out["ivfpq"] = {"clusters": v.n_clusters, "nprobe": v.nprobe,
                         "m": v.m, "bytes_per_row": v.bytes_per_row,
                         "depth": v.depth, "opq": v.rotation is not None,
+                        "anisotropic_t": v.anisotropic_t,
                         "scan_fraction": round(v.scan_fraction(), 4)}
     idx.save(args.out)
     print(json.dumps(out))
@@ -494,6 +498,12 @@ def main(argv=None) -> int:
                         "(0 = plain PQ; ~8 typical — better candidate "
                         "recall at the same 32 B/row; for --ivfpq the "
                         "rotation is learned in residual space)")
+    b.add_argument("--apq-t", type=float, default=0.0,
+                   help="anisotropic (score-aware, ScaNN) threshold for "
+                        "--pq / --ivfpq codebooks (0 = plain MSE fit; "
+                        "~0.2 typical — raw-ADC ranking quality for "
+                        "ADC-only serving; mutually exclusive with "
+                        "--opq-iters)")
     b.add_argument("--ivfpq", action="store_true",
                    help="attach an IVF-PQ cascade view (k-means-bucketed "
                         "4-bit residual codes: the PQ store's 32 B/row "

@@ -787,7 +787,8 @@ class Index:
     def build_pq(self, m: int | None = None, iters: int = 15,
                  seed: int = 0, sample: "int | None" = 262_144,
                  depth: int = 100, chunk: int = 65_536,
-                 opq_iters: int = 0):
+                 opq_iters: int = 0,
+                 anisotropic_t: "float | None" = None):
         """Attach a product-quantization cascade view (search/pq_view.py):
         4-bit PQ codes (ops/pq.py, 32 B per 512-d row) scanned by the
         fused ADC kernel select ``depth`` candidates, exactly re-scored
@@ -809,6 +810,9 @@ class Index:
         ``opq_iters > 0`` learns an OPQ rotation with the codebook
         (ops/pq.fit_opq) — better candidate recall at the same 32 B/row,
         for one extra [B, D] query matmul at scan time.
+        ``anisotropic_t`` fits/encodes score-aware codes instead
+        (ScaNN loss, ops/pq.fit_apq) — raw-ADC ranking quality for
+        ADC-only serving; the re-scored cascade measures no gain.
         ``add()``/``remove()``/``augment_database()``
         invalidate the view — rebuild after mutating. Single-device view
         (the sharded path keeps the exact fused scan). Returns the
@@ -820,7 +824,8 @@ class Index:
         from .search.pq_view import PQView
         self.pq = PQView.from_index(self, m=m, iters=iters, seed=seed,
                                     sample=sample, depth=depth, chunk=chunk,
-                                    opq_iters=opq_iters)
+                                    opq_iters=opq_iters,
+                                    anisotropic_t=anisotropic_t)
         self.cfg = self.cfg.replace(
             search=self.cfg.search.replace(pq_depth=depth))
         return self.pq
@@ -830,7 +835,8 @@ class Index:
                     pq_iters: int = 15, seed: int = 0,
                     cap_factor: float = 4.0,
                     sample: "int | None" = 262_144, depth: int = 100,
-                    chunk: int = 65_536, opq_iters: int = 0):
+                    chunk: int = 65_536, opq_iters: int = 0,
+                    anisotropic_t: "float | None" = None):
         """Attach an IVF-PQ cascade view (search/ivfpq.py): k-means
         bucketing of 4-bit RESIDUAL PQ codes — the PQ tier's 32 B/row
         store with its ADC expansion (the tier's whole cost) pruned to
@@ -843,7 +849,11 @@ class Index:
         Mutually exclusive with the IVF and PQ views (one candidate tier
         per index). ``opq_iters > 0`` learns an OPQ rotation in RESIDUAL
         space (Ge CVPR'13; ops/pq.fit_opq) — better candidate recall at
-        the same 32 B/row. ``add()``/``remove()``/``augment_database()``
+        the same 32 B/row. ``anisotropic_t`` fits/encodes score-aware
+        residual codes (ScaNN loss with the original rows as parallel
+        directions, ops/pq.fit_apq) — raw-ADC quality for
+        ``IVFPQView.search_adc``; the re-scored cascade measures no
+        gain. ``add()``/``remove()``/``augment_database()``
         invalidate the view — rebuild after mutating. Returns the
         IVFPQView."""
         if self.ivf is not None or self.pq is not None:
@@ -856,7 +866,7 @@ class Index:
             self, n_clusters=n_clusters, nprobe=nprobe, m=m,
             kmeans_iters=kmeans_iters, pq_iters=pq_iters, seed=seed,
             cap_factor=cap_factor, sample=sample, depth=depth, chunk=chunk,
-            opq_iters=opq_iters)
+            opq_iters=opq_iters, anisotropic_t=anisotropic_t)
         self.cfg = self.cfg.replace(
             search=self.cfg.search.replace(ivfpq_nprobe=self.ivfpq.nprobe))
         return self.ivfpq

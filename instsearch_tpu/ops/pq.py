@@ -322,6 +322,221 @@ def decode_pq(packed: jax.Array, cb: PQCodebook) -> jax.Array:
     return gathered.reshape(packed.shape[0], -1)
 
 
+# ---------------------------------------------------------------------------
+# Anisotropic (score-aware) PQ — Guo et al., "Accelerating Large-Scale
+# Inference with Anisotropic Vector Quantization" (ScaNN), ICML 2020.
+#
+# Vanilla PQ minimizes reconstruction MSE ‖x − x̂‖², but inner-product
+# RANKING error is dominated by the residual component PARALLEL to the
+# datapoint: queries that score x highly point roughly along x, so an
+# error along x moves x's score for exactly those queries, while the
+# orthogonal error averages out. The score-aware loss re-weights:
+#
+#     ℓ(x, x̂) = ‖r‖² + (η − 1)·⟨r, x⟩²/‖x‖²,     r = x − x̂,
+#
+# with η = h∥/h⊥ ≥ 1 derived from the paper's threshold parameter T
+# (Theorem 3.2 for unit-norm data): η = (d − 1)·T²/(1 − T²).
+#
+# TPU-native implementation notes:
+#   * The parallel term couples subspaces (⟨r, x⟩ = Σ_m ⟨r_m, x_m⟩), so
+#     assignment is coordinate descent over subspaces — ONE lax.scan over
+#     the m-axis per sweep, each step a [N, K] matmul + argmin, carrying
+#     the running total s_i = ⟨r_i, x_i⟩. No per-subspace host loop.
+#   * The codebook update is closed-form per (subspace, cluster): setting
+#     the gradient of the summed loss to zero gives the K ds×ds systems
+#       [n_k·I + Σ_i h_ik γ_i d_i d_iᵀ]·c = Σ_i h_ik y_i
+#                     + Σ_i h_ik γ_i (s_other,i + ⟨y_i, d_i⟩)·d_i
+#     solved batched on device (ds = 8 → trivially small solves), also a
+#     scan over m so s_other tracks the sequentially-updated centroids.
+#   * ``y`` (the quantized vector) and ``d`` (the score direction) are
+#     separate arguments: flat PQ uses y = d = x; the IVF-PQ tier fits
+#     RESIDUALS y = x − c_coarse while the ranking direction stays the
+#     original row d = x (q·x̂ error is still along x).
+#   * Everything runs full-array on the fit SAMPLE (≤ a few hundred k
+#     rows, [N, D] f32) — the encode of the full store stays chunked.
+#
+# Measured profile at THIS framework's operating point (4-bit codes,
+# unit-norm descriptors; A/B in tests/unit/test_apq.py and preserved
+# sweeps in experiments/): parallel error E[⟨r, x⟩²] drops ~7× at t=0.2
+# (total MSE +60% — the designed trade), raw-ADC score error at the true
+# match of near-duplicate queries drops ~2.6× and raw-ADC top-1 rises
+# (0.92→0.95 typical). Cascade candidate recall at depth ≫ k is FLAT
+# (t-sweep 0.05–0.2, multiple seeds): competitor items y with q ∦ y feel
+# the enlarged orthogonal error, which cancels the true-match win when
+# an exact re-score follows anyway. Use ``anisotropic_t`` for ADC-only
+# serving (scores consumed without re-score); leave it off for the
+# re-scored cascade, where it buys nothing and costs fit/encode sweeps.
+# ---------------------------------------------------------------------------
+
+
+def eta_from_threshold(t: float, d: int) -> float:
+    """ScaNN's parallel/orthogonal weight ratio η for unit-norm data at
+    score threshold ``t`` (arXiv:1908.10396 Theorem 3.2): as t → 0 the
+    loss degrades to plain MSE (η → 1 is enforced as the floor)."""
+    if not 0.0 <= t < 1.0:
+        raise ValueError(f"anisotropic threshold t={t} must be in [0, 1)")
+    return max(1.0, (d - 1) * t * t / (1.0 - t * t))
+
+
+def _apq_prep(y: jax.Array, d_vec: jax.Array, m: int, eta: float):
+    """Reshape to the [M, N, ds] scan layout + per-point parallel weight
+    γ_i = (η − 1)/‖d_i‖² (zero-norm rows get γ = 0 → plain MSE)."""
+    n, dim = y.shape
+    ds = dim // m
+    ym = jnp.asarray(y, jnp.float32).reshape(n, m, ds).transpose(1, 0, 2)
+    dm = jnp.asarray(d_vec, jnp.float32).reshape(n, m, ds).transpose(1, 0, 2)
+    dn2 = jnp.sum(jnp.asarray(d_vec, jnp.float32) ** 2, axis=1)      # [N]
+    gam = jnp.where(dn2 > 0, (eta - 1.0) / jnp.maximum(dn2, 1e-12), 0.0)
+    return ym, dm, gam
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _apq_assign_sweep(ym, dm, gam, cent, codes, t, *, k: int):
+    """One coordinate-descent assignment sweep over all subspaces.
+
+    Carries s_i = Σ_m t_im; per subspace m picks the centroid minimizing
+    ‖y_m − c_j‖² + γ·(s_other + ⟨y_m − c_j, d_m⟩)² given the other
+    subspaces' CURRENT codes — the exact per-coordinate loss, so each
+    step never increases the total anisotropic loss."""
+    s = jnp.sum(t, axis=0)                                   # [N]
+
+    def step(s, inp):
+        y1, d1, c1, t1 = inp                # [N,ds], [N,ds], [K,ds], [N]
+        s_other = s - t1
+        dots_y = y1 @ c1.T                                   # [N, K]
+        cn2 = jnp.sum(c1 * c1, axis=-1)                      # [K]
+        e = jnp.sum(y1 * y1, axis=-1)[:, None] - 2.0 * dots_y + cn2[None]
+        yd = jnp.sum(y1 * d1, axis=-1)                       # [N]
+        b = yd[:, None] - d1 @ c1.T                          # ⟨y−c_j, d⟩
+        loss = e + gam[:, None] * jnp.square(s_other[:, None] + b)
+        a = jnp.argmin(loss, axis=1).astype(jnp.int32)
+        t_new = jnp.take_along_axis(b, a[:, None], axis=1)[:, 0]
+        return s_other + t_new, (a, t_new)
+
+    s, (codes, t) = jax.lax.scan(step, s, (ym, dm, cent, t))
+    return codes, t
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _apq_update_sweep(ym, dm, gam, cent, codes, t, *, k: int):
+    """One codebook-update sweep: per subspace (sequential, so s_other
+    reflects already-updated subspaces) solve the K closed-form ds×ds
+    systems for fixed codes, then refresh that subspace's t."""
+    s = jnp.sum(t, axis=0)
+    ds = ym.shape[-1]
+    eye = jnp.eye(ds, dtype=jnp.float32)
+
+    def step(s, inp):
+        y1, d1, c1, a1, t1 = inp
+        s_other = s - t1
+        h = jax.nn.one_hot(a1, k, dtype=jnp.float32)         # [N, K]
+        nk = jnp.sum(h, axis=0)                              # [K]
+        dg = d1 * gam[:, None]                               # [N, ds]
+        a_mat = (jnp.einsum("nk,nd,ne->kde", h, dg, d1)
+                 + nk[:, None, None] * eye)
+        yd = jnp.sum(y1 * d1, axis=-1)
+        rhs = (h.T @ y1
+               + jnp.einsum("nk,n,nd->kd", h, gam * (s_other + yd), d1))
+        c_new = jnp.linalg.solve(a_mat, rhs[..., None])[..., 0]
+        c_new = jnp.where(nk[:, None] > 0, c_new, c1)
+        t_new = yd - jnp.sum(c_new[a1] * d1, axis=-1)
+        return s_other + t_new, (c_new, t_new)
+
+    _, (cent, t) = jax.lax.scan(step, s, (ym, dm, cent, codes, t))
+    return cent, t
+
+
+@jax.jit
+def _apq_loss(ym, dm, gam, cent, codes):
+    """Mean anisotropic loss of the current (codes, centroids) — the
+    quantity the alternation minimizes; pinned non-increasing in tests."""
+    def step(carry, inp):
+        e, s = carry
+        y1, d1, c1, a1 = inp
+        r = y1 - c1[a1]
+        return (e + jnp.sum(r * r, axis=-1),
+                s + jnp.sum(r * d1, axis=-1)), None
+    n = ym.shape[1]
+    (e, s), _ = jax.lax.scan(
+        step, (jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32)),
+        (ym, dm, cent, codes))
+    return jnp.mean(e + gam * s * s)
+
+
+def fit_apq(y: jax.Array, m: int = 64, k: int = 16, *,
+            directions: "jax.Array | None" = None, t: float = 0.2,
+            num_valid: int | None = None, init_iters: int = 15,
+            sweeps: int = 6, seed: int = 0,
+            chunk: int = 16384) -> PQCodebook:
+    """Fit an anisotropic PQ codebook on ``y [N, D]`` (module comment
+    above for the loss and the TPU decomposition).
+
+    ``directions`` is the score-direction vector per row (defaults to
+    ``y`` itself — flat PQ; IVF-PQ passes the original rows while ``y``
+    holds coarse residuals). Init = vanilla Lloyd (``fit_pq``), then
+    ``sweeps`` alternations of CD assignment + closed-form updates. Runs
+    full-array on the fit sample — callers pass the (bounded) sample they
+    already draw, not the whole store."""
+    n, d = y.shape
+    _check_dims(d, m)
+    nv = int(num_valid if num_valid is not None else n)
+    y = jnp.asarray(y, jnp.float32)[:nv]
+    d_vec = y if directions is None else (
+        jnp.asarray(directions, jnp.float32)[:nv])
+    if d_vec.shape != y.shape:
+        raise ValueError(f"directions {d_vec.shape} != rows {y.shape}")
+    eta = eta_from_threshold(t, d)
+    cb = fit_pq(y, m=m, k=k, iters=init_iters, seed=seed, chunk=chunk)
+    ym, dm, gam = _apq_prep(y, d_vec, m, eta)
+    cent = cb.centroids
+    # initial codes from the plain-PQ assignment (one MSE E-step: γ = 0
+    # makes s_other irrelevant, so zero init codes/t are fine; the
+    # returned t is already consistent with the returned codes)
+    codes, tpar = _apq_assign_sweep(ym, dm, jnp.zeros_like(gam), cent,
+                                    jnp.zeros((m, nv), jnp.int32),
+                                    jnp.zeros((m, nv), jnp.float32), k=k)
+    for _ in range(sweeps):
+        codes, tpar = _apq_assign_sweep(ym, dm, gam, cent, codes, tpar,
+                                        k=k)
+        cent, tpar = _apq_update_sweep(ym, dm, gam, cent, codes, tpar,
+                                       k=k)
+    return PQCodebook(cent)
+
+
+def encode_apq(y: jax.Array, cb: PQCodebook, *,
+               directions: "jax.Array | None" = None, t: float = 0.2,
+               sweeps: int = 2, chunk: int = 16384) -> jax.Array:
+    """Encode under the SAME score-aware loss the codebook was fit with
+    (a plain nearest-centroid encode would forfeit most of the ranking
+    win — the assignment is where the parallel penalty bites). Chunked
+    CD sweeps initialized from the MSE assignment; packed like
+    ``encode_pq``."""
+    n, d = y.shape
+    m = cb.m
+    _check_dims(d, m)
+    eta = eta_from_threshold(t, d)
+    y = jnp.asarray(y, jnp.float32)
+    d_all = y if directions is None else jnp.asarray(directions,
+                                                     jnp.float32)
+    chunk = pick_chunk(n, chunk)
+    out = np.empty((n, m), np.int32)
+    for s0 in range(0, n, chunk):
+        ym, dm, gam = _apq_prep(y[s0:s0 + chunk], d_all[s0:s0 + chunk],
+                                m, eta)
+        codes, tpar = _apq_assign_sweep(ym, dm, jnp.zeros_like(gam),
+                                        cb.centroids,
+                                        jnp.zeros((m, chunk), jnp.int32),
+                                        jnp.zeros((m, chunk), jnp.float32),
+                                        k=cb.k)
+        for _ in range(sweeps):
+            codes, tpar = _apq_assign_sweep(ym, dm, gam, cb.centroids,
+                                            codes, tpar, k=cb.k)
+        out[s0:s0 + chunk] = np.asarray(codes.T)
+    v = out - 8
+    lo, hi = v[:, :m // 2], v[:, m // 2:]
+    return jnp.asarray((16 * hi + lo + 8).astype(np.int8))
+
+
 def pq_lut(q: jax.Array, cb: PQCodebook) -> jax.Array:
     """ADC lookup tables: ``q [B, D]`` → ``[B, M, K]`` f32,
     ``lut[b, m, j] = q[b]_m · C[m, j]``. Scoring a row with codes c is

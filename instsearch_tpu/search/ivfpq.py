@@ -134,6 +134,30 @@ def _adc_select(centroids, codes, bucket_pos, spill_codes, spill_pos,
     return adc_s, pos
 
 
+@partial(jax.jit, static_argnames=("pad",))
+def _dequant_pad_jit(blk, sc, *, pad: int):
+    """Raw storage chunk → f32 rows in ONE program (dequantize + pad):
+    the device side of ``HostRowStore.rows_device``."""
+    x = blk.astype(jnp.float32)
+    if sc is not None:
+        x = x * sc[:, None]
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _assign_residual_jit(x, cent, nv_local, *, chunk: int):
+    """Coarse assignment + residuals in ONE program — the encode loop
+    runs once per chunk, and separate eager dispatches cost ~25 ms each
+    through this box's tunnel (CLAUDE.md); 1024 chunks at 64M rows make
+    that a minute of pure dispatch."""
+    from ..ops.kmeans import assign_clusters
+    a = assign_clusters(x, cent, nv_local, chunk=chunk)
+    res = x - jnp.take(cent, jnp.maximum(a, 0), axis=0)
+    return a, res
+
+
 @partial(jax.jit, static_argnames=("depth", "nprobe"))
 def _adc_select_jit(centroids, codes, bucket_pos, spill_codes, spill_pos,
                     spill_cluster, pq_centroids, q, rotation=None, *,
@@ -233,7 +257,8 @@ class IVFPQView:
 
     def __init__(self, centroids, codes, bucket_pos, spill_codes,
                  spill_pos, spill_cluster, codebook: PQCodebook,
-                 nprobe: int = 32, depth: int = 100, rotation=None):
+                 nprobe: int = 32, depth: int = 100, rotation=None,
+                 anisotropic_t: "float | None" = None):
         self.centroids = centroids          # [C, D] f32 unit rows
         self.codes = codes                  # [C, M, m/2] int8 packed
         self.bucket_pos = bucket_pos        # [C, M] int32 positions
@@ -242,6 +267,7 @@ class IVFPQView:
         self.spill_cluster = spill_cluster  # [S_pad] int32 (-1 pad)
         self.codebook = codebook            # residual-space [m, 16, ds]
         self.rotation = rotation            # OPQ residual-space [D, D]
+        self.anisotropic_t = anisotropic_t  # ScaNN threshold (fit record)
         self.nprobe = nprobe
         self.depth = depth
 
@@ -276,7 +302,8 @@ class IVFPQView:
                    kmeans_iters: int = 10, pq_iters: int = 15,
                    seed: int = 0, cap_factor: float = 4.0,
                    sample: "int | None" = 262_144, depth: int = 100,
-                   chunk: int = 65_536, opq_iters: int = 0
+                   chunk: int = 65_536, opq_iters: int = 0,
+                   anisotropic_t: "float | None" = None
                    ) -> "IVFPQView":
         """Coarse k-means fit + residual PQ fit + chunked encode + bucket
         layout. The k-means fit and the bucket layout are the IVF tier's
@@ -285,7 +312,11 @@ class IVFPQView:
         ``opq_iters > 0`` learns an OPQ rotation (ops/pq.fit_opq) in
         RESIDUAL space — codes then quantize ``(x − c)·R`` and the ADC
         side rotates the query once; the centroid-score term is
-        untouched."""
+        untouched. ``anisotropic_t`` fits/encodes the residual codes
+        under the score-aware ScaNN loss with the ORIGINAL rows as the
+        parallel directions (ops/pq.fit_apq; raw-ADC quality for
+        :meth:`search_adc` — the exactly-re-scored cascade doesn't need
+        it)."""
         def rows_f32(start, count):
             return index._rows_f32_chunk(start, count)
 
@@ -294,18 +325,28 @@ class IVFPQView:
                         n_clusters=n_clusters, nprobe=nprobe, m=m,
                         kmeans_iters=kmeans_iters, pq_iters=pq_iters,
                         seed=seed, cap_factor=cap_factor, sample=sample,
-                        depth=depth, chunk=chunk, opq_iters=opq_iters)
+                        depth=depth, chunk=chunk, opq_iters=opq_iters,
+                        anisotropic_t=anisotropic_t)
 
     @classmethod
     def _fit(cls, rows_f32, nv: int, n_pad: int, d: int, *,
              n_clusters, nprobe, m, kmeans_iters, pq_iters, seed,
-             cap_factor, sample, depth, chunk, opq_iters) -> "IVFPQView":
+             cap_factor, sample, depth, chunk, opq_iters,
+             anisotropic_t=None, rows_dev=None,
+             rows_sample=None) -> "IVFPQView":
         """The shared fit core behind :meth:`from_index` and
         :meth:`from_host_store`: ``rows_f32(start, count)`` yields
         dequantized f32 row chunks from WHEREVER the exact rows live
         (device store or host memmap) — everything else (sampled coarse
         fit, residual PQ fit, chunked encode, bucket layout) is
-        identical."""
+        identical. ``rows_dev`` (optional) yields the same chunks as
+        DEVICE arrays for the full-corpus encode pass — host stores ship
+        raw int8 bytes and dequantize on device (4× less tunnel
+        traffic); defaults to shipping the ``rows_f32`` output.
+        ``rows_sample`` (optional) gathers an arbitrary row subset
+        ``[len(idx), D]`` f32 in one call — memmap stores random-read
+        just the sampled rows instead of dequantizing every chunk they
+        fall in."""
         import math
 
         from ..ops.kmeans import assign_clusters, fit_kmeans, pick_chunk
@@ -327,21 +368,25 @@ class IVFPQView:
         if sample is not None and nv > sample:
             rng = np.random.default_rng(seed)
             take = np.sort(rng.choice(nv, size=sample, replace=False))
-            # gather the sample in chunk-sized strides (no full f32 copy)
-            parts = []
-            for start in range(0, n_pad, chunk):
-                sel = take[(take >= start) & (take < start + chunk)]
-                if len(sel):
-                    sl = rows_f32(start, chunk)
-                    # host readers (HostRowStore memmap) subset in numpy —
-                    # jnp.take would ship the whole chunk to the device
-                    # just to keep a few sampled rows
-                    if isinstance(sl, np.ndarray):
-                        parts.append(sl[sel - start])
-                    else:
-                        parts.append(np.asarray(
-                            jnp.take(sl, jnp.asarray(sel - start), axis=0)))
-            fit_x = jnp.asarray(np.concatenate(parts, axis=0))
+            if rows_sample is not None:
+                fit_x = jnp.asarray(rows_sample(take))
+            else:
+                # gather the sample in chunk-sized strides (no full f32
+                # copy)
+                parts = []
+                for start in range(0, n_pad, chunk):
+                    sel = take[(take >= start) & (take < start + chunk)]
+                    if len(sel):
+                        sl = rows_f32(start, chunk)
+                        # host readers (HostRowStore memmap) subset in
+                        # numpy — jnp.take would ship the whole chunk to
+                        # the device just to keep a few sampled rows
+                        if isinstance(sl, np.ndarray):
+                            parts.append(sl[sel - start])
+                        else:
+                            parts.append(np.asarray(jnp.take(
+                                sl, jnp.asarray(sel - start), axis=0)))
+                fit_x = jnp.asarray(np.concatenate(parts, axis=0))
         else:
             parts = [np.asarray(rows_f32(s, chunk))
                      for s in range(0, n_pad, chunk)]
@@ -357,7 +402,16 @@ class IVFPQView:
                                 chunk=pick_chunk(nfit + pad))[:nfit]
         res_fit = fit_x - jnp.take(cent, jnp.maximum(a_fit, 0), axis=0)
         rot = None
-        if opq_iters > 0:
+        if anisotropic_t is not None and opq_iters > 0:
+            raise ValueError(
+                "anisotropic_t and opq_iters are mutually exclusive "
+                "(the score-aware alternation is not defined through a "
+                "jointly-learned rotation; pick one)")
+        if anisotropic_t is not None:
+            from ..ops.pq import fit_apq
+            cb = fit_apq(res_fit, m=m, directions=fit_x,
+                         t=anisotropic_t, init_iters=pq_iters, seed=seed)
+        elif opq_iters > 0:
             from ..ops.pq import fit_opq
             rot, cb = fit_opq(res_fit, m=m, opq_iters=opq_iters,
                               pq_iters=pq_iters, seed=seed)
@@ -365,18 +419,27 @@ class IVFPQView:
             cb = fit_pq(res_fit, m=m, iters=pq_iters, seed=seed)
 
         # --- full-corpus assignment + chunked residual encode ----------
+        if rows_dev is None:
+            def rows_dev(start, count):
+                return jnp.asarray(rows_f32(start, count))
         assignments = np.empty((n_pad,), np.int32)
         codes_all = np.empty((n_pad, m // 2), np.int8)
         for start in range(0, n_pad, chunk):
-            sl = rows_f32(start, chunk)
+            sl = rows_dev(start, chunk)          # ONE transfer per chunk
             nv_local = int(np.clip(nv - start, 0, chunk))
-            a = assign_clusters(sl, cent, nv_local,
-                                chunk=pick_chunk(chunk))
+            a, res = _assign_residual_jit(sl, cent, nv_local,
+                                          chunk=pick_chunk(chunk))
             assignments[start:start + chunk] = np.asarray(a)
-            res = sl - jnp.take(cent, jnp.maximum(a, 0), axis=0)
             if rot is not None:
                 res = res @ rot
-            codes_all[start:start + chunk] = np.asarray(encode_pq(res, cb))
+            if anisotropic_t is not None:
+                from ..ops.pq import encode_apq
+                codes_all[start:start + chunk] = np.asarray(
+                    encode_apq(res, cb, directions=sl,
+                               t=anisotropic_t))
+            else:
+                codes_all[start:start + chunk] = np.asarray(
+                    encode_pq(res, cb))
 
         bucket_pos, spill_pos = _bucket_layout(assignments, nv,
                                                n_clusters, cap_factor)
@@ -401,7 +464,8 @@ class IVFPQView:
             spill_codes = jnp.zeros((0, m // 2), jnp.int8)
         return cls(cent, codes_b, bucket_pos, spill_codes,
                    jnp.asarray(sp), jnp.asarray(spc), cb,
-                   nprobe=nprobe, depth=depth, rotation=rot)
+                   nprobe=nprobe, depth=depth, rotation=rot,
+                   anisotropic_t=anisotropic_t)
 
     # ------------------------------------------------------------------
     def candidates(self, index, queries, depth: int | None = None,
@@ -437,18 +501,65 @@ class IVFPQView:
                         pq_iters: int = 15, seed: int = 0,
                         cap_factor: float = 4.0,
                         sample: "int | None" = 262_144, depth: int = 100,
-                        chunk: int = 65_536, opq_iters: int = 0
+                        chunk: int = 65_536, opq_iters: int = 0,
+                        anisotropic_t: "float | None" = None
                         ) -> "IVFPQView":
         """Build the view straight from a :class:`HostRowStore` — no
         device-resident Index required, which is the whole point at
         capacity scale (64M×512 exact rows = 32–128 GB; only the ~2 GB
-        of codes ever reach the chip). Row chunks stream host→device
-        once for the fit/encode and are dropped."""
+        of codes ever reach the chip). The encode pass streams the RAW
+        storage bytes host→device once (``rows_device`` — int8 ships 4×
+        fewer bytes than f32 and dequantizes on device) and the coarse
+        fit random-reads only its sampled rows (``rows_sample``)."""
+        def rows_sample(idx):
+            blk = np.asarray(store.rows[idx], np.float32)
+            if store.scales is not None:
+                blk = blk * store.scales[idx][:, None]
+            return blk
+
         return cls._fit(store.rows_f32, store.n, store.n, store.d,
                         n_clusters=n_clusters, nprobe=nprobe, m=m,
                         kmeans_iters=kmeans_iters, pq_iters=pq_iters,
                         seed=seed, cap_factor=cap_factor, sample=sample,
-                        depth=depth, chunk=chunk, opq_iters=opq_iters)
+                        depth=depth, chunk=chunk, opq_iters=opq_iters,
+                        anisotropic_t=anisotropic_t,
+                        rows_dev=store.rows_device,
+                        rows_sample=rows_sample)
+
+    def search_adc(self, queries, k: int = 10,
+                   depth: int | None = None, nprobe: int | None = None,
+                   ids: "np.ndarray | None" = None):
+        """Raw-ADC search: ranking straight from the pruned
+        compressed-domain scan — NO exact re-score, NO row gather. The
+        serving mode for capacity deployments where the exact rows live
+        in a host file and the per-query host gather + re-score
+        (:meth:`search_host`) is the latency floor; everything here is
+        one on-chip program over the resident codes.
+
+        Quality is the RAW-ADC ranking: fit the view with
+        ``anisotropic_t`` (score-aware codes, ops/pq.py) to hold top-1 —
+        measured profile in ops/pq.py and tests/unit/test_apq.py.
+        ``ids``: optional [N] id array (``Index.ids`` / ``store.ids``);
+        row POSITIONS are returned when omitted."""
+        p = min(nprobe or self.nprobe, self.n_clusters)
+        depth = max(k, depth or self.depth)
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None]
+        s, pos = _adc_select_jit(
+            self.centroids, self.codes, self.bucket_pos,
+            self.spill_codes, self.spill_pos, self.spill_cluster,
+            self.codebook.centroids, q, self.rotation,
+            depth=depth, nprobe=p)
+        s, pos = np.asarray(s[:, :k]), np.asarray(pos[:, :k])
+        if s.shape[1] < k:                  # tiny view: fewer probed rows
+            padw = ((0, 0), (0, k - s.shape[1]))
+            s = np.pad(s, padw, constant_values=-np.inf)
+            pos = np.pad(pos, padw, constant_values=-1)
+        if ids is not None:
+            ids = np.asarray(ids)
+            pos = np.where(pos >= 0, ids[np.maximum(pos, 0)], -1)
+        return s, pos.astype(np.int32)
 
     def search_host(self, store: "HostRowStore", queries, k: int = 10,
                     depth: int | None = None, nprobe: int | None = None):
@@ -516,7 +627,8 @@ class IVFPQView:
             arrs["rotation"] = np.asarray(self.rotation)
         np.savez(os.path.join(path, "ivfpq.npz"), **arrs)
         with open(os.path.join(path, "ivfpq.json"), "w") as f:
-            json.dump({"nprobe": self.nprobe, "depth": self.depth}, f)
+            json.dump({"nprobe": self.nprobe, "depth": self.depth,
+                       "anisotropic_t": self.anisotropic_t}, f)
 
     @classmethod
     def load(cls, path: str) -> "IVFPQView":
@@ -532,7 +644,8 @@ class IVFPQView:
                    PQCodebook(jnp.asarray(raw["pq_centroids"])),
                    nprobe=int(meta["nprobe"]), depth=int(meta["depth"]),
                    rotation=(jnp.asarray(raw["rotation"])
-                             if "rotation" in raw.files else None))
+                             if "rotation" in raw.files else None),
+                   anisotropic_t=meta.get("anisotropic_t"))
 
 
 class HostRowStore:
@@ -606,6 +719,20 @@ class HostRowStore:
         with open(os.path.join(path, "store.json"), "w") as f:
             json.dump({"n": n, "d": d, "dtype": out_dtype.name}, f)
         return cls(path)
+
+    # ---- build-side reads ----------------------------------------------
+    def rows_device(self, start: int, count: int) -> jax.Array:
+        """Dequantized f32 chunk [count, D] ON DEVICE, shipped as the RAW
+        storage bytes (int8 = 4× less tunnel/PCIe traffic than f32) and
+        dequantized by one jitted program. This is the fit/encode-path
+        reader — at 64M×512 the build streams the whole store once, and
+        host-side dequantize + f32 transfer was measured 4–8× slower
+        end-to-end on this box's ~50 MB/s tunnel."""
+        end = min(start + count, self.n)
+        blk = jnp.asarray(np.ascontiguousarray(self.rows[start:end]))
+        sc = (jnp.asarray(self.scales[start:end])
+              if self.scales is not None else None)
+        return _dequant_pad_jit(blk, sc, pad=count - (end - start))
 
     # ---- serving-side reads -------------------------------------------
     def rows_f32(self, start: int, count: int) -> np.ndarray:

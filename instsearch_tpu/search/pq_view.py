@@ -139,11 +139,13 @@ class PQView:
     :meth:`measure_recall`)."""
 
     def __init__(self, codebook: PQCodebook, codes: jax.Array,
-                 depth: int = 100, rotation: "jax.Array | None" = None):
+                 depth: int = 100, rotation: "jax.Array | None" = None,
+                 anisotropic_t: "float | None" = None):
         self.codebook = codebook        # centroids [M, 16, ds] f32
         self.codes = codes              # [N_pad, M/2] int8 packed nibbles
         self.depth = depth
         self.rotation = rotation        # OPQ rotation [D, D] f32 or None
+        self.anisotropic_t = anisotropic_t  # ScaNN threshold (fit record)
 
     # ------------------------------------------------------------------
     @property
@@ -159,7 +161,8 @@ class PQView:
     def from_index(cls, index, m: int | None = None, iters: int = 15,
                    seed: int = 0, sample: "int | None" = 262_144,
                    depth: int = 100, chunk: int = 65_536,
-                   opq_iters: int = 0) -> "PQView":
+                   opq_iters: int = 0,
+                   anisotropic_t: "float | None" = None) -> "PQView":
         """Fit the codebook and encode every stored row.
 
         ``m`` defaults to D/8 (4-bit codes at 16× bf16 compression,
@@ -168,7 +171,10 @@ class PQView:
         ``chunk``-row slices (never materializing a full f32 copy of a
         quantized store). ``opq_iters > 0`` additionally learns an OPQ
         rotation (ops/pq.fit_opq) on the fit sample — codes then quantize
-        X·R and queries rotate once at scan time."""
+        X·R and queries rotate once at scan time. ``anisotropic_t`` fits
+        and encodes under the score-aware ScaNN loss instead
+        (ops/pq.fit_apq; raw-ADC quality — the exactly-re-scored cascade
+        measures no gain, see ops/pq.py)."""
         nv = index.num_valid
         d = index.dim
         if m is None:
@@ -194,7 +200,16 @@ class PQView:
             got += keep
         fit_x = jnp.asarray(np.concatenate(take, axis=0))
         rot = None
-        if opq_iters > 0:
+        if anisotropic_t is not None and opq_iters > 0:
+            raise ValueError(
+                "anisotropic_t and opq_iters are mutually exclusive "
+                "(the score-aware alternation is not defined through a "
+                "jointly-learned rotation; pick one)")
+        if anisotropic_t is not None:
+            from ..ops.pq import fit_apq
+            cb = fit_apq(fit_x, m=m, t=anisotropic_t, init_iters=iters,
+                         seed=seed)
+        elif opq_iters > 0:
             from ..ops.pq import fit_opq
             rot, cb = fit_opq(fit_x, m=m, opq_iters=opq_iters,
                               pq_iters=iters, seed=seed)
@@ -206,8 +221,14 @@ class PQView:
             sl = index._rows_f32_chunk(start, chunk)
             if rot is not None:
                 sl = sl @ rot
-            codes[start:start + chunk] = np.asarray(encode_pq(sl, cb))
-        return cls(cb, jnp.asarray(codes), depth=depth, rotation=rot)
+            if anisotropic_t is not None:
+                from ..ops.pq import encode_apq
+                codes[start:start + chunk] = np.asarray(
+                    encode_apq(sl, cb, t=anisotropic_t))
+            else:
+                codes[start:start + chunk] = np.asarray(encode_pq(sl, cb))
+        return cls(cb, jnp.asarray(codes), depth=depth, rotation=rot,
+                   anisotropic_t=anisotropic_t)
 
     # ------------------------------------------------------------------
     def candidates(self, index, queries: jax.Array, depth: int | None = None,
@@ -263,7 +284,8 @@ class PQView:
             arrs["rotation"] = np.asarray(self.rotation)
         np.savez(os.path.join(path, "pq.npz"), **arrs)
         with open(os.path.join(path, "pq.json"), "w") as f:
-            json.dump({"depth": self.depth}, f)
+            json.dump({"depth": self.depth,
+                       "anisotropic_t": self.anisotropic_t}, f)
 
     @classmethod
     def load(cls, path: str) -> "PQView":
@@ -274,7 +296,8 @@ class PQView:
                if "rotation" in raw.files else None)
         return cls(PQCodebook(jnp.asarray(raw["centroids"])),
                    jnp.asarray(raw["codes"], jnp.int8),
-                   depth=int(meta["depth"]), rotation=rot)
+                   depth=int(meta["depth"]), rotation=rot,
+                   anisotropic_t=meta.get("anisotropic_t"))
 
 
 @partial(jax.jit, static_argnames=("depth", "int4", "use_pallas"))
