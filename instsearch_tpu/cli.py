@@ -270,17 +270,51 @@ def cmd_serve(args) -> int:
     ``--batch-wait-ms`` of each other micro-batched into ONE device pass
     through the warm buckets (responses carry ``batch_rows``). See
     instsearch_tpu/serve.py for the threading contract.
+
+    ``--host-store DIR --ivfpq-view DIR`` switches to capacity-scale
+    VECTOR serving (serve.VectorServeCore): requests carry
+    ``{"vector": [...]}``/``{"vectors": [[...]]}`` descriptors, exact
+    rows stay in the host memmap, only the 32 B/row codes sit on chip;
+    ``--adc-only`` ranks straight from the pruned on-chip scan (no host
+    gather — the latency mode). Same stdin/TCP transports; mutations are
+    rejected (offline-built store).
     """
     from .index import Index
     from .utils import COUNTERS
 
-    idx = Index.load(args.index)
-    if idx.extractor is None:
-        print("error: index has no extractor weights; refusing to serve "
-              "with a random-init extractor (wrong retrieval)",
+    if args.host_store:
+        # capacity-scale vector serving: HostRowStore + IVFPQView, raw
+        # descriptor queries — no device-resident Index, no extractor
+        # (see serve.VectorServeCore docstring for the protocol)
+        from .search.ivfpq import HostRowStore, IVFPQView
+        from .serve import VectorServeCore
+        if not args.ivfpq_view:
+            print("error: --host-store needs --ivfpq-view (a saved "
+                  "IVFPQView directory; build with "
+                  "IVFPQView.from_host_store(...).save(...))",
+                  file=sys.stderr)
+            return 2
+        if args.sharded:
+            print("error: --host-store serving is single-process "
+                  "(shard by running one server per store slice)",
+                  file=sys.stderr)
+            return 2
+        core = VectorServeCore(HostRowStore(args.host_store),
+                               IVFPQView.load(args.ivfpq_view),
+                               adc_only=args.adc_only)
+    elif not args.index:
+        print("error: serve needs --index (image queries) or "
+              "--host-store + --ivfpq-view (vector queries)",
               file=sys.stderr)
         return 2
-    core = ServeCore(idx, sharded=args.sharded)
+    else:
+        idx = Index.load(args.index)
+        if idx.extractor is None:
+            print("error: index has no extractor weights; refusing to "
+                  "serve with a random-init extractor (wrong retrieval)",
+                  file=sys.stderr)
+            return 2
+        core = ServeCore(idx, sharded=args.sharded)
 
     if args.port is not None:              # TCP transport
         def ready_cb(port):
@@ -573,7 +607,23 @@ def main(argv=None) -> int:
 
     sv = sub.add_parser("serve", help="JSON-lines serving loop over a "
                         "saved index (one request per stdin line)")
-    sv.add_argument("--index", required=True)
+    sv.add_argument("--index", default=None,
+                    help="saved index directory (image-query serving); "
+                         "omit when serving a --host-store")
+    sv.add_argument("--host-store", default=None, metavar="DIR",
+                    help="capacity-scale VECTOR serving: a HostRowStore "
+                         "directory (exact rows in a host memmap, codes "
+                         "on chip); requests carry {\"vector\": [...]} "
+                         "instead of image paths; needs --ivfpq-view")
+    sv.add_argument("--ivfpq-view", default=None, metavar="DIR",
+                    help="saved IVFPQView directory for --host-store "
+                         "(IVFPQView.from_host_store(...).save(...))")
+    sv.add_argument("--adc-only", action="store_true",
+                    help="with --host-store: rank straight from the "
+                         "pruned on-chip ADC scan, no host gather / "
+                         "re-score (latency mode; fit the view with "
+                         "--apq-t-style anisotropic codes for raw-ADC "
+                         "quality)")
     sv.add_argument("--sharded", action="store_true",
                     help="serve through the row-sharded index over all "
                          "devices (multi-chip path)")

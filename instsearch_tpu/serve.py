@@ -97,6 +97,10 @@ class ServeCore:
         self.warm_k = idx.cfg.search.k
         self.buckets = serve_buckets(idx.cfg.search.query_chunk)
 
+    def query_cap(self) -> int:
+        """Micro-batch row cap for the TCP dispatcher."""
+        return self.idx.cfg.search.query_chunk or 128
+
     def warmup(self) -> None:
         for b in self.buckets:
             self.idx.query_images(
@@ -184,6 +188,123 @@ class ServeCore:
             return {"error": f"{type(e).__name__}: {e}"}
 
 
+class VectorServeCore:
+    """Capacity-scale vector serving: a :class:`HostRowStore` +
+    :class:`IVFPQView` pair (search/ivfpq.py) serving raw DESCRIPTOR
+    queries — the deployment form where the exact rows (32 GB+ at 64M×512)
+    live in a memory-mapped host file and only the ~2 GB of codes sit on
+    the chip, so there is no device-resident Index and no image extractor.
+
+    Satisfies the ServeCore transport contract (decode / mutate /
+    run_queries / ready_info / warmup / query_cap / handle_line), so the
+    stdin loop and :func:`serve_tcp` (cross-client micro-batching
+    included) drive it unchanged.
+
+      request:  {"vector": [f32 × D]} | {"vectors": [[...], ...]}
+                [+ "k": int]
+      response: {"results": [[{rank, id, score}, ...] per vector], ...}
+
+    ``id`` is the store's id (row position when the store carries none);
+    there are no names — descriptor-space serving has no path metadata.
+    Mutations are rejected: the store/view pair is built offline
+    (rebuild and restart to change the corpus).
+
+    Two quality modes, fixed at startup: the exact host-gather cascade
+    (``IVFPQView.search_host`` — per-query random reads of depth rows
+    from the memmap, exact re-score) or ADC-only (``adc_only=True`` →
+    ``IVFPQView.search_adc`` — ranking straight from the pruned on-chip
+    scan, NO host gather: the latency mode; fit the view with
+    ``anisotropic_t`` to hold raw-ADC quality, see ops/pq.py).
+    """
+
+    def __init__(self, store, view, k: int = 10, adc_only: bool = False,
+                 query_chunk: int = 128):
+        self.store = store
+        self.view = view
+        self.warm_k = k
+        self.adc_only = adc_only
+        self._cap = query_chunk or 128
+        self.buckets = serve_buckets(self._cap)
+        if view.codebook.dim != store.d:
+            raise ValueError(f"view dim {view.codebook.dim} != store "
+                             f"dim {store.d}")
+
+    def query_cap(self) -> int:
+        return self._cap
+
+    # ---- host side (any thread) --------------------------------------
+    def decode(self, req: dict) -> tuple[np.ndarray, int]:
+        """Request dict -> (query vectors [B, D] f32, requested k)."""
+        vecs = req.get("vectors")
+        if vecs is None:
+            vecs = [req["vector"]]
+        arr = np.asarray(vecs, np.float32)
+        if arr.ndim != 2 or arr.shape[1] != self.store.d:
+            raise ValueError(
+                f"vectors must be [B, {self.store.d}] (got {arr.shape})")
+        return arr, int(req.get("k", self.warm_k))
+
+    # ---- device side (single thread) ---------------------------------
+    def mutate(self, req: dict) -> dict:
+        raise ValueError("host-store serving is read-only; rebuild the "
+                         "store/view offline and restart")
+
+    def _search(self, q: np.ndarray, k: int):
+        if self.adc_only:
+            return self.view.search_adc(q, k=k, ids=self.store.ids)
+        return self.view.search_host(self.store, q, k=k)
+
+    def warmup(self) -> None:
+        for b in self.buckets:
+            self._search(np.zeros((b, self.store.d), np.float32),
+                         self.warm_k)
+
+    def ready_info(self) -> dict:
+        return {"ready": True, "rows": self.store.n, "dim": self.store.d,
+                "mode": "adc" if self.adc_only else "cascade",
+                "nprobe": self.view.nprobe, "depth": self.view.depth}
+
+    def run_queries(self, jobs: "list[tuple[np.ndarray, int]]"
+                    ) -> list[dict]:
+        """One device pass per micro-batch, padded up to the nearest warm
+        bucket so steady-state requests never compile (the ADC select is
+        a static-[B] program)."""
+        ks = [k for _, k in jobs]
+        k_run = self.warm_k if max(ks) <= self.warm_k else max(ks)
+        batch = (jobs[0][0] if len(jobs) == 1
+                 else np.concatenate([v for v, _ in jobs]))
+        b = batch.shape[0]
+        bucket = next((x for x in self.buckets if x >= b), b)
+        t0 = time.perf_counter()
+        qb = (batch if bucket == b else np.concatenate(
+            [batch, np.zeros((bucket - b, batch.shape[1]), np.float32)]))
+        scores, ids = self._search(qb, k_run)
+        latency = round((time.perf_counter() - t0) * 1e3, 3)
+        out, pos = [], 0
+        for vecs, req_k in jobs:
+            n = vecs.shape[0]
+            s, i = scores[pos:pos + n], ids[pos:pos + n]
+            pos += n
+            results = [[{"rank": r, "id": int(ii), "score": float(ss)}
+                        for r, (ss, ii) in enumerate(zip(srow[:req_k],
+                                                         irow[:req_k]))
+                        if ii >= 0 and np.isfinite(ss)]
+                       for srow, irow in zip(s, i)]
+            out.append({"results": results, "latency_ms": latency,
+                        "batch_rows": int(b)})
+        return out
+
+    def handle_line(self, line: str) -> dict:
+        try:
+            req = json.loads(line)
+            if "add" in req or "remove" in req:
+                return self.mutate(req)
+            vecs, req_k = self.decode(req)
+            return self.run_queries([(vecs, req_k)])[0]
+        except Exception as e:    # noqa: BLE001
+            return {"error": f"{type(e).__name__}: {e}"}
+
+
 def serve_tcp(core: ServeCore, host: str = "127.0.0.1", port: int = 0,
               batch_wait_ms: float = 2.0,
               ready_cb: Optional[Callable[[int], None]] = None,
@@ -204,7 +325,7 @@ def serve_tcp(core: ServeCore, host: str = "127.0.0.1", port: int = 0,
     """
     stop = stop_event or threading.Event()
     q: "queue.Queue[_Job]" = queue.Queue()
-    cap = core.idx.cfg.search.query_chunk or 128
+    cap = core.query_cap()
 
     def dispatcher():
         pending: Optional[_Job] = None
