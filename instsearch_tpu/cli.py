@@ -191,6 +191,26 @@ def cmd_update_index(args) -> int:
     return 0
 
 
+def cmd_merge_index(args) -> int:
+    """Offline union of independently-built indexes (Index.merge_from —
+    the FAISS merge_from analog): per-machine or per-day builds combined
+    into one serving index. All inputs must share the extraction
+    pipeline (cfg.extract + extractor-weight fingerprints), descriptor
+    dim, regional-store kind, and have disjoint names; attached
+    ANN/PQ/lw views drop (rebuild over the union with update-index or
+    build flags). The first index's storage dtype and capacity rules
+    apply — donors re-enter through add()."""
+    from .index import Index
+    idx = Index.load(args.indexes[0])
+    merged = 0
+    for path in args.indexes[1:]:
+        merged += idx.merge_from(Index.load(path))
+    idx.save(args.out)
+    print(json.dumps({"indexes": len(args.indexes), "merged": merged,
+                      "rows": idx.num_valid, "out": args.out}))
+    return 0
+
+
 def cmd_query(args) -> int:
     from .data import frontend
     from .index import Index
@@ -558,6 +578,16 @@ def main(argv=None) -> int:
     u.add_argument("--out", default=None,
                    help="write the updated index here (default: in place)")
     u.set_defaults(fn=cmd_update_index)
+
+    mg = sub.add_parser("merge-index", help="combine independently-built "
+                        "indexes into one (same extraction pipeline, "
+                        "disjoint names; FAISS merge_from analog)")
+    mg.add_argument("indexes", nargs="+",
+                    help="saved index directories; the first one's "
+                         "storage dtype/capacity rules apply")
+    mg.add_argument("--out", required=True,
+                    help="write the merged index here")
+    mg.set_defaults(fn=cmd_merge_index)
 
     q = sub.add_parser("query", help="query an index with an image")
     q.add_argument("--index", required=True)

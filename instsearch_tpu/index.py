@@ -335,6 +335,25 @@ def attach_regional_store(idx: "Index", regional: np.ndarray) -> None:
             idx.regional_geom = geom
 
 
+def _extractor_fingerprint(ex) -> list:
+    """Cheap equality fingerprint of an extractor's weights + whitening:
+    per-leaf (tree-ordered) shape and f64 sum. Identical pipelines give
+    identical fingerprints (deterministic arrays → deterministic sums);
+    it guards merge_from against the real failure — uniting stores built
+    by DIFFERENT models/whitenings into one geometrically meaningless
+    space — not against adversarial collisions."""
+    out = []
+    for leaf in jax.tree_util.tree_leaves(ex.variables or {}):
+        arr = np.asarray(leaf, np.float64)
+        out.append((arr.shape, float(arr.sum())))
+    w = getattr(ex, "whitening", None)
+    if w is not None:
+        for leaf in jax.tree_util.tree_leaves(w):
+            arr = np.asarray(leaf, np.float64)
+            out.append(("whitening", arr.shape, float(arr.sum())))
+    return out
+
+
 class Index:
     """Brute-force cosine index over L2-normalized descriptors."""
 
@@ -598,7 +617,8 @@ class Index:
     # ------------------------------------------------------------------
     def add(self, paths: Sequence[str] | None = None,
             descriptors: np.ndarray | None = None,
-            names: Sequence[str] | None = None) -> int:
+            names: Sequence[str] | None = None,
+            _regional_rows: np.ndarray | None = None) -> int:
         """Incrementally index new images into the pre-sized capacity
         (``IndexConfig.capacity`` pads the matrix at build time so growth
         is an in-place row write, no re-shard). Pass image ``paths`` (uses
@@ -647,6 +667,10 @@ class Index:
                 # descriptor adds extend it directly (dim already padded
                 # to the store width above for odd-dim int4)
                 reg_new = np.asarray(descriptors, np.float32)[:, None, :]
+            elif _regional_rows is not None:
+                # merge_from: the caller carries the already-extracted
+                # (whitened) regional rows of the donor index
+                reg_new = np.asarray(_regional_rows, np.float32)
             else:
                 raise ValueError("index has a regional re-rank store; "
                                  "add() needs image paths to extend it")
@@ -752,6 +776,88 @@ class Index:
             self.regional = jax.lax.dynamic_update_slice(
                 self.regional, jnp.asarray(reg_new, self.regional.dtype),
                 (start, 0, 0))
+
+    # ------------------------------------------------------------------
+    def merge_from(self, other: "Index") -> int:
+        """FAISS-``merge_from``-style index union: append every valid row
+        of ``other`` into this index (the production shape: per-machine /
+        per-day builds combined into one serving index offline,
+        ``cli merge-index``). Rows re-enter through :meth:`add`, so
+        capacity growth, id allocation and re-quantization under THIS
+        index's storage dtype all behave exactly like incremental adds;
+        a quantized donor costs one extra int8/int4 round-trip of its
+        rows (bit-exact for f32 donors).
+
+        Requirements: equal descriptor dim, equal extraction pipeline
+        (``cfg.extract`` must match, and extractor weights + whitening
+        are fingerprint-compared when both sides carry them — merging
+        stores built by different extractors produces a geometrically
+        meaningless union), and disjoint names (names key ``remove()``
+        and serving responses). Regional stores must agree in kind:
+        R-MAC re-rank stores merge row-for-row, exact-refine stores
+        extend automatically, mixed kinds are rejected. Donor ids are
+        NOT preserved — merged rows get fresh ids in this index's id
+        space (same as add); attached ANN/PQ/lw views drop on both the
+        usual add() rules. Returns #rows merged."""
+        if other is self:
+            raise ValueError("cannot merge an index into itself")
+        if other.dim != self.dim:
+            raise ValueError(f"descriptor dim mismatch: {self.dim} vs "
+                             f"{other.dim}")
+        if self.cfg.extract.to_json() != other.cfg.extract.to_json():
+            raise ValueError(
+                "extraction configs differ — descriptors from different "
+                "pipelines do not share a space; re-extract one side")
+        if self.extractor is not None and other.extractor is not None:
+            fa = _extractor_fingerprint(self.extractor)
+            fb = _extractor_fingerprint(other.extractor)
+            if fa != fb:
+                raise ValueError(
+                    "extractor weight/whitening fingerprints differ — "
+                    "the two indexes were not built by the same "
+                    "extractor; re-extract one side")
+        dup = set(self.names) & set(other.names)
+        if dup:
+            raise ValueError(
+                f"{len(dup)} duplicate names (e.g. "
+                f"{sorted(dup)[:3]}) — names must be unique across the "
+                f"merged index")
+        self_rerank = self.regional is not None and not self.has_refine_store
+        other_rerank = (other.regional is not None
+                        and not other.has_refine_store)
+        if self_rerank != other_rerank or \
+                self.has_refine_store != other.has_refine_store:
+            raise ValueError(
+                "regional-store kinds differ (R-MAC re-rank vs "
+                "exact-refine vs none) — both sides must match")
+        if self_rerank and \
+                self.regional.shape[1] != other.regional.shape[1]:
+            raise ValueError(
+                f"regional region counts differ: "
+                f"{self.regional.shape[1]} vs {other.regional.shape[1]}")
+
+        nvb = other.num_valid
+        if nvb == 0:
+            return 0
+        # donor rows, dequantized once (store width: int4 keeps its
+        # nibble-pair zero column, which add() expects at self.dim or
+        # self.dim-1 and both stores share here)
+        chunk = min(65_536, other.descriptors.shape[0])
+        parts = [np.asarray(other._rows_f32_chunk(s, chunk))
+                 for s in range(0, nvb, chunk)]
+        rows = np.concatenate(parts, axis=0)[:nvb]
+        reg_rows = None
+        if self_rerank:
+            reg = np.asarray(other.regional[:nvb], np.float32)
+            if other.regional_scales is not None:
+                reg = reg * np.asarray(
+                    other.regional_scales[:nvb])[..., None]
+            reg_rows = reg
+        n = self.add(descriptors=rows, names=list(other.names),
+                     _regional_rows=reg_rows)
+        self.quarantined = (list(getattr(self, "quarantined", []))
+                            + list(getattr(other, "quarantined", [])))
+        return n
 
     # ------------------------------------------------------------------
     def build_ivf(self, n_clusters: int | None = None, nprobe: int = 32,

@@ -275,6 +275,8 @@ class VectorServeCore:
                  else np.concatenate([v for v, _ in jobs]))
         b = batch.shape[0]
         bucket = next((x for x in self.buckets if x >= b), b)
+        from .utils import COUNTERS
+        COUNTERS.add("vector_queries_served", b)
         t0 = time.perf_counter()
         qb = (batch if bucket == b else np.concatenate(
             [batch, np.zeros((bucket - b, batch.shape[1]), np.float32)]))
