@@ -147,11 +147,13 @@ def cmd_update_index(args) -> int:
                   if idx.ivf is not None else None)
     lw_clusters = idx.lw.n_clusters if idx.lw is not None else None
     pq_params = ((idx.pq.m, idx.pq.depth,
-                  8 if idx.pq.rotation is not None else 0)
+                  8 if idx.pq.rotation is not None else 0,
+                  idx.pq.anisotropic_t)
                  if idx.pq is not None else None)
     ivfpq_params = ((idx.ivfpq.n_clusters, idx.ivfpq.nprobe,
                      idx.ivfpq.m, idx.ivfpq.depth,
-                     8 if idx.ivfpq.rotation is not None else 0)
+                     8 if idx.ivfpq.rotation is not None else 0,
+                     idx.ivfpq.anisotropic_t)
                     if idx.ivfpq is not None else None)
     added = removed = 0
     if args.remove:
@@ -179,11 +181,12 @@ def cmd_update_index(args) -> int:
         idx.fit_local_whitening(n_clusters=min(lw_clusters, idx.num_valid))
     if pq_params is not None and idx.pq is None and (added or removed):
         idx.build_pq(m=pq_params[0], depth=pq_params[1],
-                     opq_iters=pq_params[2])
+                     opq_iters=pq_params[2], anisotropic_t=pq_params[3])
     if ivfpq_params is not None and idx.ivfpq is None and (added or removed):
         idx.build_ivfpq(n_clusters=min(ivfpq_params[0], idx.num_valid),
                         nprobe=ivfpq_params[1], m=ivfpq_params[2],
-                        depth=ivfpq_params[3], opq_iters=ivfpq_params[4])
+                        depth=ivfpq_params[3], opq_iters=ivfpq_params[4],
+                        anisotropic_t=ivfpq_params[5])
     idx.save(args.out or args.index)
     print(json.dumps({"added": added, "removed": removed,
                       "rows": idx.num_valid,
@@ -202,12 +205,50 @@ def cmd_merge_index(args) -> int:
     apply — donors re-enter through add()."""
     from .index import Index
     idx = Index.load(args.indexes[0])
+    # views drop on merge (row positions move); remember the FIRST
+    # index's sizing and refit over the union — same policy as
+    # update-index
+    ivf_params = ((idx.ivf.n_clusters, idx.ivf.nprobe)
+                  if idx.ivf is not None else None)
+    lw_clusters = idx.lw.n_clusters if idx.lw is not None else None
+    pq_params = ((idx.pq.m, idx.pq.depth,
+                  8 if idx.pq.rotation is not None else 0,
+                  idx.pq.anisotropic_t)
+                 if idx.pq is not None else None)
+    ivfpq_params = ((idx.ivfpq.n_clusters, idx.ivfpq.nprobe,
+                     idx.ivfpq.m, idx.ivfpq.depth,
+                     8 if idx.ivfpq.rotation is not None else 0,
+                     idx.ivfpq.anisotropic_t)
+                    if idx.ivfpq is not None else None)
     merged = 0
     for path in args.indexes[1:]:
         merged += idx.merge_from(Index.load(path))
+    if merged:
+        if ivf_params is not None and idx.ivf is None:
+            idx.build_ivf(n_clusters=min(ivf_params[0], idx.num_valid),
+                          nprobe=ivf_params[1])
+        if lw_clusters is not None and idx.lw is None:
+            idx.fit_local_whitening(
+                n_clusters=min(lw_clusters, idx.num_valid))
+        if pq_params is not None and idx.pq is None:
+            idx.build_pq(m=pq_params[0], depth=pq_params[1],
+                         opq_iters=pq_params[2],
+                         anisotropic_t=pq_params[3])
+        if ivfpq_params is not None and idx.ivfpq is None:
+            idx.build_ivfpq(n_clusters=min(ivfpq_params[0],
+                                           idx.num_valid),
+                            nprobe=ivfpq_params[1], m=ivfpq_params[2],
+                            depth=ivfpq_params[3],
+                            opq_iters=ivfpq_params[4],
+                            anisotropic_t=ivfpq_params[5])
     idx.save(args.out)
     print(json.dumps({"indexes": len(args.indexes), "merged": merged,
-                      "rows": idx.num_valid, "out": args.out}))
+                      "rows": idx.num_valid, "out": args.out,
+                      "views_refit": [nm for nm, on in
+                                      (("ivf", ivf_params), ("lw",
+                                       lw_clusters), ("pq", pq_params),
+                                       ("ivfpq", ivfpq_params))
+                                      if on is not None]}))
     return 0
 
 

@@ -184,6 +184,29 @@ def test_merge_fingerprint_guard(rng, tmp_path):
     assert a.merge_from(c) == 16
 
 
+def test_cli_merge_index_refits_views(rng, tmp_path):
+    """merge-index refits the FIRST index's attached views over the
+    union (same policy as update-index)."""
+    d = 32
+    xa, xb = _unit(rng, 64, d), _unit(rng, 32, d)
+    a = _mk(xa, [f"a{i}" for i in range(64)], _cfg())
+    a.build_ivf(n_clusters=4, nprobe=4)
+    b = _mk(xb, [f"b{i}" for i in range(32)], _cfg())
+    a.save(str(tmp_path / "a"))
+    b.save(str(tmp_path / "b"))
+    from instsearch_tpu.cli import main
+    rc = main(["merge-index", str(tmp_path / "a"), str(tmp_path / "b"),
+               "--out", str(tmp_path / "m")])
+    assert rc == 0
+    m = Index.load(str(tmp_path / "m"))
+    assert m.num_valid == 96
+    assert m.ivf is not None and m.ivf.n_clusters == 4
+    # merged rows are reachable through the refit IVF view
+    q = xb[5] + 0.01 * rng.standard_normal(d).astype(np.float32)
+    s, ids = m.search(q.astype(np.float32))
+    assert m.name_of(int(np.asarray(ids)[0, 0])) == "b5"
+
+
 def test_cli_merge_index(rng, tmp_path):
     d = 32
     xa, xb = _unit(rng, 24, d), _unit(rng, 16, d)
