@@ -174,15 +174,20 @@ def cmd_update_index(args) -> int:
                   "new images", file=sys.stderr)
             return 2
         added = idx.add(paths=paths)
-    if ivf_params is not None and idx.ivf is None and (added or removed):
+    # refit attached views over the mutated corpus unconditionally:
+    # add() ABSORBS views in-process (spill/frozen-fit semantics,
+    # Index._absorb_views) which is right for a live server, but this is
+    # the offline maintenance path — a fresh fit over the final corpus
+    # beats a frozen fit + spill, and remove() drops views anyway
+    if ivf_params is not None and (added or removed):
         idx.build_ivf(n_clusters=min(ivf_params[0], idx.num_valid),
                       nprobe=ivf_params[1])
-    if lw_clusters is not None and idx.lw is None and (added or removed):
+    if lw_clusters is not None and (added or removed):
         idx.fit_local_whitening(n_clusters=min(lw_clusters, idx.num_valid))
-    if pq_params is not None and idx.pq is None and (added or removed):
+    if pq_params is not None and (added or removed):
         idx.build_pq(m=pq_params[0], depth=pq_params[1],
                      opq_iters=pq_params[2], anisotropic_t=pq_params[3])
-    if ivfpq_params is not None and idx.ivfpq is None and (added or removed):
+    if ivfpq_params is not None and (added or removed):
         idx.build_ivfpq(n_clusters=min(ivfpq_params[0], idx.num_valid),
                         nprobe=ivfpq_params[1], m=ivfpq_params[2],
                         depth=ivfpq_params[3], opq_iters=ivfpq_params[4],
@@ -199,15 +204,16 @@ def cmd_merge_index(args) -> int:
     the FAISS merge_from analog): per-machine or per-day builds combined
     into one serving index. All inputs must share the extraction
     pipeline (cfg.extract + extractor-weight fingerprints), descriptor
-    dim, regional-store kind, and have disjoint names; attached
-    ANN/PQ/lw views drop (rebuild over the union with update-index or
-    build flags). The first index's storage dtype and capacity rules
-    apply — donors re-enter through add()."""
+    dim, regional-store kind, and have disjoint names; the FIRST
+    index's attached ANN/PQ/lw views are REFIT over the union (a fresh
+    fit beats the in-process absorb semantics for an offline rebuild).
+    The first index's storage dtype and capacity rules apply — donors
+    re-enter through add()."""
     from .index import Index
     idx = Index.load(args.indexes[0])
-    # views drop on merge (row positions move); remember the FIRST
-    # index's sizing and refit over the union — same policy as
-    # update-index
+    # remember the FIRST index's view sizing and refit over the union —
+    # same policy as update-index (add() absorbs in-process, but this is
+    # the offline path: refit unconditionally)
     ivf_params = ((idx.ivf.n_clusters, idx.ivf.nprobe)
                   if idx.ivf is not None else None)
     lw_clusters = idx.lw.n_clusters if idx.lw is not None else None
@@ -224,17 +230,17 @@ def cmd_merge_index(args) -> int:
     for path in args.indexes[1:]:
         merged += idx.merge_from(Index.load(path))
     if merged:
-        if ivf_params is not None and idx.ivf is None:
+        if ivf_params is not None:
             idx.build_ivf(n_clusters=min(ivf_params[0], idx.num_valid),
                           nprobe=ivf_params[1])
-        if lw_clusters is not None and idx.lw is None:
+        if lw_clusters is not None:
             idx.fit_local_whitening(
                 n_clusters=min(lw_clusters, idx.num_valid))
-        if pq_params is not None and idx.pq is None:
+        if pq_params is not None:
             idx.build_pq(m=pq_params[0], depth=pq_params[1],
                          opq_iters=pq_params[2],
                          anisotropic_t=pq_params[3])
-        if ivfpq_params is not None and idx.ivfpq is None:
+        if ivfpq_params is not None:
             idx.build_ivfpq(n_clusters=min(ivfpq_params[0],
                                            idx.num_valid),
                             nprobe=ivfpq_params[1], m=ivfpq_params[2],

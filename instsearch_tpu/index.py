@@ -658,9 +658,6 @@ class Index:
         n_new = len(names)
         if n_new == 0:
             return 0
-        self._drop_ivf("add()")   # the bucketed view would miss new rows
-        self._drop_lw("add()")    # new rows are missing from the lw store
-        self._drop_pq("add()")    # new rows have no codes
         if self.regional is not None and reg_new is None:
             if self.has_refine_store:
                 # exact-refine store: the single "region" IS the row, so
@@ -720,6 +717,7 @@ class Index:
             if self.regional is not None:
                 self._write_regional(start, reg_new,
                                      n_pad_new=self.descriptors.shape[0])
+            self._absorb_views(start, n_new)
             return n_new
 
         rows = jnp.asarray(descriptors)
@@ -746,7 +744,26 @@ class Index:
         self.names = list(self.names) + list(names)
         if self.regional is not None:
             self._write_regional(start, reg_new)
+        self._absorb_views(start, n_new)
         return n_new
+
+    def _absorb_views(self, start: int, n_new: int) -> None:
+        """Route freshly-written rows [start, start+n_new) into every
+        attached candidate/re-scoring view (add() ABSORBS; remove() and
+        augment_database() still drop — positions move / values change).
+        Per-view contracts in tests/integration/test_view_absorb_add.py:
+        IVF appends store-dtype rows to the always-scanned spill (full
+        probe stays exactly brute force), IVF-PQ appends frozen-codebook
+        residual codes to its spill, PQ and local whitening write
+        frozen-fit codes / whitened rows at the new positions."""
+        if self.ivf is not None:
+            self.ivf.absorb_add(self, start, n_new)
+        if self.pq is not None:
+            self.pq.absorb_add(self, start, n_new)
+        if self.ivfpq is not None:
+            self.ivfpq.absorb_add(self, start, n_new)
+        if self.lw is not None:
+            self.lw.absorb_add(self, start, n_new)
 
     def _write_regional(self, start: int, reg_new: np.ndarray,
                         n_pad_new: int | None = None) -> None:
@@ -797,8 +814,10 @@ class Index:
         R-MAC re-rank stores merge row-for-row, exact-refine stores
         extend automatically, mixed kinds are rejected. Donor ids are
         NOT preserved — merged rows get fresh ids in this index's id
-        space (same as add); attached ANN/PQ/lw views drop on both the
-        usual add() rules. Returns #rows merged."""
+        space (same as add); attached ANN/PQ/lw views ABSORB the merged
+        rows under the usual add() rules (``_absorb_views`` — spill /
+        frozen-fit semantics; ``cli merge-index`` refits them over the
+        union instead). Returns #rows merged."""
         if other is self:
             raise ValueError("cannot merge an index into itself")
         if other.dim != self.dim:
@@ -870,8 +889,10 @@ class Index:
         exact path stays available via ``search_cfg.replace(ivf_nprobe=0)``.
         Approximate by construction: measure with ``ivf.measure_recall``.
         Single-device only (the sharded path keeps the exact fused scan);
-        ``add()``/``remove()`` invalidate the view — rebuild after
-        mutating. Returns the IVFIndex."""
+        ``add()`` is absorbed (new rows join the always-scanned spill
+        block — IVFIndex.absorb_add), ``remove()``/``augment_database()``
+        invalidate the view — rebuild after those. Returns the
+        IVFIndex."""
         if self.is_int4:
             raise ValueError(
                 "IVF views are not supported on int4 storage (the bucket "
@@ -919,10 +940,11 @@ class Index:
         ``anisotropic_t`` fits/encodes score-aware codes instead
         (ScaNN loss, ops/pq.fit_apq) — raw-ADC ranking quality for
         ADC-only serving; the re-scored cascade measures no gain.
-        ``add()``/``remove()``/``augment_database()``
-        invalidate the view — rebuild after mutating. Single-device view
-        (the sharded path keeps the exact fused scan). Returns the
-        PQView."""
+        ``add()`` is absorbed (frozen-codebook codes written at the new
+        positions — PQView.absorb_add), ``remove()``/
+        ``augment_database()`` invalidate the view — rebuild after
+        those. Single-device view (the sharded path keeps the exact
+        fused scan). Returns the PQView."""
         if self.ivfpq is not None:
             raise ValueError(
                 "an IVF-PQ view is attached — mutually exclusive "
@@ -959,9 +981,10 @@ class Index:
         residual codes (ScaNN loss with the original rows as parallel
         directions, ops/pq.fit_apq) — raw-ADC quality for
         ``IVFPQView.search_adc``; the re-scored cascade measures no
-        gain. ``add()``/``remove()``/``augment_database()``
-        invalidate the view — rebuild after mutating. Returns the
-        IVFPQView."""
+        gain. ``add()`` is absorbed (frozen-quantizer residual codes
+        appended to the spill — IVFPQView.absorb_add), ``remove()``/
+        ``augment_database()`` invalidate the view — rebuild after
+        those. Returns the IVFPQView."""
         if self.ivf is not None or self.pq is not None:
             raise ValueError(
                 "IVF-PQ is mutually exclusive with the IVF and PQ views "
@@ -1006,10 +1029,12 @@ class Index:
         — the top-``rerank_depth`` candidates are re-scored under each
         candidate's own cluster metric (both sides transformed by the
         SAME expert, ops/local_whiten.py). Mutually exclusive at query
-        time with the other re-scoring stages; ``add()``/``remove()``/
-        ``augment_database()`` invalidate the view — refit after
-        mutating. Single-device view (the sharded path keeps the exact
-        stages). Returns the LocalWhiteningView."""
+        time with the other re-scoring stages; ``add()`` is absorbed
+        (new rows routed + whitened under the frozen bank —
+        LocalWhiteningView.absorb_add), ``remove()``/
+        ``augment_database()`` invalidate the view — refit after those.
+        Single-device view (the sharded path keeps the exact stages).
+        Returns the LocalWhiteningView."""
         from .search.lw_rerank import LocalWhiteningView
         self.lw = LocalWhiteningView.from_index(
             self, n_clusters=n_clusters, dim=dim, tau=tau, iters=iters,

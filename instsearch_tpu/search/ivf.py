@@ -201,9 +201,11 @@ class IVFIndex:
 
     Build with :meth:`from_index`; query with :meth:`search` (descriptor
     space) — or pass ``nprobe`` through ``Index.search`` once attached.
-    The main store stays authoritative: buckets hold row positions, so
-    index mutation (add/remove) invalidates the IVF view — rebuild it
-    (``from_index`` is a single k-means fit + two device gathers).
+    The main store stays authoritative: buckets hold row positions.
+    ``Index.add`` is ABSORBED (:meth:`absorb_add` appends the new rows to
+    the always-scanned spill, keeping full-probe == brute force exactly);
+    remove/DBA still invalidate the view — rebuild it (``from_index`` is
+    a single k-means fit + two device gathers).
     """
 
     def __init__(self, centroids, buckets, bucket_scales, bucket_pos,
@@ -292,6 +294,41 @@ class IVFIndex:
             sscales = jnp.zeros((0,), jnp.float32) if is_int8 else None
         return cls(cent, buckets, bscales, bucket_pos, spill, sscales,
                    spill_pos, nprobe=nprobe)
+
+    # ------------------------------------------------------------------
+    def absorb_add(self, index, start: int, n_new: int) -> None:
+        """Absorb freshly-added rows [start, start+n_new) of the (already
+        updated) main store into the ALWAYS-SCANNED spill block, in store
+        dtype — the bucketed layout is untouched, so full-probe search
+        stays exactly equal to brute force (the view's strongest
+        invariant) and any-nprobe search always sees the new rows. The
+        spill grows geometrically on overflow; repeated adds degrade the
+        scan fraction, not correctness — rebuild (``Index.build_ivf``)
+        when the spill stops being small."""
+        used = int((np.asarray(self.spill_pos) >= 0).sum())
+        cap = int(self.spill_pos.shape[0])
+        if used + n_new > cap:
+            new_cap = ((max(used + n_new, 2 * cap) + 7) // 8) * 8
+            grow = new_cap - cap
+            self.spill = jnp.concatenate(
+                [self.spill,
+                 jnp.zeros((grow, index.descriptors.shape[1]),
+                           index.descriptors.dtype)])
+            self.spill_pos = jnp.concatenate(
+                [self.spill_pos, jnp.full((grow,), -1, jnp.int32)])
+            if self.spill_scales is not None:
+                self.spill_scales = jnp.concatenate(
+                    [self.spill_scales, jnp.zeros((grow,), jnp.float32)])
+        newpos = jnp.arange(start, start + n_new, dtype=jnp.int32)
+        rows = jnp.take(index.descriptors, newpos, axis=0)
+        self.spill = jax.lax.dynamic_update_slice(self.spill, rows,
+                                                  (used, 0))
+        self.spill_pos = jax.lax.dynamic_update_slice(self.spill_pos,
+                                                      newpos, (used,))
+        if self.spill_scales is not None:
+            self.spill_scales = jax.lax.dynamic_update_slice(
+                self.spill_scales, jnp.take(index.scales[0], newpos),
+                (used,))
 
     # ------------------------------------------------------------------
     def candidates(self, queries: jax.Array, k: int,

@@ -468,6 +468,50 @@ class IVFPQView:
                    anisotropic_t=anisotropic_t)
 
     # ------------------------------------------------------------------
+    def absorb_add(self, index, start: int, n_new: int) -> None:
+        """Absorb freshly-added rows [start, start+n_new) of the (already
+        updated) main store: residual-encode them against the FROZEN
+        coarse quantizer + codebook and append (codes, position, cluster)
+        to the always-scanned spill block — bucket layout untouched, so
+        the new rows are visible at ANY nprobe and the cascade's exact
+        re-score keeps returned scores exact. Spill grows geometrically;
+        rebuild (``Index.build_ivfpq``) when it stops being small."""
+        from ..ops.kmeans import pick_chunk
+        rows = index._rows_f32_chunk(start, n_new)
+        pad = (-n_new) % 8
+        rows_p = jnp.pad(rows, ((0, pad), (0, 0)))
+        a, res = _assign_residual_jit(rows_p, self.centroids, n_new,
+                                      chunk=pick_chunk(n_new + pad))
+        a, res = a[:n_new], res[:n_new]
+        if self.rotation is not None:
+            res = res @ self.rotation
+        if self.anisotropic_t is not None:
+            from ..ops.pq import encode_apq
+            codes_new = encode_apq(res, self.codebook, directions=rows,
+                                   t=self.anisotropic_t)
+        else:
+            codes_new = encode_pq(res, self.codebook)
+        used = int((np.asarray(self.spill_pos) >= 0).sum())
+        cap = int(self.spill_pos.shape[0])
+        if used + n_new > cap:
+            new_cap = ((max(used + n_new, 2 * cap) + 7) // 8) * 8
+            grow = new_cap - cap
+            self.spill_codes = jnp.concatenate(
+                [self.spill_codes,
+                 jnp.zeros((grow, self.codes.shape[2]), jnp.int8)])
+            self.spill_pos = jnp.concatenate(
+                [self.spill_pos, jnp.full((grow,), -1, jnp.int32)])
+            self.spill_cluster = jnp.concatenate(
+                [self.spill_cluster, jnp.full((grow,), -1, jnp.int32)])
+        newpos = jnp.arange(start, start + n_new, dtype=jnp.int32)
+        self.spill_codes = jax.lax.dynamic_update_slice(
+            self.spill_codes, jnp.asarray(codes_new, jnp.int8), (used, 0))
+        self.spill_pos = jax.lax.dynamic_update_slice(
+            self.spill_pos, newpos, (used,))
+        self.spill_cluster = jax.lax.dynamic_update_slice(
+            self.spill_cluster, jnp.asarray(a, jnp.int32), (used,))
+
+    # ------------------------------------------------------------------
     def candidates(self, index, queries, depth: int | None = None,
                    nprobe: int | None = None):
         """(exact scores [B, depth], row POSITIONS) — the composable,

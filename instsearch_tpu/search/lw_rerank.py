@@ -73,8 +73,9 @@ def lw_rescore_from_candidates(store, assign, ids, cand_scores, pos,
 class LocalWhiteningView:
     """Attachable per-cluster-metric view over an Index (the lw analog of
     the IVF view): the fitted expert bank plus the precomputed whitened
-    row store. The main store stays authoritative — index mutation
-    (add/remove/DBA) invalidates this view; refit with
+    row store. The main store stays authoritative — ``Index.add`` is
+    ABSORBED (:meth:`absorb_add` routes + whitens new rows under the
+    frozen bank); remove/DBA still invalidate this view; refit with
     ``Index.fit_local_whitening`` (one k-means + one moments pass)."""
 
     def __init__(self, params: LocalWhiteningParams, store: jax.Array,
@@ -133,6 +134,32 @@ class LocalWhiteningView:
                 apply_local_whitening(rows, params))
         return cls(params, jnp.asarray(store, jnp.bfloat16),
                    jnp.asarray(assign))
+
+    # ------------------------------------------------------------------
+    def absorb_add(self, index, start: int, n_new: int) -> None:
+        """Absorb freshly-added rows [start, start+n_new) of the (already
+        updated) main store: route + whiten them with the FROZEN bank and
+        write into the position-aligned whitened store — grown first when
+        the add re-padded the main store. The frozen experts drift from
+        the corpus over many adds (re-scoring quality, never validity);
+        refit (``Index.fit_local_whitening``) on a large corpus change."""
+        from ..ops.local_whiten import apply_local_whitening, route
+        n_pad = index.descriptors.shape[0]
+        if int(self.store.shape[0]) != n_pad:
+            grow = n_pad - int(self.store.shape[0])
+            self.store = jnp.concatenate(
+                [self.store,
+                 jnp.zeros((grow, self.store.shape[1]), self.store.dtype)])
+            self.assign = jnp.concatenate(
+                [self.assign, jnp.zeros((grow,), jnp.int32)])
+        rows = index._rows_f32_chunk(start, n_new)
+        self.store = jax.lax.dynamic_update_slice(
+            self.store,
+            apply_local_whitening(rows, self.params).astype(
+                self.store.dtype), (start, 0))
+        self.assign = jax.lax.dynamic_update_slice(
+            self.assign, jnp.asarray(route(rows, self.params), jnp.int32),
+            (start,))
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:

@@ -15,9 +15,11 @@ the needles. With ``depth`` ≥ the corpus this degenerates to exact search
 Like the IVF and local-whitening views, the PQ view is POSITION-aligned
 with the padded main store: candidates compose with αQE neighbor gathers
 and regional re-ranking verbatim (the quality math lives in search/qe.py
-and search/rerank.py, shared with the exact path). Index mutation
-(add/remove/augment) invalidates the view — re-encode with
-``Index.build_pq`` (one codebook fit + a chunked encode pass).
+and search/rerank.py, shared with the exact path). ``Index.add`` is
+ABSORBED (``absorb_add`` encodes the new rows with the frozen codebook
+at their positions); remove/augment still invalidate the view —
+re-encode with ``Index.build_pq`` (one codebook fit + a chunked encode
+pass).
 
 Memory story at D=512: codes are 32 B/row — a 16 GB chip holds the code
 stream for ~400M rows; the main store stays the capacity limit, so the
@@ -229,6 +231,34 @@ class PQView:
                 codes[start:start + chunk] = np.asarray(encode_pq(sl, cb))
         return cls(cb, jnp.asarray(codes), depth=depth, rotation=rot,
                    anisotropic_t=anisotropic_t)
+
+    # ------------------------------------------------------------------
+    def absorb_add(self, index, start: int, n_new: int) -> None:
+        """Absorb freshly-added rows [start, start+n_new) of the (already
+        updated) main store: encode them with the FROZEN codebook (and
+        rotation / anisotropic loss, when fit with one) and write the
+        codes at their positions in the position-aligned array — the
+        codes array grows first when the add re-padded the main store.
+        The frozen fit drifts from the corpus distribution over many
+        adds (candidate recall, never the exactly-re-scored ordering);
+        rebuild (``Index.build_pq``) on a large corpus change."""
+        n_pad = index.descriptors.shape[0]
+        if int(self.codes.shape[0]) != n_pad:
+            grow = n_pad - int(self.codes.shape[0])
+            self.codes = jnp.concatenate(
+                [self.codes,
+                 jnp.zeros((grow, self.codes.shape[1]), jnp.int8)])
+        rows = index._rows_f32_chunk(start, n_new)
+        if self.rotation is not None:
+            rows = rows @ self.rotation
+        if self.anisotropic_t is not None:
+            from ..ops.pq import encode_apq
+            codes_new = encode_apq(rows, self.codebook,
+                                   t=self.anisotropic_t)
+        else:
+            codes_new = encode_pq(rows, self.codebook)
+        self.codes = jax.lax.dynamic_update_slice(
+            self.codes, jnp.asarray(codes_new, jnp.int8), (start, 0))
 
     # ------------------------------------------------------------------
     def candidates(self, index, queries: jax.Array, depth: int | None = None,

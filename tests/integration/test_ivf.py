@@ -190,9 +190,15 @@ def test_mutation_invalidates_ivf(rng):
     idx = _index(x, capacity=128)
     idx.build_ivf(n_clusters=4, iters=3)
     assert idx.ivf is not None
-    idx.add(descriptors=_unit(rng, 4, 16), names=[f"new{i}" for i in range(4)])
-    assert idx.ivf is None                      # stale view dropped
-    idx.build_ivf(n_clusters=4, iters=3)
+    y = _unit(rng, 4, 16)
+    idx.add(descriptors=y, names=[f"new{i}" for i in range(4)])
+    # add() ABSORBS into the always-scanned spill block (the view
+    # survives and sees the new rows; test_view_absorb_add.py pins the
+    # exactness contract) ...
+    assert idx.ivf is not None
+    _, ids = idx.ivf.search(idx, y[:2], k=3, nprobe=4)
+    assert (ids[:, 0] == np.array([64, 65])).all()
+    # ... while remove() still drops: compaction moves row positions
     idx.remove(["new0"])
     assert idx.ivf is None
 

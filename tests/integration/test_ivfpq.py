@@ -158,9 +158,16 @@ def test_mutation_invalidates_view(rng):
     idx = _index(x, capacity=256)
     idx.build_ivfpq(n_clusters=4, m=2, depth=32)
     assert idx.ivfpq is not None
-    idx.add(descriptors=_unit(rng, 8, 16),
-            names=[f"new{i}" for i in range(8)])
-    assert idx.ivfpq is None           # positions/codes no longer aligned
+    y = _unit(rng, 8, 16)
+    idx.add(descriptors=y, names=[f"new{i}" for i in range(8)])
+    # add() ABSORBS: residual spill codes under the frozen quantizer
+    # (test_view_absorb_add.py pins the contract) ...
+    assert idx.ivfpq is not None
+    _, ids = idx.ivfpq.search(idx, y[:2], k=3)
+    assert (ids[:, 0] == np.array([128, 129])).all()
+    # ... while remove() still drops: positions/codes no longer aligned
+    idx.remove(["new0"])
+    assert idx.ivfpq is None
     q = _unit(rng, 2, 16)
     s, i = idx.search(q)               # routing falls back to exact
     assert (i[:, 0] >= 0).all()

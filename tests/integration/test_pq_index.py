@@ -149,10 +149,14 @@ def test_mutation_invalidates_pq(rng):
     idx = _index(x, capacity=128)
     idx.build_pq(m=2, iters=3, depth=32)
     assert idx.pq is not None
-    idx.add(descriptors=_unit(rng, 4, 16),
-            names=[f"new{i}" for i in range(4)])
-    assert idx.pq is None                      # stale view dropped
-    idx.build_pq(m=2, iters=3, depth=32)
+    y = _unit(rng, 4, 16)
+    idx.add(descriptors=y, names=[f"new{i}" for i in range(4)])
+    # add() ABSORBS: frozen-codebook codes written at the new positions
+    # (test_view_absorb_add.py pins the contract) ...
+    assert idx.pq is not None
+    _, ids = idx.pq.search(idx, y[:2], k=3)
+    assert (ids[:, 0] == np.array([64, 65])).all()
+    # ... while remove() still drops: codes are position-aligned
     idx.remove(["new0"])
     assert idx.pq is None
 
