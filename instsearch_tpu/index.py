@@ -262,6 +262,22 @@ def _write_rows_jit(buf, rows, start):
     return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
 
 
+@jax.jit
+def _move_rows_jit(arr, src, dst):
+    """Apply the compaction moves of ``Index.remove`` to any
+    position-aligned per-row array (PQ codes, lw whitened store/assign):
+    gather-before-write, padding entries are self-moves."""
+    return arr.at[dst].set(arr[src])
+
+
+@jax.jit
+def _remap_positions_jit(P, pos_map):
+    """Remap stored row positions through ``pos_map`` (old -> new, -1 =
+    removed) — the tombstoning side of view-absorbed removal. -1 padding
+    entries stay -1."""
+    return jnp.where(P >= 0, jnp.take(pos_map, jnp.maximum(P, 0)), -1)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _compact_rows_jit(state, src, dst, new_valid):
     """Move rows ``src`` -> ``dst`` across every per-row tensor, then
@@ -889,9 +905,10 @@ class Index:
         exact path stays available via ``search_cfg.replace(ivf_nprobe=0)``.
         Approximate by construction: measure with ``ivf.measure_recall``.
         Single-device only (the sharded path keeps the exact fused scan);
-        ``add()`` is absorbed (new rows join the always-scanned spill
-        block — IVFIndex.absorb_add), ``remove()``/``augment_database()``
-        invalidate the view — rebuild after those. Returns the
+        ``add()`` and ``remove()`` are absorbed (new rows join the
+        always-scanned spill — IVFIndex.absorb_add; removals remap/
+        tombstone positions — IVFIndex.absorb_remove),
+        ``augment_database()`` invalidates the view — rebuild after it. Returns the
         IVFIndex."""
         if self.is_int4:
             raise ValueError(
@@ -940,10 +957,10 @@ class Index:
         ``anisotropic_t`` fits/encodes score-aware codes instead
         (ScaNN loss, ops/pq.fit_apq) — raw-ADC ranking quality for
         ADC-only serving; the re-scored cascade measures no gain.
-        ``add()`` is absorbed (frozen-codebook codes written at the new
-        positions — PQView.absorb_add), ``remove()``/
-        ``augment_database()`` invalidate the view — rebuild after
-        those. Single-device view (the sharded path keeps the exact
+        ``add()`` and ``remove()`` are absorbed (frozen-codebook codes
+        written at the new positions — PQView.absorb_add; removals
+        replay the compaction moves — PQView.absorb_remove),
+        ``augment_database()`` invalidates the view — rebuild after it. Single-device view (the sharded path keeps the exact
         fused scan). Returns the PQView."""
         if self.ivfpq is not None:
             raise ValueError(
@@ -981,10 +998,10 @@ class Index:
         residual codes (ScaNN loss with the original rows as parallel
         directions, ops/pq.fit_apq) — raw-ADC quality for
         ``IVFPQView.search_adc``; the re-scored cascade measures no
-        gain. ``add()`` is absorbed (frozen-quantizer residual codes
-        appended to the spill — IVFPQView.absorb_add), ``remove()``/
-        ``augment_database()`` invalidate the view — rebuild after
-        those. Returns the IVFPQView."""
+        gain. ``add()`` and ``remove()`` are absorbed (frozen-quantizer residual
+        codes appended to the spill — IVFPQView.absorb_add; removals
+        remap/tombstone positions — IVFPQView.absorb_remove),
+        ``augment_database()`` invalidates the view — rebuild after it. Returns the IVFPQView."""
         if self.ivf is not None or self.pq is not None:
             raise ValueError(
                 "IVF-PQ is mutually exclusive with the IVF and PQ views "
@@ -1029,10 +1046,11 @@ class Index:
         — the top-``rerank_depth`` candidates are re-scored under each
         candidate's own cluster metric (both sides transformed by the
         SAME expert, ops/local_whiten.py). Mutually exclusive at query
-        time with the other re-scoring stages; ``add()`` is absorbed
+        time with the other re-scoring stages; ``add()`` and ``remove()`` are absorbed
         (new rows routed + whitened under the frozen bank —
-        LocalWhiteningView.absorb_add), ``remove()``/
-        ``augment_database()`` invalidate the view — refit after those.
+        LocalWhiteningView.absorb_add; removals replay the compaction
+        moves — absorb_remove), ``augment_database()`` invalidates the
+        view — refit after it.
         Single-device view (the sharded path keeps the exact stages).
         Returns the LocalWhiteningView."""
         from .search.lw_rerank import LocalWhiteningView
@@ -1163,6 +1181,14 @@ class Index:
         Raises ``KeyError`` for unknown names (the index is unchanged).
         Returns the number of rows removed. A live ``to_sharded()`` view
         holds its own row placement — rebuild it after mutating.
+
+        Attached IVF/PQ/IVF-PQ/local-whitening views ABSORB the removal:
+        position-aligned stores replay the same compaction moves,
+        position-keyed buckets/spill remap (removed entries tombstone to
+        -1 and are masked exactly like padding slots), so add -> remove ->
+        add keeps every view attached and exact over the survivors.
+        Tombstones hollow buckets out over many removals (scan cost
+        unchanged, candidate slots shrink) — rebuild the view to compact.
         """
         pos_by_name = {nm: i for i, nm in enumerate(self.names)}
         missing = [nm for nm in names if nm not in pos_by_name]
@@ -1172,9 +1198,6 @@ class Index:
         m = len(rem)
         if m == 0:
             return 0
-        self._drop_ivf("remove()")   # compaction moves row positions
-        self._drop_lw("remove()")    # lw store/assign are position-aligned
-        self._drop_pq("remove()")    # codes are position-aligned
         n_valid = self.num_valid
         new_valid = n_valid - m
         # surviving rows now in the tail [new_valid, n_valid) move into
@@ -1200,6 +1223,27 @@ class Index:
             jnp.asarray(new_valid, jnp.int32))
         (self.descriptors, self.ids, self.scales, self.regional,
          self.regional_scales) = out
+
+        # attached views ABSORB the removal (r5; any remove used to drop
+        # them — a minutes-long refit per delete batch at capacity scale):
+        # position-aligned stores (PQ codes, lw) replay the same moves,
+        # position-keyed views (IVF, IVF-PQ) remap through old->new with
+        # removed positions tombstoned to -1 (masked like padding slots).
+        if (self.ivf is not None or self.ivfpq is not None
+                or self.pq is not None or self.lw is not None):
+            pos_map = np.arange(n_pad, dtype=np.int32)
+            pos_map[sorted(rem)] = -1
+            pos_map[tail_survivors] = holes
+            pos_map_j = jnp.asarray(pos_map)
+            src_j, dst_j = jnp.asarray(src), jnp.asarray(dst)
+            if self.ivf is not None:
+                self.ivf.absorb_remove(pos_map_j)
+            if self.ivfpq is not None:
+                self.ivfpq.absorb_remove(pos_map_j)
+            if self.pq is not None:
+                self.pq.absorb_remove(src_j, dst_j)
+            if self.lw is not None:
+                self.lw.absorb_remove(src_j, dst_j)
 
         names_arr = np.array(self.names, dtype=object)
         names_arr[holes] = names_arr[tail_survivors]

@@ -204,8 +204,10 @@ class IVFIndex:
     The main store stays authoritative: buckets hold row positions.
     ``Index.add`` is ABSORBED (:meth:`absorb_add` appends the new rows to
     the always-scanned spill, keeping full-probe == brute force exactly);
-    remove/DBA still invalidate the view — rebuild it (``from_index`` is
-    a single k-means fit + two device gathers).
+    ``Index.remove`` is ABSORBED too (:meth:`absorb_remove` remaps
+    positions, tombstoning removed slots); DBA still invalidates the
+    view — rebuild it (``from_index`` is a single k-means fit + two
+    device gathers).
     """
 
     def __init__(self, centroids, buckets, bucket_scales, bucket_pos,
@@ -329,6 +331,27 @@ class IVFIndex:
             self.spill_scales = jax.lax.dynamic_update_slice(
                 self.spill_scales, jnp.take(index.scales[0], newpos),
                 (used,))
+
+    def absorb_remove(self, pos_map: jax.Array) -> None:
+        """Absorb a main-store removal (``Index.remove`` compaction):
+        remap every stored row position through ``pos_map`` (old -> new;
+        removed rows map to -1, which masks the slot exactly like a
+        padding slot). Bucket/spill row VALUES are untouched — compaction
+        only MOVES surviving rows, it never changes them, so the copies
+        stay score-correct at their remapped positions. Tombstoned spill
+        entries are compacted to keep the valid prefix that
+        ``absorb_add``'s append cursor assumes. Buckets hollow out over
+        many removals — rebuild (``Index.build_ivf``) to compact them."""
+        from ..index import _remap_positions_jit
+        self.bucket_pos = _remap_positions_jit(self.bucket_pos, pos_map)
+        if self.spill_pos.shape[0]:
+            sp = np.asarray(_remap_positions_jit(self.spill_pos, pos_map))
+            order = jnp.asarray(
+                np.argsort(sp < 0, kind="stable").astype(np.int32))
+            self.spill_pos = jnp.take(jnp.asarray(sp), order)
+            self.spill = jnp.take(self.spill, order, axis=0)
+            if self.spill_scales is not None:
+                self.spill_scales = jnp.take(self.spill_scales, order)
 
     # ------------------------------------------------------------------
     def candidates(self, queries: jax.Array, k: int,

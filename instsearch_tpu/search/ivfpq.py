@@ -511,6 +511,27 @@ class IVFPQView:
         self.spill_cluster = jax.lax.dynamic_update_slice(
             self.spill_cluster, jnp.asarray(a, jnp.int32), (used,))
 
+    def absorb_remove(self, pos_map: jax.Array) -> None:
+        """Absorb a main-store removal: remap stored positions through
+        ``pos_map`` (removed -> -1, masked like padding). Residual codes
+        quantize row VALUES against the frozen coarse quantizer — moves
+        don't change values, so codes stay valid at their remapped
+        positions; the cascade's exact re-score gathers the moved rows
+        by the NEW position. Spill compacts its valid prefix (the
+        ``absorb_add`` append-cursor contract). Rebuild
+        (``Index.build_ivfpq``) to compact hollowed buckets."""
+        from ..index import _remap_positions_jit
+        self.bucket_pos = _remap_positions_jit(self.bucket_pos, pos_map)
+        if self.spill_pos.shape[0]:
+            sp = np.asarray(_remap_positions_jit(self.spill_pos, pos_map))
+            order = jnp.asarray(
+                np.argsort(sp < 0, kind="stable").astype(np.int32))
+            self.spill_pos = jnp.take(jnp.asarray(sp), order)
+            self.spill_codes = jnp.take(self.spill_codes, order, axis=0)
+            self.spill_cluster = jnp.where(
+                self.spill_pos >= 0,
+                jnp.take(self.spill_cluster, order), -1)
+
     # ------------------------------------------------------------------
     def candidates(self, index, queries, depth: int | None = None,
                    nprobe: int | None = None):

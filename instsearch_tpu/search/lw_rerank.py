@@ -75,8 +75,10 @@ class LocalWhiteningView:
     the IVF view): the fitted expert bank plus the precomputed whitened
     row store. The main store stays authoritative — ``Index.add`` is
     ABSORBED (:meth:`absorb_add` routes + whitens new rows under the
-    frozen bank); remove/DBA still invalidate this view; refit with
-    ``Index.fit_local_whitening`` (one k-means + one moments pass)."""
+    frozen bank) and ``Index.remove`` is ABSORBED (:meth:`absorb_remove`
+    replays the compaction moves); DBA still invalidates this view;
+    refit with ``Index.fit_local_whitening`` (one k-means + one moments
+    pass)."""
 
     def __init__(self, params: LocalWhiteningParams, store: jax.Array,
                  assign: jax.Array):
@@ -160,6 +162,16 @@ class LocalWhiteningView:
         self.assign = jax.lax.dynamic_update_slice(
             self.assign, jnp.asarray(route(rows, self.params), jnp.int32),
             (start,))
+
+    def absorb_remove(self, src: jax.Array, dst: jax.Array) -> None:
+        """Absorb a main-store removal: the whitened store and routing
+        assignments are position-aligned with the main store, so they
+        replay the exact compaction moves of ``Index.remove``. Re-scoring
+        only ever gathers at candidate positions (< num_valid), so stale
+        tail rows are unreachable."""
+        from ..index import _move_rows_jit
+        self.store = _move_rows_jit(self.store, src, dst)
+        self.assign = _move_rows_jit(self.assign, src, dst)
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:

@@ -17,9 +17,10 @@ with the padded main store: candidates compose with αQE neighbor gathers
 and regional re-ranking verbatim (the quality math lives in search/qe.py
 and search/rerank.py, shared with the exact path). ``Index.add`` is
 ABSORBED (``absorb_add`` encodes the new rows with the frozen codebook
-at their positions); remove/augment still invalidate the view —
-re-encode with ``Index.build_pq`` (one codebook fit + a chunked encode
-pass).
+at their positions) and so is ``Index.remove`` (``absorb_remove``
+replays the compaction moves on the position-aligned codes); augment
+still invalidates the view — re-encode with ``Index.build_pq`` (one
+codebook fit + a chunked encode pass).
 
 Memory story at D=512: codes are 32 B/row — a 16 GB chip holds the code
 stream for ~400M rows; the main store stays the capacity limit, so the
@@ -259,6 +260,15 @@ class PQView:
             codes_new = encode_pq(rows, self.codebook)
         self.codes = jax.lax.dynamic_update_slice(
             self.codes, jnp.asarray(codes_new, jnp.int8), (start, 0))
+
+    def absorb_remove(self, src: jax.Array, dst: jax.Array) -> None:
+        """Absorb a main-store removal: the codes array is
+        position-ALIGNED with the main store, so it replays the exact
+        compaction moves of ``Index.remove`` (gather-before-write,
+        padding entries are self-moves). Stale codes past ``num_valid``
+        are masked by the scan's validity bound, like fresh builds."""
+        from ..index import _move_rows_jit
+        self.codes = _move_rows_jit(self.codes, src, dst)
 
     # ------------------------------------------------------------------
     def candidates(self, index, queries: jax.Array, depth: int | None = None,

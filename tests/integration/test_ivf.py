@@ -198,9 +198,12 @@ def test_mutation_invalidates_ivf(rng):
     assert idx.ivf is not None
     _, ids = idx.ivf.search(idx, y[:2], k=3, nprobe=4)
     assert (ids[:, 0] == np.array([64, 65])).all()
-    # ... while remove() still drops: compaction moves row positions
+    # ... and remove() is ABSORBED too (positions remap/tombstone;
+    # test_view_absorb_remove.py pins exactness)
     idx.remove(["new0"])
-    assert idx.ivf is None
+    assert idx.ivf is not None
+    _, ids = idx.ivf.search(idx, y[1:2], k=3, nprobe=4)
+    assert ids[0, 0] == 65
 
 
 def test_index_save_load_with_ivf(tmp_path, rng):

@@ -165,12 +165,12 @@ def test_mutation_invalidates_view(rng):
     assert idx.ivfpq is not None
     _, ids = idx.ivfpq.search(idx, y[:2], k=3)
     assert (ids[:, 0] == np.array([128, 129])).all()
-    # ... while remove() still drops: positions/codes no longer aligned
+    # ... and remove() is ABSORBED too (positions remap/tombstone;
+    # test_view_absorb_remove.py pins exactness)
     idx.remove(["new0"])
-    assert idx.ivfpq is None
-    q = _unit(rng, 2, 16)
-    s, i = idx.search(q)               # routing falls back to exact
-    assert (i[:, 0] >= 0).all()
+    assert idx.ivfpq is not None
+    _, ids = idx.ivfpq.search(idx, y[1:2], k=3)
+    assert ids[0, 0] == 129
 
 
 def test_save_load_roundtrip(tmp_path, rng):

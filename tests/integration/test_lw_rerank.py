@@ -158,7 +158,13 @@ def test_mutation_drops_lw(data):
     X, _ = data
     idx = _make(X, k=8, lw_enabled=True)
     assert idx.lw is not None
+    # remove() is ABSORBED (store/assign replay the compaction moves;
+    # test_view_absorb_remove.py pins alignment) ...
     idx.remove(["i0"])
+    assert idx.lw is not None
+    # ... while augment_database() still drops: row VALUES change under
+    # the frozen bank
+    idx.augment_database(n=4)
     assert idx.lw is None
     assert not idx.cfg.search.lw_enabled
     # searching with the stale config flag now raises a clear error

@@ -156,9 +156,12 @@ def test_mutation_invalidates_pq(rng):
     assert idx.pq is not None
     _, ids = idx.pq.search(idx, y[:2], k=3)
     assert (ids[:, 0] == np.array([64, 65])).all()
-    # ... while remove() still drops: codes are position-aligned
+    # ... and remove() is ABSORBED too (codes replay the compaction
+    # moves; test_view_absorb_remove.py pins exactness)
     idx.remove(["new0"])
-    assert idx.pq is None
+    assert idx.pq is not None
+    _, ids = idx.pq.search(idx, y[1:2], k=3)
+    assert ids[0, 0] == 65
 
 
 def test_index_save_load_with_pq(tmp_path, rng):

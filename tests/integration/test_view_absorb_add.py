@@ -13,7 +13,8 @@ Exactness contract per view:
                 at their positions in the position-aligned codes array.
   * local-whitening — new rows are routed + whitened by the FROZEN bank
                 and written into the position-aligned whitened store.
-remove()/augment_database() still drop (positions move / values change).
+augment_database() still drops (values change); remove() is absorbed
+too — tests/integration/test_view_absorb_remove.py pins that contract.
 """
 import numpy as np
 import pytest
@@ -90,11 +91,13 @@ def test_ivf_absorb_survives_save_load(rng, tmp_path):
     assert (ids[:, 0] == np.arange(160, 163)).all()
 
 
-def test_remove_still_drops_views(rng):
+def test_remove_absorbed_too(rng):
+    # the full remove-absorption contract lives in
+    # test_view_absorb_remove.py; this pins only that the view survives
     idx, x = _mk(rng)
-    idx.build_ivf(n_clusters=8, iters=5)
+    ivf = idx.build_ivf(n_clusters=8, iters=5)
     idx.remove(["a0", "a1"])
-    assert idx.ivf is None               # compaction moves positions
+    assert idx.ivf is ivf
 
 
 # ------------------------------------------------------------- IVF-PQ --
