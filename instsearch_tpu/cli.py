@@ -323,13 +323,19 @@ def cmd_serve(args) -> int:
                 | {"error": str}
 
     ``add``/``remove`` mutate the live index between queries (dynamic
-    corpus serving): both are in-place row writes at the padded shapes,
-    so no search program recompiles — UNLESS an ``add`` overflows
-    ``IndexConfig.capacity``, which re-pads and recompiles on the next
-    query (~90-110 s through this environment's tunnel; size capacity to
-    expected growth). Under ``--sharded`` the mesh view is re-placed
-    after each mutation. Decode failures answer with "error" and keep
-    serving; EOF exits 0.
+    corpus serving): both are in-place writes at the padded shapes, and
+    attached IVF/PQ/IVF-PQ/lw views absorb them. A search program
+    recompiles (~90-110 s through this environment's tunnel) only when a
+    trace SHAPE changes: an ``add`` overflowing ``IndexConfig.capacity``
+    (re-pad; size capacity to expected growth), or absorbed adds
+    outgrowing an IVF/IVF-PQ view's spill arrays — serve startup
+    pre-reserves 4096 spill slots and growth is power-of-two, so that
+    costs one recompile per doubling past the reservation, never one
+    per add. Absorb-side encode/assign programs are padded to
+    power-of-two batch sizes too (~log₂ many compiles across all add
+    sizes). Under ``--sharded`` the mesh view is re-placed after each
+    mutation. Decode failures answer with "error" and keep serving; EOF
+    exits 0.
 
     ``--port N`` serves the same protocol over TCP instead (N=0 binds an
     ephemeral port, printed in the ready line): many concurrent

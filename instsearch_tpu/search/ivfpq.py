@@ -257,7 +257,7 @@ class IVFPQView:
 
     def __init__(self, centroids, codes, bucket_pos, spill_codes,
                  spill_pos, spill_cluster, codebook: PQCodebook,
-                 nprobe: int = 32, depth: int = 100, rotation=None,
+                 nprobe: int = 32, depth: int = 400, rotation=None,
                  anisotropic_t: "float | None" = None):
         self.centroids = centroids          # [C, D] f32 unit rows
         self.codes = codes                  # [C, M, m/2] int8 packed
@@ -301,7 +301,7 @@ class IVFPQView:
                    nprobe: int = 32, m: int | None = None,
                    kmeans_iters: int = 10, pq_iters: int = 15,
                    seed: int = 0, cap_factor: float = 4.0,
-                   sample: "int | None" = 262_144, depth: int = 100,
+                   sample: "int | None" = 262_144, depth: int = 400,
                    chunk: int = 65_536, opq_iters: int = 0,
                    anisotropic_t: "float | None" = None
                    ) -> "IVFPQView":
@@ -474,42 +474,75 @@ class IVFPQView:
         coarse quantizer + codebook and append (codes, position, cluster)
         to the always-scanned spill block — bucket layout untouched, so
         the new rows are visible at ANY nprobe and the cascade's exact
-        re-score keeps returned scores exact. Spill grows geometrically;
-        rebuild (``Index.build_ivfpq``) when it stops being small."""
+        re-score keeps returned scores exact. Spill grows geometrically
+        in power-of-two steps; rebuild (``Index.build_ivfpq``) when it
+        stops being small.
+
+        Compile hygiene (serve-time adds): the batch reads and encodes
+        through power-of-two-PADDED shapes (``_rows_f32_chunk_padded``)
+        and the spill write is a power-of-two block with -1-position
+        padding, so repeated adds of varying sizes reuse ~log₂ many
+        compiled programs instead of one per distinct n_new (~90-110 s
+        each through this box's tunnel)."""
         from ..ops.kmeans import pick_chunk
-        rows = index._rows_f32_chunk(start, n_new)
-        pad = (-n_new) % 8
-        rows_p = jnp.pad(rows, ((0, pad), (0, 0)))
-        a, res = _assign_residual_jit(rows_p, self.centroids, n_new,
-                                      chunk=pick_chunk(n_new + pad))
-        a, res = a[:n_new], res[:n_new]
+        rows_p, off = index._rows_f32_chunk_padded(start, n_new)
+        P = rows_p.shape[0]
+        a, res = _assign_residual_jit(rows_p, self.centroids, P,
+                                      chunk=pick_chunk(P))
         if self.rotation is not None:
             res = res @ self.rotation
         if self.anisotropic_t is not None:
             from ..ops.pq import encode_apq
-            codes_new = encode_apq(res, self.codebook, directions=rows,
-                                   t=self.anisotropic_t)
+            codes_p = encode_apq(res, self.codebook, directions=rows_p,
+                                 t=self.anisotropic_t)
         else:
-            codes_new = encode_pq(res, self.codebook)
+            codes_p = encode_pq(res, self.codebook)
+        # the new rows' codes/assignments slice out HOST-side (tiny
+        # blocks; device slicing would re-introduce per-n_new programs)
+        groups = self.codes.shape[2]
+        codes_np = np.asarray(codes_p)[off:off + n_new]
+        a_np = np.asarray(a)[off:off + n_new]
+        blk = max(8, 1 << max(0, n_new - 1).bit_length())
+        codes_blk = np.zeros((blk, groups), np.int8)
+        codes_blk[:n_new] = codes_np
+        pos_blk = np.full((blk,), -1, np.int32)
+        pos_blk[:n_new] = np.arange(start, start + n_new, dtype=np.int32)
+        clu_blk = np.full((blk,), -1, np.int32)
+        clu_blk[:n_new] = a_np
+
         used = int((np.asarray(self.spill_pos) >= 0).sum())
         cap = int(self.spill_pos.shape[0])
-        if used + n_new > cap:
-            new_cap = ((max(used + n_new, 2 * cap) + 7) // 8) * 8
-            grow = new_cap - cap
-            self.spill_codes = jnp.concatenate(
-                [self.spill_codes,
-                 jnp.zeros((grow, self.codes.shape[2]), jnp.int8)])
-            self.spill_pos = jnp.concatenate(
-                [self.spill_pos, jnp.full((grow,), -1, jnp.int32)])
-            self.spill_cluster = jnp.concatenate(
-                [self.spill_cluster, jnp.full((grow,), -1, jnp.int32)])
-        newpos = jnp.arange(start, start + n_new, dtype=jnp.int32)
+        if used + blk > cap:
+            self.reserve_spill(max(used + blk, 2 * cap))
         self.spill_codes = jax.lax.dynamic_update_slice(
-            self.spill_codes, jnp.asarray(codes_new, jnp.int8), (used, 0))
+            self.spill_codes, jnp.asarray(codes_blk), (used, 0))
         self.spill_pos = jax.lax.dynamic_update_slice(
-            self.spill_pos, newpos, (used,))
+            self.spill_pos, jnp.asarray(pos_blk), (used,))
         self.spill_cluster = jax.lax.dynamic_update_slice(
-            self.spill_cluster, jnp.asarray(a, jnp.int32), (used,))
+            self.spill_cluster, jnp.asarray(clu_blk), (used,))
+
+    def reserve_spill(self, min_capacity: int) -> None:
+        """Pre-grow the spill arrays to ≥ ``min_capacity`` slots (rounded
+        up to a power of two) without adding entries. Every IVF-PQ search
+        program's trace shape includes the spill arrays, so an absorb-add
+        that grows them RECOMPILES the serving composite (~90-110 s
+        through this box's tunnel) — and a well-balanced build ships an
+        EMPTY spill, so the first live add almost always grew it. Serve
+        startup reserves capacity up front (``cli serve``) so absorbed
+        adds stay inside pre-compiled shapes until they exceed the
+        reservation."""
+        cap = int(self.spill_pos.shape[0])
+        want = max(8, 1 << max(0, min_capacity - 1).bit_length())
+        if want <= cap:
+            return
+        grow = want - cap
+        self.spill_codes = jnp.concatenate(
+            [self.spill_codes,
+             jnp.zeros((grow, self.codes.shape[2]), jnp.int8)])
+        self.spill_pos = jnp.concatenate(
+            [self.spill_pos, jnp.full((grow,), -1, jnp.int32)])
+        self.spill_cluster = jnp.concatenate(
+            [self.spill_cluster, jnp.full((grow,), -1, jnp.int32)])
 
     def absorb_remove(self, pos_map: jax.Array) -> None:
         """Absorb a main-store removal: remap stored positions through
@@ -565,7 +598,7 @@ class IVFPQView:
                         m: int | None = None, kmeans_iters: int = 10,
                         pq_iters: int = 15, seed: int = 0,
                         cap_factor: float = 4.0,
-                        sample: "int | None" = 262_144, depth: int = 100,
+                        sample: "int | None" = 262_144, depth: int = 400,
                         chunk: int = 65_536, opq_iters: int = 0,
                         anisotropic_t: "float | None" = None
                         ) -> "IVFPQView":

@@ -154,14 +154,18 @@ class LocalWhiteningView:
                  jnp.zeros((grow, self.store.shape[1]), self.store.dtype)])
             self.assign = jnp.concatenate(
                 [self.assign, jnp.zeros((grow,), jnp.int32)])
-        rows = index._rows_f32_chunk(start, n_new)
+        # power-of-two-padded read + whole-block write-back (compile
+        # hygiene: one program per ~log2 size class, not per n_new);
+        # re-whitening an existing row under the frozen bank is
+        # identical, rows past num_valid are never gathered
+        rows, off = index._rows_f32_chunk_padded(start, n_new)
         self.store = jax.lax.dynamic_update_slice(
             self.store,
             apply_local_whitening(rows, self.params).astype(
-                self.store.dtype), (start, 0))
+                self.store.dtype), (start - off, 0))
         self.assign = jax.lax.dynamic_update_slice(
             self.assign, jnp.asarray(route(rows, self.params), jnp.int32),
-            (start,))
+            (start - off,))
 
     def absorb_remove(self, src: jax.Array, dst: jax.Array) -> None:
         """Absorb a main-store removal: the whitened store and routing

@@ -242,14 +242,21 @@ class PQView:
         codes array grows first when the add re-padded the main store.
         The frozen fit drifts from the corpus distribution over many
         adds (candidate recall, never the exactly-re-scored ordering);
-        rebuild (``Index.build_pq``) on a large corpus change."""
+        rebuild (``Index.build_pq``) on a large corpus change.
+
+        Compile hygiene (serve-time adds): the read + encode run through
+        power-of-two-PADDED shapes (``_rows_f32_chunk_padded``) and the
+        whole padded block writes back at its window start — re-encoding
+        an existing row under the frozen fit is identical, and codes
+        past ``num_valid`` are masked — so repeated adds of varying
+        sizes reuse ~log₂ many compiled programs."""
         n_pad = index.descriptors.shape[0]
         if int(self.codes.shape[0]) != n_pad:
             grow = n_pad - int(self.codes.shape[0])
             self.codes = jnp.concatenate(
                 [self.codes,
                  jnp.zeros((grow, self.codes.shape[1]), jnp.int8)])
-        rows = index._rows_f32_chunk(start, n_new)
+        rows, off = index._rows_f32_chunk_padded(start, n_new)
         if self.rotation is not None:
             rows = rows @ self.rotation
         if self.anisotropic_t is not None:
@@ -259,7 +266,7 @@ class PQView:
         else:
             codes_new = encode_pq(rows, self.codebook)
         self.codes = jax.lax.dynamic_update_slice(
-            self.codes, jnp.asarray(codes_new, jnp.int8), (start, 0))
+            self.codes, jnp.asarray(codes_new, jnp.int8), (start - off, 0))
 
     def absorb_remove(self, src: jax.Array, dst: jax.Array) -> None:
         """Absorb a main-store removal: the codes array is

@@ -90,12 +90,25 @@ class ServeCore:
     ``run_queries`` touch the device and must stay on ONE thread.
     """
 
-    def __init__(self, idx, sharded: bool = False):
+    def __init__(self, idx, sharded: bool = False,
+                 spill_reserve: int = 4096):
         self.idx = idx
         self.sidx = idx.to_sharded() if sharded else None
         self.size = idx.cfg.extract.image_size
         self.warm_k = idx.cfg.search.k
         self.buckets = serve_buckets(idx.cfg.search.query_chunk)
+        # pre-grow attached views' spill arrays: search-program trace
+        # shapes include them, and a well-balanced build ships an EMPTY
+        # spill — without the reservation the FIRST live add grows the
+        # spill and the next IVF/IVF-PQ-routed query recompiles
+        # (~90-110 s through this box's tunnel). Growth past the
+        # reservation still recompiles (power-of-two steps bound it to
+        # once per doubling).
+        if spill_reserve:
+            if idx.ivf is not None:
+                idx.ivf.reserve_spill(spill_reserve, idx)
+            if idx.ivfpq is not None:
+                idx.ivfpq.reserve_spill(spill_reserve)
 
     def query_cap(self) -> int:
         """Micro-batch row cap for the TCP dispatcher."""
