@@ -17,8 +17,9 @@ def main() -> int:
     # NOTE: do NOT enable jax_compilation_cache_dir here — the axon TPU
     # backend hangs when the persistent compilation cache is active.
     from instsearch_tpu.bench import (bench_diffusion, bench_extraction,
-                                      bench_extraction_e2e, bench_ivf,
-                                      bench_ivfpq, bench_ivfpq_capacity,
+                                      bench_extraction_e2e, bench_host_serve,
+                                      bench_ivf, bench_ivfpq,
+                                      bench_ivfpq_capacity,
                                       bench_protocol_eval, bench_qe,
                                       bench_lw, bench_pq, bench_pq_capacity,
                                       bench_query, bench_query_e2e,
@@ -65,6 +66,14 @@ def main() -> int:
     # above still all emit
     ivfpq = _try(bench_ivfpq)
     ivfpqcap = _try(bench_ivfpq_capacity)
+    # the capacity DEPLOYMENT path (host-store serving): reuses the
+    # chained-marginal ADC p50 from ivfpq_capacity so its artifact can
+    # state the production latency without the tunnel's fixed dispatch
+    hsv = _try(bench_host_serve,
+               adc_chained_ms=(
+                   {b: e["p50_ms"] for b, e in
+                    ivfpqcap["per_batch"].items()}
+                   if ivfpqcap is not None else None))
 
     value = round(ext["images_per_sec"], 1)
     line = {
@@ -82,6 +91,16 @@ def main() -> int:
         # host core, bounds measured adjacent to the e2e loop
         line["e2e_pipeline_efficiency"] = round(
             e2e["pipeline_efficiency"], 3)
+        # per-stage breakdown in the artifact (VERDICT r4 item 7): when
+        # efficiency moves round-to-round, these localize which host
+        # stage moved — decode, sustained h2d, or the overlap itself
+        line["e2e_decode_img_s"] = round(
+            e2e["decode_images_per_sec_insitu"], 1)
+        line["e2e_h2d_mbps"] = round(
+            e2e["host_to_device_mbps_sustained"], 1)
+        line["e2e_serial_bound_img_s"] = round(
+            e2e["serial_host_bound_images_per_sec"], 1)
+        line["e2e_spread_img_s"] = e2e["e2e_spread_img_s"]
     if qry is not None:
         line["query_p50_ms_1M"] = round(qry["p50_ms"], 3)
         line["query_p99_ms_1M"] = round(qry["p99_ms"], 3)
@@ -90,6 +109,10 @@ def main() -> int:
             line["hbm_bw_gbps"] = round(qry["hbm_bw_gbps"], 1)
         if "frac_of_roofline" in qry:
             line["query_frac_of_roofline"] = round(qry["frac_of_roofline"], 3)
+        # rep count + p10/p90 spread of the per-rep marginals (VERDICT r4
+        # weak 3): lets a reader tell chip drift from a real regression
+        line["query_reps"] = qry["reps"]
+        line["query_spread_ms"] = qry["spread_ms"]
     if qry8 is not None:
         line["query_int8_p50_ms_1M"] = round(qry8["p50_ms"], 3)
         if "frac_of_roofline" in qry8:
@@ -115,11 +138,20 @@ def main() -> int:
         if "frac_of_roofline" in rrk:
             line["rerank_frac_of_roofline"] = round(
                 rrk["frac_of_roofline"], 3)
+        line["rerank_spread_ms"] = rrk["spread_ms"]
     if qry4 is not None:
         line["query_int4_p50_ms_1M"] = round(qry4["p50_ms"], 3)
         if "effective_gbps" in qry4:
             line["query_int4_effective_gbps"] = round(
                 qry4["effective_gbps"], 1)
+        if "frac_of_roofline" in qry4:
+            # the drift-immune paired ratio (VERDICT r4 weak 2): int4's
+            # absolute numbers decayed 45% across r2-r4 with no way to
+            # tell chip drift from regression — this ratio is interleaved
+            # rep-for-rep with the bf16 stream probe, so drift cancels
+            line["query_int4_frac_of_roofline"] = round(
+                qry4["frac_of_roofline"], 3)
+        line["query_int4_spread_ms"] = qry4["spread_ms"]
     if diff is not None:
         line["diffusion_p50_ms_1M"] = round(diff["p50_ms"], 3)
         if "frac_of_roofline" in diff:
@@ -153,7 +185,12 @@ def main() -> int:
             line["ivf_speedup_vs_full_stream"] = round(
                 ivf["speedup_vs_full_stream"], 3)
     if ivfpq is not None:
+        # the timed operating point is the production default depth=400
+        # (>=0.95 recall@10); the recall curve below is measured AT that
+        # depth, so latency and recall describe the same program
         line["ivfpq_p50_ms_1M"] = round(ivfpq["p50_ms"], 3)
+        line["ivfpq_depth"] = ivfpq["depth"]
+        line["ivfpq_recall_at_10"] = ivfpq["recall_at_k"]
         line["ivfpq_scan_fraction"] = ivfpq["scan_fraction"]
         line["ivfpq_recall_at_10_vs_nprobe"] = ivfpq["recall_at_k_vs_nprobe"]
         for key in ivfpq:
@@ -163,8 +200,18 @@ def main() -> int:
         if "speedup_vs_full_stream" in ivfpq:
             line["ivfpq_speedup_vs_full_stream"] = round(
                 ivfpq["speedup_vs_full_stream"], 3)
+        # host-store serving quality triple (computed here where the
+        # fitted view + exact ranking already live; latency is
+        # bench_host_serve's): _apq = anisotropic_t=0.2 score-aware fit
+        for label, qd in ivfpq.get("host_quality", {}).items():
+            suf = "_apq" if label.startswith("aniso") else ""
+            line[f"hostq_recall_at_10_cascade{suf}"] = \
+                qd["recall_at_k_cascade_host"]
+            line[f"hostq_recall_at_10_adc_only{suf}"] = \
+                qd["recall_at_k_adc_only"]
     if ivfpqcap is not None:
         line["ivfpq_capacity_rows"] = ivfpqcap["n"]
+        line["ivfpq_capacity_depth"] = ivfpqcap["depth"]
         line["ivfpq_capacity_p50_ms"] = round(ivfpqcap["p50_ms"], 3)
         line["ivfpq_capacity_scan_fraction"] = ivfpqcap["scan_fraction"]
         for b, e in ivfpqcap.get("per_batch", {}).items():
@@ -172,6 +219,27 @@ def main() -> int:
                 continue
             line[f"ivfpq_capacity_p50_ms_b{b}"] = round(e["p50_ms"], 3)
             line[f"ivfpq_capacity_qps_b{b}"] = round(e["qps"], 1)
+    if hsv is not None:
+        # host-store serving (cli serve --host-store): e2e includes this
+        # box's ~25 ms fixed tunnel dispatch on the one fenced ADC call;
+        # production_p50 = chained-marginal ADC + measured host part
+        line["host_serve_rows"] = hsv["n"]
+        line["host_serve_e2e_p50_ms"] = round(hsv["p50_ms"], 3)
+        line["host_serve_gather_rescore_p50_ms"] = round(
+            hsv["host_gather_rescore_p50_ms"], 3)
+        if "production_p50_ms" in hsv:
+            line["host_serve_production_p50_ms"] = round(
+                hsv["production_p50_ms"], 3)
+        b1 = hsv["per_batch"].get("1", {})
+        if "host_gather_cold_ms" in b1:
+            line["host_serve_gather_cold_ms"] = round(
+                b1["host_gather_cold_ms"], 3)
+        for b, e in hsv["per_batch"].items():
+            if b == "1":
+                continue
+            line[f"host_serve_e2e_p50_ms_b{b}"] = round(e["e2e_p50_ms"], 3)
+            line[f"host_serve_gather_rescore_p50_ms_b{b}"] = round(
+                e["host_gather_rescore_p50_ms"], 3)
     if pqcap is not None:
         # no roofline frac here: the interleaved probe misreads next to
         # ~100 ms kernels (read 131 GB/s vs 753 standalone); the honest

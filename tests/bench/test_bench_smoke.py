@@ -23,6 +23,11 @@ def test_bench_query_smoke():
     out = B.bench_query(n=4096, d=64, k=5, q_batch=2)
     assert _finite(out["p50_ms"]) and out["p50_ms"] > 0
     assert _finite(out["qps"])
+    # variance metadata contract (VERDICT r4 weak 3): driver bench.py
+    # emits reps + p10/p90 spread for the headline latency keys
+    assert out["reps"] > 0
+    lo, hi = out["spread_ms"]
+    assert _finite(lo) and _finite(hi) and lo <= hi
 
 
 def test_bench_qe_smoke():
@@ -102,13 +107,20 @@ def test_bench_protocol_eval_smoke():
 
 def test_bench_ivfpq_smoke():
     out = B.bench_ivfpq(n=4096, d=64, k=5, n_clusters=16, nprobe=4, m=8,
-                        depth=32, recall_nprobes=(1, 4, 16))
+                        depth=32, recall_nprobes=(1, 4, 16),
+                        recall_depths=(8,), host_quality=False)
     assert _finite(out["p50_ms"]) and out["p50_ms"] > 0
     assert 0 < out["scan_fraction"] <= 1
     curve = out["recall_at_k_vs_nprobe"]
     assert set(curve) == {"1", "4", "16"}
     assert curve["16"] >= curve["1"]
+    # the recall headline is measured at the TIMED (nprobe, depth) point
+    # (VERDICT r4 item 1: no speed claim without its recall)
     assert out["recall_at_k"] == curve["4"]
+    assert out["depth"] == 32
+    # contrast depths carry recall only; shallower can only hurt
+    assert out["recall_at_k_depth8"] <= curve["4"]
+    assert out["reps"] > 0 and len(out["spread_ms"]) == 2
 
 
 def test_bench_ivfpq_capacity_smoke():
@@ -117,3 +129,38 @@ def test_bench_ivfpq_capacity_smoke():
     assert _finite(out["p50_ms"]) and out["p50_ms"] > 0
     assert set(out["per_batch"]) == {"1", "4"}
     assert out["scan_fraction"] == pytest.approx(4 / 32)
+
+
+def test_bench_host_serve_smoke(tmp_path):
+    # the capacity-serving deployment path (VERDICT r4 item 3): driver
+    # bench.py reads p50_ms / host_gather_rescore_p50_ms / per_batch;
+    # production_p50_ms composes the chained ADC p50 passed in
+    out = B.bench_host_serve(n=8192, d=64, m=8, n_clusters=32, nprobe=4,
+                             depth=16, q_batches=(1, 2), reps=3,
+                             adc_chained_ms={"1": 0.5},
+                             workdir=str(tmp_path))
+    assert _finite(out["p50_ms"]) and out["p50_ms"] > 0
+    assert _finite(out["host_gather_rescore_p50_ms"])
+    assert out["production_p50_ms"] == pytest.approx(
+        0.5 + out["host_gather_rescore_p50_ms"])
+    assert set(out["per_batch"]) == {"1", "2"}
+    for e in out["per_batch"].values():
+        assert e["host_gather_rescore_p50_ms"] <= e["e2e_p50_ms"]
+
+
+def test_bench_ivfpq_host_quality_smoke():
+    # the host-store quality triple rides bench_ivfpq (where the fitted
+    # view + exact ranking already live): driver bench.py reads
+    # host_quality.{plain,anisotropic_t0.2}.recall_at_k_*
+    out = B.bench_ivfpq(n=4096, d=64, k=5, n_clusters=16, nprobe=4, m=8,
+                        depth=32, recall_nprobes=(4,), recall_depths=(),
+                        host_quality=True)
+    q = out["host_quality"]
+    assert set(q) == {"plain", "anisotropic_t0.2"}
+    for qd in q.values():
+        for v in qd.values():
+            assert 0.0 <= v <= 1.0
+        # host cascade re-scores against the int8 store: allow only the
+        # store-quantization delta vs the device cascade
+        assert qd["recall_at_k_cascade_host"] == pytest.approx(
+            qd["recall_at_k_cascade_device"], abs=0.1)

@@ -90,4 +90,49 @@ sidx4 = build_multihost_index(np.asarray(qr4.values), ids,
 _, g4 = sidx4.search(Q, k=k)
 assert (np.asarray(g4)[:, 0] == np.arange(7)).all()
 
+# ---- r4 re-scoring/candidate tiers across REAL process boundaries
+# (VERDICT r4 item 8): the SAME shard_map programs must span processes.
+# Each process builds the identical single-device index + fitted views
+# (deterministic seeded fits on identical data), to_sharded places them
+# onto the cross-process mesh (place() is multi-host-safe: every process
+# contributes its addressable shards of the host-global value), and the
+# Gloo-backed distributed ranking must equal the single-device composite.
+from instsearch_tpu.config import IndexConfig, PipelineConfig, SearchConfig
+from instsearch_tpu.index import Index
+from instsearch_tpu.parallel import global_shard_mesh
+
+mesh = global_shard_mesh()
+
+# local-whitening re-ranking (search/lw_rerank.py): row-sharded whitened
+# store + assignments span processes, bank replicates
+cfg_lw = PipelineConfig(
+    index=IndexConfig(dtype="float32", row_tile=8),
+    search=SearchConfig(k=k, use_pallas=False, rerank_depth=32,
+                        lw_enabled=True))
+idx_lw = Index.from_descriptors(X, [f"i{i}" for i in range(N)], cfg_lw)
+idx_lw.fit_local_whitening(n_clusters=4, tau=8.0, seed=0)
+want_lw_s, want_lw_i = idx_lw.search(Q)
+sidx_lw = idx_lw.to_sharded(mesh=mesh, use_pallas=False)
+assert not sidx_lw.lw_store.is_fully_addressable    # spans processes
+got_lw_s, got_lw_i = sidx_lw.search_lw(Q, k=k, depth=32)
+assert np.array_equal(np.asarray(got_lw_i), want_lw_i), \
+    (np.asarray(got_lw_i), want_lw_i)
+np.testing.assert_allclose(np.asarray(got_lw_s), want_lw_s,
+                           rtol=2e-5, atol=2e-6)
+
+# IVF-PQ cascade: capacity-axis-sharded codes span processes, probe
+# selection replicates, exact re-score rides the row-sharded main store
+cfg_pq = PipelineConfig(index=IndexConfig(dtype="float32", row_tile=8),
+                        search=SearchConfig(k=k, use_pallas=False))
+idx_pq = Index.from_descriptors(X, [f"i{i}" for i in range(N)], cfg_pq)
+idx_pq.build_ivfpq(n_clusters=8, nprobe=4, m=8, depth=32, sample=None)
+want_pq_s, want_pq_i = idx_pq.search(Q)
+sidx_pq = idx_pq.to_sharded(mesh=mesh, use_pallas=False)
+assert not sidx_pq.ivfpq.codes.is_fully_addressable  # spans processes
+got_pq_s, got_pq_i = sidx_pq.search_ivfpq(Q, k=k)
+assert np.array_equal(np.asarray(got_pq_i), want_pq_i), \
+    (np.asarray(got_pq_i), want_pq_i)
+np.testing.assert_allclose(np.asarray(got_pq_s), want_pq_s,
+                           rtol=2e-5, atol=2e-6)
+
 print(f"MH_OK {pid}", flush=True)

@@ -19,8 +19,10 @@ def test_two_process_distributed_search():
     """REAL multi-host: 2 processes x 4 virtual CPU devices, Gloo-backed
     collectives over loopback. Each process commits only its own row slice
     (build_multihost_index / shard_local_rows); search + QE + full_ranking
-    run through the cross-process shard_map programs and must match the
-    host oracle (asserted inside mh_worker.py)."""
+    + int8/int4 storage + regional rerank + diffusion + local-whitening +
+    IVF-PQ run through the cross-process shard_map programs and must match
+    the host oracle / single-device composite (asserted inside
+    mh_worker.py)."""
     import os
     import socket
     import subprocess
@@ -44,7 +46,7 @@ def test_two_process_distributed_search():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=360)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
