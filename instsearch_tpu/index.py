@@ -24,6 +24,7 @@ import numpy as np
 from .config import ExtractConfig, IndexConfig, PipelineConfig, SearchConfig
 from .extractor import Extractor
 from .ops.whitening import WhiteningParams, fit_whitening
+from .utils.chunking import fetch
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
            "int8": jnp.int8}
 
@@ -1426,7 +1427,7 @@ class Index:
         from .utils.chunking import run_chunked
         args = (q, jnp.asarray(query_regional)) if do_rerank else (q,)
         top_scores, top_ids = run_chunked(run, scfg.query_chunk, *args)
-        return np.asarray(top_scores), np.asarray(top_ids)
+        return fetch(top_scores, top_ids)
 
     def _search_lw(self, q, scfg):
         """Local-whitening re-ranking path (search/lw_rerank.py): optional
@@ -1452,7 +1453,7 @@ class Index:
                            (256 << 20) // per_q))
         from .utils.chunking import run_chunked
         top_scores, top_ids = run_chunked(run, chunk, q)
-        return np.asarray(top_scores), np.asarray(top_ids)
+        return fetch(top_scores, top_ids)
 
     def _search_pq(self, q, scfg, query_regional, do_rerank: bool):
         """PQ cascade path (search/pq_view.py): ADC coarse scan over the
@@ -1491,7 +1492,7 @@ class Index:
         from .utils.chunking import run_chunked
         args = (q, jnp.asarray(query_regional)) if do_rerank else (q,)
         top_scores, top_ids = run_chunked(run, chunk, *args)
-        return np.asarray(top_scores), np.asarray(top_ids)
+        return fetch(top_scores, top_ids)
 
     def _search_ivfpq(self, q, scfg, query_regional, do_rerank: bool):
         """IVF-PQ cascade path (search/ivfpq.py): cluster-pruned residual
@@ -1532,7 +1533,7 @@ class Index:
         from .utils.chunking import run_chunked
         args = (q, jnp.asarray(query_regional)) if do_rerank else (q,)
         top_scores, top_ids = run_chunked(run, chunk, *args)
-        return np.asarray(top_scores), np.asarray(top_ids)
+        return fetch(top_scores, top_ids)
 
     def _search_ivf(self, q, scfg, query_regional, do_rerank: bool):
         """Cluster-pruned search path (search/ivf.py): same composite
@@ -1568,7 +1569,7 @@ class Index:
         from .utils.chunking import run_chunked
         args = (q, jnp.asarray(query_regional)) if do_rerank else (q,)
         top_scores, top_ids = run_chunked(run, chunk, *args)
-        return np.asarray(top_scores), np.asarray(top_ids)
+        return fetch(top_scores, top_ids)
 
     def query(self, queries, search_cfg: Optional[SearchConfig] = None,
               k: Optional[int] = None, **kw):
@@ -1652,7 +1653,7 @@ class Index:
                 q, k=scfg.k, nprobe=scfg.ivfpq_nprobe,
                 qe_n=scfg.qe_n if scfg.qe_enabled else 0,
                 qe_alpha=scfg.qe_alpha)
-            return np.asarray(s), np.asarray(i)
+            return fetch(s, i)
         if scfg.qe_enabled:
             q = sharded_index.expand_queries(q, qe_n=scfg.qe_n,
                                              alpha=scfg.qe_alpha)
@@ -1684,7 +1685,7 @@ class Index:
                                            depth=scfg.rerank_depth)
         else:
             s, i = sharded_index.search(q, k=scfg.k)
-        return np.asarray(s), np.asarray(i)
+        return fetch(s, i)
 
     def full_ranking(self, queries) -> np.ndarray:
         """[Q, N] ranked original dataset ids best-first (valid rows only),

@@ -416,7 +416,8 @@ class IVFIndex:
         s, pos = self.candidates(queries, k, nprobe)
         ids = jnp.where(pos >= 0, jnp.take(index.ids, jnp.maximum(pos, 0)),
                         -1)
-        return np.asarray(s), np.asarray(ids)
+        from ..utils.chunking import fetch
+        return fetch(s, ids)
 
     # ------------------------------------------------------------------
     def measure_recall(self, index, queries, k: int = 10,

@@ -588,7 +588,8 @@ class IVFPQView:
         s, pos = self.candidates(index, queries, depth, nprobe)
         ids = jnp.where(pos >= 0,
                         jnp.take(index.ids, jnp.maximum(pos, 0)), -1)
-        return np.asarray(s[:, :k]), np.asarray(ids[:, :k])
+        from ..utils.chunking import fetch
+        return fetch(s[:, :k], ids[:, :k])
 
     # ------------------------------------------------------------------
     # Capacity-scale serving: codes on chip, exact rows on the host.
@@ -649,7 +650,8 @@ class IVFPQView:
             self.spill_codes, self.spill_pos, self.spill_cluster,
             self.codebook.centroids, q, self.rotation,
             depth=depth, nprobe=p)
-        s, pos = np.asarray(s[:, :k]), np.asarray(pos[:, :k])
+        from ..utils.chunking import fetch
+        s, pos = fetch(s[:, :k], pos[:, :k])
         if s.shape[1] < k:                  # tiny view: fewer probed rows
             padw = ((0, 0), (0, k - s.shape[1]))
             s = np.pad(s, padw, constant_values=-np.inf)

@@ -301,7 +301,8 @@ class PQView:
         s, pos = self.candidates(index, queries, depth)
         ids = jnp.where(pos >= 0, jnp.take(index.ids, jnp.maximum(pos, 0)),
                         -1)
-        return np.asarray(s[:, :k]), np.asarray(ids[:, :k])
+        from ..utils.chunking import fetch
+        return fetch(s[:, :k], ids[:, :k])
 
     # ------------------------------------------------------------------
     def measure_recall(self, index, queries, k: int = 10,

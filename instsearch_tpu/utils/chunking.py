@@ -34,3 +34,17 @@ def run_chunked(run, chunk: int, *per_query):
             for i in range(0, arrs[0].shape[0], chunk)]
     return jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs)[:b], *outs)
+
+
+def fetch(*arrays):
+    """Fetch device arrays to host in ONE round trip.
+
+    ``np.asarray(a), np.asarray(b)`` issues two SERIALIZED device->host
+    fences; on this environment's tunneled TPU each fence costs ~25 ms of
+    fixed dispatch, so every serving return that fetched scores and ids
+    separately paid double (measured: IVFPQView.search_adc e2e 54 ms vs
+    27 ms for the single-fence path at identical compute).
+    ``jax.device_get`` starts ``copy_to_host_async`` on every leaf before
+    blocking, collapsing the pair to one round trip — the same win, less
+    pronounced, applies to any real PCIe/ICI-attached host."""
+    return jax.device_get(arrays)
