@@ -526,9 +526,16 @@ def cmd_finetune(args) -> int:
                       batch_size=args.batch_size, num_negatives=max(1, num_neg),
                       lr=args.lr, loss=args.loss,
                       smoothap_tau=args.smoothap_tau)
+    init_vars = None
+    if args.eval_dataset:
+        # capture the frozen initialization so the post-training report can
+        # compare tuned-vs-frozen mAP on the SAME weights the run started
+        # from (Trainer deep-copies, so finetune cannot mutate these)
+        from .train.trainer import Trainer
+        init_vars = Trainer(cfg, seed=0).variables
     try:
         out = finetune(paths, np.asarray(labels), cfg, epochs=args.epochs,
-                       fit_lw=args.fit_lw)
+                       fit_lw=args.fit_lw, variables=init_vars)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
@@ -546,10 +553,33 @@ def cmd_finetune(args) -> int:
         meta["whitening"] = os.path.abspath(args.out + ".whitening.npz")
     with open(args.out + ".meta.json", "w") as fh:
         json.dump(meta, fh)
-    print(json.dumps({"steps": len(out["losses"]),
-                      "final_loss": out["losses"][-1],
-                      "gem_p": out["gem_p"], "out": args.out,
-                      "meta": args.out + ".meta.json"}))
+    report = {"steps": len(out["losses"]),
+              "final_loss": out["losses"][-1],
+              "gem_p": out["gem_p"], "out": args.out,
+              "meta": args.out + ".meta.json"}
+    if args.eval_dataset:
+        # tuned-vs-frozen retrieval lift on a held-out dataset: the number
+        # that says whether the run was worth it (C17 quality, not flow)
+        from .config import ExtractConfig, PipelineConfig
+        from .eval.datasets import load_dataset
+        from .eval.evaluate import build_index_for_dataset, evaluate_index
+        ds = load_dataset(args.eval_dataset, args.eval_data_root)
+
+        def _map(variables, gem_p):
+            pcfg = PipelineConfig(extract=ExtractConfig(
+                backbone=cfg.backbone, pooling=cfg.pooling, gem_p=gem_p,
+                image_size=cfg.image_size, batch_size=cfg.batch_size * 4,
+                dtype="float32"))
+            idx = build_index_for_dataset(ds, pcfg, variables=variables)
+            return evaluate_index(idx, ds, args.eval_protocol)["mAP"]
+
+        frozen = _map(init_vars, cfg.gem_p)
+        tuned = _map(out["variables"], out["gem_p"])
+        report.update(eval_dataset=args.eval_dataset,
+                      eval_protocol=args.eval_protocol,
+                      frozen_mAP=round(frozen, 2), tuned_mAP=round(tuned, 2),
+                      lift=round(tuned - frozen, 2))
+    print(json.dumps(report))
     return 0
 
 
@@ -750,6 +780,12 @@ def main(argv=None) -> int:
     f.add_argument("--fit-lw", action="store_true",
                    help="fit Lw discriminative whitening on the training "
                         "pairs after tuning (arXiv:1711.02512 §3.4)")
+    f.add_argument("--eval-dataset", default=None,
+                   help="held-out dataset name: report tuned-vs-frozen mAP "
+                        "lift after training (same loader as `evaluate`)")
+    f.add_argument("--eval-data-root", default="data")
+    f.add_argument("--eval-protocol", default="medium",
+                   choices=["classic", "easy", "medium", "hard"])
     f.set_defaults(fn=cmd_finetune)
 
     w = sub.add_parser("workloads",

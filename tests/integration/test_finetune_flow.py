@@ -44,6 +44,57 @@ def test_finetune_then_index(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("loss", ["contrastive", "smoothap"])
+def test_finetune_lift_on_heldout_instances(tmp_path, loss):
+    """C17 quality, not just flow: fine-tuning on one set of instances must
+    IMPROVE retrieval of *held-out* instances (different seed -> disjoint
+    patterns, same generative family) over the frozen initialization.
+
+    The 'hard' protocol is where the lift lives: hard views are shifted/
+    noisy/darkened, and the frozen random-init features have no invariance
+    to that corruption; training pairs include each instance's hard views,
+    so the loss teaches exactly the invariance the held-out queries need.
+    Measured (CPU, fixed seeds; stable across 1- and 8-device XLA
+    partitionings only at batch_size=8 with 12 train instances — smaller
+    batches/pools make the random-init trajectory chaotic): frozen 6.6 mAP
+    -> contrastive 55.6, smoothap 36.8 on the suite's 8-device rig."""
+    from instsearch_tpu.train.trainer import Trainer
+
+    train_ds = make_mini_dataset(str(tmp_path / "train"), n_instances=12,
+                                 n_views=4, n_distractors=6, seed=101)
+    held = make_mini_dataset(str(tmp_path / "held"), n_instances=4,
+                             n_views=3, n_distractors=6, seed=202)
+    paths, labels = [], []
+    nxt = 0
+    for name in train_ds.imlist:
+        paths.append(train_ds.image_path(name))
+        if name.startswith("inst"):
+            labels.append(int(name[4:6]))
+        else:
+            labels.append(100 + nxt)
+            nxt += 1
+
+    cfg = TrainConfig(backbone="vgg16", pooling="gem", image_size=32,
+                      batch_size=8, num_negatives=2, dtype="float32",
+                      lr=3e-4, learn_gem_p=True, loss=loss)
+    init_vars = Trainer(cfg, seed=0).variables
+
+    def heldout_map(variables, gem_p):
+        pcfg = PipelineConfig(extract=ExtractConfig(
+            backbone="vgg16", pooling="gem", gem_p=gem_p, image_size=32,
+            batch_size=8, dtype="float32"))
+        idx = Index.build(held.db_paths, pcfg, variables=variables)
+        return evaluate_index(idx, held, "hard")["mAP"]
+
+    frozen = heldout_map(init_vars, 3.0)
+    out = finetune(paths, np.asarray(labels), cfg, epochs=4,
+                   steps_per_epoch=8, seed=0, variables=init_vars)
+    tuned = heldout_map(out["variables"], out["gem_p"])
+    # measured lift is > +20 mAP for both losses; 5 absorbs platform noise
+    assert tuned > frozen + 5.0, (loss, frozen, tuned)
+
+
+@pytest.mark.slow
 def test_cli_finetune_then_build_index_weights(tmp_path):
     """The CLI round trip (ADVICE r1): `finetune` writes an orbax
     checkpoint + sidecar meta; `build-index --weights` consumes it and
