@@ -17,7 +17,9 @@ def main() -> int:
     # NOTE: do NOT enable jax_compilation_cache_dir here — the axon TPU
     # backend hangs when the persistent compilation cache is active.
     from instsearch_tpu.bench import (bench_diffusion, bench_extraction,
-                                      bench_extraction_e2e, bench_host_serve,
+                                      bench_extraction_e2e,
+                                      bench_filtered_query,
+                                      bench_host_serve,
                                       bench_ivf, bench_ivfpq,
                                       bench_ivfpq_capacity,
                                       bench_protocol_eval, bench_qe,
@@ -52,6 +54,7 @@ def main() -> int:
     qe = _try(bench_qe)
     rrk = _try(bench_rerank)
     qry4 = _try(bench_query, dtype="int4")
+    filt = _try(bench_filtered_query)
     diff = _try(bench_diffusion)
     refine = _try(bench_refine)
     lw = _try(bench_lw)
@@ -152,6 +155,15 @@ def main() -> int:
             line["query_int4_frac_of_roofline"] = round(
                 qry4["frac_of_roofline"], 3)
         line["query_int4_spread_ms"] = qry4["spread_ms"]
+    if filt is not None:
+        # subset-filtered scan (search/subset.py): the paired overhead
+        # ratio is the claim — filtering costs ~nothing (1 byte/row of
+        # extra stream); members_only is the on-chip correctness check
+        line["query_filtered_p50_ms_1M"] = round(filt["p50_ms"], 3)
+        if "overhead_ratio" in filt:
+            line["query_filtered_overhead_ratio"] = round(
+                filt["overhead_ratio"], 3)
+        line["query_filtered_members_only"] = filt["members_only"]
     if diff is not None:
         line["diffusion_p50_ms_1M"] = round(diff["p50_ms"], 3)
         if "frac_of_roofline" in diff:

@@ -427,6 +427,64 @@ def bench_query(n: int = 1_048_576, d: int = 512, k: int = 10,
     return out
 
 
+def bench_filtered_query(n: int = 1_048_576, d: int = 512, k: int = 10,
+                         frac: float = 0.5) -> dict:
+    """Subset-filtered fused scan (search/subset.py) A/B'd against the
+    unfiltered kernel, interleaved rep-for-rep so chip drift cancels in
+    the ratio. The mask adds 1 byte/row of stream (1/1024 of the bf16 row
+    bytes at D=512) and one O(T) compare per tile, so the honest
+    expectation is overhead ≈ 1.00×; anything materially above would mean
+    the predicate broke the threshold-skip/merge discipline. Also
+    sanity-checks membership on-chip: every returned row is allowed."""
+    Xd, q = _make_index_device(n, d, 1)
+    qb = q.astype(jnp.bfloat16)
+
+    @jax.jit
+    def make_mask():
+        u = jax.random.uniform(jax.random.PRNGKey(7), (1, n))
+        return (u < frac).astype(jnp.int8)
+
+    mask = jax.block_until_ready(make_mask())
+    from .kernels.topk_matmul import topk_matmul
+
+    def make_chained_masked(m):
+        def run(X, M, qq):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(m):
+                s, _ = topk_matmul(X, qq + acc * 1e-30, k=k, mask=M)
+                acc = acc + s[0, 0]
+            return acc
+        return jax.jit(run)
+
+    def make_chained_plain(m):
+        def run(X, qq):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(m):
+                s, _ = topk_matmul(X, qq + acc * 1e-30, k=k)
+                acc = acc + s[0, 0]
+            return acc
+        return jax.jit(run)
+
+    m_ests, p_ests = interleaved_marginal([
+        (make_chained_masked, (Xd, mask, qb)),
+        (make_chained_plain, (Xd, qb))])
+    valid = (m_ests > 2e-9) & (p_ests > 2e-9)
+    p50 = float(np.median(m_ests))
+    out = {"n": n, "d": d, "k": k, "subset_frac": frac,
+           "p50_ms": p50 * 1e3,
+           "unfiltered_p50_ms": float(np.median(p_ests)) * 1e3}
+    if valid.any():
+        # paired per-rep ratio — the drift-immune overhead statement
+        out["overhead_ratio"] = float(np.median(
+            m_ests[valid] / p_ests[valid]))
+    out.update(_est_meta(m_ests))
+    # membership: one real call, fetched once
+    _, ids = topk_matmul(Xd, qb, k=k, mask=mask)
+    allowed = np.asarray(mask)[0][np.maximum(np.asarray(ids), 0)]
+    out["members_only"] = bool((allowed > 0).all())
+    return out
+
+
 def _make_index_device(n: int, d: int, q_batch: int, seed: int = 0):
     """Unit-norm [n, d] bf16 index + [q_batch, d] queries generated ON
     DEVICE (pushing GBs through the tunnel takes minutes, and content
@@ -1836,6 +1894,7 @@ def run_bench(what: str = "all") -> dict:
         out["query_int8_b128"] = bench_query(q_batch=128, dtype="int8")
         out["query_int4"] = bench_query(dtype="int4")
         out["query_int4_b128"] = bench_query(q_batch=128, dtype="int4")
+        out["query_filtered"] = bench_filtered_query()
         out["query_e2e"] = bench_query_e2e()
         if "hbm_bw_gbps" in out["query"]:   # absent on CPU / collapsed probes
             out["hbm_bw_gbps"] = out["query"]["hbm_bw_gbps"]

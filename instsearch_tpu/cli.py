@@ -288,7 +288,16 @@ def cmd_query(args) -> int:
         scfg = scfg.replace(lw_enabled=bool(args.lw))
     if getattr(args, "spatial_weight", None) is not None:
         scfg = scfg.replace(spatial_weight=args.spatial_weight)
-    scores, ids = idx.query_images(img[None], scfg)
+    subset = None
+    if getattr(args, "subset", None):
+        # "@file" = newline-separated member names; else comma-separated
+        if args.subset.startswith("@"):
+            with open(args.subset[1:]) as f:
+                members = [ln.strip() for ln in f if ln.strip()]
+        else:
+            members = [s for s in args.subset.split(",") if s]
+        subset = idx.make_subset(names=members)
+    scores, ids = idx.query_images(img[None], scfg, subset=subset)
     # drop padded slots (id -1, score -inf): fewer valid rows than k —
     # -inf also serializes as the non-standard JSON token -Infinity
     results = [{"rank": r, "name": idx.name_of(i), "id": int(i),
@@ -316,11 +325,24 @@ def cmd_serve(args) -> int:
     of the process, and smaller k's are served by slicing the warm width.
 
       request:  {"image": PATH} | {"images": [PATH, ...]}  [+ "k": int]
+                                                [+ "subset": NAME]
                 | {"add": [PATH, ...]} | {"remove": [NAME, ...]}
+                | {"define_subset": {"name": N, "members": [NAME, ...]}}
+                | {"drop_subset": N}
       response: {"results": [[{rank, name, id, score}, ...] per image],
                  "latency_ms": float}
                 | {"added"|"removed": int, "rows": int, "latency_ms": float}
+                | {"subset": N, "count": int, "subsets": [...]}
                 | {"error": str}
+
+    ``define_subset`` registers a named collection filter
+    (Index.make_subset — search/subset.py); queries carrying
+    ``"subset"`` return only members. The first definition warms the
+    masked program variants (mask PRESENCE is the program identity, its
+    VALUES are not — all collections share the warm programs, and
+    defining more is device-transfer only). Mutations rebuild registered
+    filters from their member names automatically; the TCP dispatcher
+    co-batches only same-subset requests (one mask per device batch).
 
     ``add``/``remove`` mutate the live index between queries (dynamic
     corpus serving): both are in-place writes at the padded shapes, and
@@ -349,8 +371,10 @@ def cmd_serve(args) -> int:
     ``{"vector": [...]}``/``{"vectors": [[...]]}`` descriptors, exact
     rows stay in the host memmap, only the 32 B/row codes sit on chip;
     ``--adc-only`` ranks straight from the pruned on-chip scan (no host
-    gather — the latency mode). Same stdin/TCP transports; mutations are
-    rejected (offline-built store).
+    gather — the latency mode). Same stdin/TCP transports; row mutations
+    are rejected (offline-built store), but ``define_subset`` (by store
+    ``ids`` or ``positions``) + per-query ``"subset"`` filtering work —
+    each registered collection holds an N-byte on-chip mask.
     """
     from .index import Index
     from .utils import COUNTERS
@@ -691,6 +715,10 @@ def main(argv=None) -> int:
     q.add_argument("--lw", type=int, choices=(0, 1), default=None,
                    help="force local-whitening re-scoring on (1) or off "
                         "(0); default: the index's SearchConfig")
+    q.add_argument("--subset", default=None, metavar="NAMES|@FILE",
+                   help="restrict results to these image names "
+                        "(comma-separated, or @file with one name per "
+                        "line) — filtered search, search/subset.py")
     q.add_argument("--spatial-weight", type=float, default=None,
                    help="fuse Hough-vote spatial verification into the "
                         "regional re-rank at this weight (needs a "

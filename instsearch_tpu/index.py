@@ -77,14 +77,16 @@ def _slice_rows_f32(descriptors, scales, start, chunk: int,
 
 
 def _topk_raw(descriptors, ids, queries, num_valid, scales,
-              *, k: int, use_pallas: bool, int4: bool = False):
+              *, k: int, use_pallas: bool, int4: bool = False, mask=None):
     """Top-k candidate selection: ``(scores [Q,k], pos [Q,k])`` where pos
     indexes the padded row store (invalid slots score -inf; their pos is
     safe to gather with via max(pos, 0)). Fused Pallas kernel on TPU, XLA
     oracle elsewhere — trace-time body shared by every jitted search
     program so the two backends cannot drift. ``int4`` marks descriptors
     as packed nibble pairs [N, D//2] (ops/quantize.quantize_rows_int4);
-    they cannot be told apart from int8 by dtype."""
+    they cannot be told apart from int8 by dtype. ``mask`` ([1, N] int8,
+    search/subset.py) restricts selection to a row subset — the kernels
+    fold it into their padding predicate, the oracle into the id mask."""
     queries = jnp.asarray(queries)
     if use_pallas:
         # the kernel carries its running top-k in VMEM against each row
@@ -100,7 +102,7 @@ def _topk_raw(descriptors, ids, queries, num_valid, scales,
                 tile = default_tile_n(descriptors.shape[0],
                                       descriptors.shape[1],
                                       descriptors.dtype, b=queries.shape[0],
-                                      k=k)
+                                      k=k, masked=mask is not None)
         except ValueError:
             tile = 0
         if k > tile:
@@ -108,18 +110,21 @@ def _topk_raw(descriptors, ids, queries, num_valid, scales,
     if use_pallas and int4:
         from .kernels import topk_matmul_int4
         scores, pos = topk_matmul_int4(descriptors, scales, queries, k=k,
-                                       num_valid=num_valid)
+                                       num_valid=num_valid, mask=mask)
     elif use_pallas and descriptors.dtype == jnp.int8:
         from .kernels import topk_matmul_int8
         scores, pos = topk_matmul_int8(descriptors, scales, queries, k=k,
-                                       num_valid=num_valid)
+                                       num_valid=num_valid, mask=mask)
     elif use_pallas:
         from .kernels import topk_matmul
         scores, pos = topk_matmul(descriptors, queries, k=k,
-                                  num_valid=num_valid)
+                                  num_valid=num_valid, mask=mask)
     else:
         raw = _raw_scores(descriptors, queries, scales, int4=int4)
-        raw = jnp.where(ids[None, :] >= 0, raw, -jnp.inf)
+        ok = ids[None, :] >= 0
+        if mask is not None:
+            ok = ok & (mask[0][None, :] > 0)
+        raw = jnp.where(ok, raw, -jnp.inf)
         scores, pos = jax.lax.top_k(raw, k)
     return scores, pos
 
@@ -130,10 +135,10 @@ def _pos_to_ids(ids, scores, pos):
 
 
 @partial(jax.jit, static_argnames=("k", "use_pallas", "int4"))
-def _topk_jit(descriptors, ids, queries, num_valid, scales,
+def _topk_jit(descriptors, ids, queries, num_valid, scales, mask=None,
               *, k: int, use_pallas: bool, int4: bool = False):
     scores, pos = _topk_raw(descriptors, ids, queries, num_valid, scales,
-                            k=k, use_pallas=use_pallas, int4=int4)
+                            k=k, use_pallas=use_pallas, int4=int4, mask=mask)
     return scores, _pos_to_ids(ids, scores, pos)
 
 
@@ -145,7 +150,7 @@ def _topk_jit(descriptors, ids, queries, num_valid, scales,
                                    "spatial_weight"))
 def _search_composite_jit(descriptors, ids, queries, num_valid, scales,
                           regional, regional_scales, query_regional,
-                          vote_matrix=None,
+                          vote_matrix=None, mask=None,
                           *, k: int, depth: int, qe_n: int, qe_alpha: float,
                           use_pallas: bool, do_qe: bool, do_rerank: bool,
                           do_diffusion: bool = False, diff_knn: int = 10,
@@ -167,7 +172,8 @@ def _search_composite_jit(descriptors, ids, queries, num_valid, scales,
     q = jnp.asarray(queries, jnp.float32)
     if do_qe:
         s, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
-                           k=qe_n, use_pallas=use_pallas, int4=int4)
+                           k=qe_n, use_pallas=use_pallas, int4=int4,
+                           mask=mask)
         rows = _gather_rows_f32(descriptors, jnp.maximum(pos, 0), scales,
                                 int4=int4)                    # [Q, n, D]
         rows = jnp.where((s > -jnp.inf)[..., None], rows, 0.0)
@@ -175,7 +181,8 @@ def _search_composite_jit(descriptors, ids, queries, num_valid, scales,
         q = expand_from_candidates(q, s, rows, qe_alpha)
     if do_rerank or do_refine:
         g, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
-                           k=depth, use_pallas=use_pallas, int4=int4)
+                           k=depth, use_pallas=use_pallas, int4=int4,
+                           mask=mask)
         # exact-refine: the row itself is the single "region" and the
         # (post-QE) query is the single query region — region match
         # becomes the exact int8 cosine; fuse_weight=0 drops the coarse
@@ -189,7 +196,8 @@ def _search_composite_jit(descriptors, ids, queries, num_valid, scales,
             vote_matrix=vote_matrix)
     if do_diffusion:
         g, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
-                           k=depth, use_pallas=use_pallas, int4=int4)
+                           k=depth, use_pallas=use_pallas, int4=int4,
+                           mask=mask)
         cand = _gather_rows_f32(descriptors, jnp.maximum(pos, 0), scales,
                                 int4=int4)                    # [Q, depth, D]
         from .search.diffusion import diffusion_rerank_from_candidates
@@ -197,14 +205,15 @@ def _search_composite_jit(descriptors, ids, queries, num_valid, scales,
             ids, g, pos, cand, k=k, knn=diff_knn, alpha=diff_alpha,
             iters=diff_iters, seeds=diff_seeds)
     scores, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
-                            k=k, use_pallas=use_pallas, int4=int4)
+                            k=k, use_pallas=use_pallas, int4=int4,
+                            mask=mask)
     return scores, _pos_to_ids(ids, scores, pos)
 
 
 @partial(jax.jit, static_argnames=("k", "depth", "qe_n", "qe_alpha",
                                    "use_pallas", "do_qe", "int4"))
 def _lw_composite_jit(descriptors, ids, queries, num_valid, scales,
-                      lw_P, lw_mu, lw_store, lw_assign,
+                      lw_P, lw_mu, lw_store, lw_assign, mask=None,
                       *, k: int, depth: int, qe_n: int, qe_alpha: float,
                       use_pallas: bool, do_qe: bool, int4: bool = False):
     """ONE jitted program for local-whitening re-ranking
@@ -215,14 +224,15 @@ def _lw_composite_jit(descriptors, ids, queries, num_valid, scales,
     q = jnp.asarray(queries, jnp.float32)
     if do_qe:
         s, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
-                           k=qe_n, use_pallas=use_pallas, int4=int4)
+                           k=qe_n, use_pallas=use_pallas, int4=int4,
+                           mask=mask)
         rows = _gather_rows_f32(descriptors, jnp.maximum(pos, 0), scales,
                                 int4=int4)
         rows = jnp.where((s > -jnp.inf)[..., None], rows, 0.0)
         from .search.qe import expand_from_candidates
         q = expand_from_candidates(q, s, rows, qe_alpha)
     g, pos = _topk_raw(descriptors, ids, q, num_valid, scales,
-                       k=depth, use_pallas=use_pallas, int4=int4)
+                       k=depth, use_pallas=use_pallas, int4=int4, mask=mask)
     from .search.lw_rerank import (lw_rescore_from_candidates,
                                    whiten_all_clusters)
     # the POST-QE query is the retrieval query — whiten the expanded one.
@@ -396,6 +406,10 @@ class Index:
         #                                     (pruned residual-ADC cascade)
         self.regional_geom = None           # [R, 3] R-MAC grid geometry
         #                                     (spatial verification)
+        self._layout_gen = 0                # bumped whenever row POSITIONS
+        #                                     move (remove compaction) or the
+        #                                     store re-pads — invalidates
+        #                                     SubsetFilters (search/subset.py)
 
     # ------------------------------------------------------------------
     @property
@@ -511,6 +525,50 @@ class Index:
                                 for i, nm in zip(ids_np, self.names)}
             self._name_by_id_len = n
         return self._name_by_id.get(int(dataset_id))
+
+    # ------------------------------------------------------------------
+    def make_subset(self, names: "Sequence[str] | None" = None,
+                    ids: "Sequence[int] | None" = None,
+                    mask: "np.ndarray | None" = None):
+        """Build a reusable :class:`~instsearch_tpu.search.subset.
+        SubsetFilter` restricting searches to the given members (exactly
+        one of image ``names``, dataset ``ids``, or a raw ``[N_pad]``
+        position ``mask``). Pass the result to ``search(...,
+        subset=...)`` / ``query(..., subset=...)`` — every tier (exact
+        bf16/int8/int4, QE/re-rank/refine/diffusion/lw composites, IVF,
+        PQ, IVF-PQ) honors it. The FAISS ``IDSelector`` analog; design
+        and semantics in search/subset.py. ``remove()`` (and a
+        capacity-growing ``add``) invalidates existing filters — they
+        are rejected as stale, never silently misapplied."""
+        from .search.subset import SubsetFilter, build_position_mask
+        m = build_position_mask(self, names=names, ids=ids, mask=mask)
+        return SubsetFilter(
+            mask=jnp.asarray(m[None, :].astype(np.int8)),
+            count=int(m.sum()), layout_gen=self._layout_gen,
+            n_pad=self.descriptors.shape[0],
+            names=tuple(names) if names is not None else None)
+
+    def _resolve_subset(self, subset):
+        """``subset=`` argument -> validated SubsetFilter (or None).
+        Accepts a prebuilt filter, a sequence of names (str) or of
+        dataset ids (int) built ad hoc — prebuilt filters amortize the
+        host O(N) pass and the h2d transfer across queries."""
+        if subset is None:
+            return None
+        from .search.subset import SubsetFilter
+        if not isinstance(subset, SubsetFilter):
+            seq = list(subset)
+            if seq and isinstance(seq[0], str):
+                subset = self.make_subset(names=seq)
+            else:
+                subset = self.make_subset(ids=seq)
+        if (subset.layout_gen != self._layout_gen
+                or subset.n_pad != self.descriptors.shape[0]):
+            raise ValueError(
+                "stale SubsetFilter: rows were removed (or the store was "
+                "re-padded) after it was built, so its positions no longer "
+                "match — rebuild it with make_subset()")
+        return subset
 
     # ------------------------------------------------------------------
     @classmethod
@@ -731,6 +789,9 @@ class Index:
             self.cfg = grown
             self.descriptors, self.ids = rebuilt.descriptors, rebuilt.ids
             self.scales, self.names = rebuilt.scales, rebuilt.names
+            # the padded width changed: existing SubsetFilter masks no
+            # longer cover the store
+            self._layout_gen = self._layout_gen + 1
             if self.regional is not None:
                 self._write_regional(start, reg_new,
                                      n_pad_new=self.descriptors.shape[0])
@@ -1301,6 +1362,8 @@ class Index:
         names_arr[holes] = names_arr[tail_survivors]
         self.names = list(names_arr[:new_valid])
         self._name_by_id_len = -1            # invalidate name_of() cache
+        self._layout_gen = self._layout_gen + 1   # positions moved:
+        #                       SubsetFilters built before this are stale
         from .utils import COUNTERS
         COUNTERS.add("images_removed", m)
         return m
@@ -1321,7 +1384,8 @@ class Index:
                                  int4=self.is_int4)
         return scores
 
-    def _topk(self, queries: jax.Array, k: int, chunk: int | None = None):
+    def _topk(self, queries: jax.Array, k: int, chunk: int | None = None,
+              mask=None):
         """Top-k positions -> original ids; fused Pallas kernel on TPU,
         XLA oracle elsewhere (SURVEY.md N5). One jitted program — eager op
         dispatch is extremely slow through the axon tunnel.
@@ -1337,19 +1401,23 @@ class Index:
                       and jax.devices()[0].platform == "tpu")
         nv = jnp.asarray(self.num_valid, jnp.int32)
         run = lambda qq: _topk_jit(self.descriptors, self.ids, qq, nv,
-                                   self.scales, k=k, use_pallas=use_pallas,
-                                   int4=self.is_int4)
+                                   self.scales, mask, k=k,
+                                   use_pallas=use_pallas, int4=self.is_int4)
         if chunk is None:
             chunk = self.cfg.search.query_chunk
         return run_chunked(run, chunk, queries)
 
     def search(self, queries: np.ndarray | jax.Array,
                search_cfg: Optional[SearchConfig] = None,
-               query_regional: "np.ndarray | jax.Array | None" = None):
+               query_regional: "np.ndarray | jax.Array | None" = None,
+               subset=None):
         """Descriptor-space search: ``queries [Q, D]`` ->
         ``(scores [Q,k], ids [Q,k])`` with αQE / re-ranking as configured.
         ``query_regional [Q, Rq, D]`` enables the re-ranking stage (built
-        automatically by :meth:`query_images`)."""
+        automatically by :meth:`query_images`). ``subset`` (a
+        :meth:`make_subset` filter, or a sequence of names/ids built ad
+        hoc) restricts results to those rows — every tier honors it
+        (search/subset.py)."""
         scfg = search_cfg or self.cfg.search
         q = jnp.asarray(queries)
         if q.ndim == 1:
@@ -1361,6 +1429,8 @@ class Index:
         # effective do_rerank — an index without a regional store must
         # still reject an ambiguous config instead of silently picking)
         self._check_rescoring_cfg(scfg)
+        subset = self._resolve_subset(subset)
+        mask = subset.mask if subset is not None else None
         do_rerank = (scfg.rerank_enabled and self.regional is not None
                      and query_regional is not None)
         do_diffusion = scfg.diffusion_enabled
@@ -1372,22 +1442,25 @@ class Index:
             # diffusion needs the exact top-depth neighborhood (the graph
             # IS the result) and lw re-scores a quality-critical candidate
             # set — both always take the exact fused scan
-            return self._search_ivf(q, scfg, query_regional, do_rerank)
+            return self._search_ivf(q, scfg, query_regional, do_rerank,
+                                    mask=mask)
 
         if (self.pq is not None and scfg.pq_depth > 0
                 and not do_diffusion and not do_lw and not do_refine):
             # refine is redundant under PQ (the cascade's exact re-score
             # IS a refine); diffusion/lw keep the exact scan like IVF
-            return self._search_pq(q, scfg, query_regional, do_rerank)
+            return self._search_pq(q, scfg, query_regional, do_rerank,
+                                   mask=mask)
 
         if (self.ivfpq is not None and scfg.ivfpq_nprobe > 0
                 and not do_diffusion and not do_lw and not do_refine):
             # same routing discipline as the PQ cascade (the exact
             # re-score IS a refine; diffusion/lw keep the exact scan)
-            return self._search_ivfpq(q, scfg, query_regional, do_rerank)
+            return self._search_ivfpq(q, scfg, query_regional, do_rerank,
+                                      mask=mask)
 
         if do_lw:
-            return self._search_lw(q, scfg)
+            return self._search_lw(q, scfg, mask=mask)
 
         # the WHOLE composite is chunked, not just the top-k: the re-rank
         # stage gathers [chunk, depth, R, D] candidate regions, so an
@@ -1410,7 +1483,7 @@ class Index:
                     self.regional if store else None,
                     self.regional_scales if store else None,
                     qreg[0] if do_rerank else None,
-                    self.vote_matrix if sw else None,
+                    self.vote_matrix if sw else None, mask,
                     k=scfg.k, depth=depth, qe_n=scfg.qe_n,
                     qe_alpha=scfg.qe_alpha, use_pallas=use_pallas,
                     do_qe=scfg.qe_enabled, do_rerank=do_rerank,
@@ -1422,14 +1495,14 @@ class Index:
                     int4=self.is_int4, do_refine=do_refine,
                     fuse_weight=0.0 if do_refine else 1.0,
                     spatial_weight=sw)
-            return self._topk(qq, scfg.k, chunk=0)
+            return self._topk(qq, scfg.k, chunk=0, mask=mask)
 
         from .utils.chunking import run_chunked
         args = (q, jnp.asarray(query_regional)) if do_rerank else (q,)
         top_scores, top_ids = run_chunked(run, scfg.query_chunk, *args)
         return fetch(top_scores, top_ids)
 
-    def _search_lw(self, q, scfg):
+    def _search_lw(self, q, scfg, mask=None):
         """Local-whitening re-ranking path (search/lw_rerank.py): optional
         QE, fused top-rerank_depth candidate scan, per-cluster-metric
         re-score — ONE jitted program per chunk. Chunked so the
@@ -1443,7 +1516,7 @@ class Index:
         def run(qq):
             return _lw_composite_jit(
                 self.descriptors, self.ids, qq, nv, self.scales,
-                lw.params.P, lw.params.mu, lw.store, lw.assign,
+                lw.params.P, lw.params.mu, lw.store, lw.assign, mask,
                 k=scfg.k, depth=depth, qe_n=scfg.qe_n,
                 qe_alpha=scfg.qe_alpha, use_pallas=use_pallas,
                 do_qe=scfg.qe_enabled, int4=self.is_int4)
@@ -1455,7 +1528,8 @@ class Index:
         top_scores, top_ids = run_chunked(run, chunk, q)
         return fetch(top_scores, top_ids)
 
-    def _search_pq(self, q, scfg, query_regional, do_rerank: bool):
+    def _search_pq(self, q, scfg, query_regional, do_rerank: bool,
+                   mask=None):
         """PQ cascade path (search/pq_view.py): ADC coarse scan over the
         4-bit code stream selects pq_depth candidates, exactly re-scored
         against the main store — QE / re-rank stages compose by position,
@@ -1478,7 +1552,7 @@ class Index:
                 self.regional if do_rerank else None,
                 self.regional_scales if do_rerank else None,
                 qreg[0] if do_rerank else None, qq, nv,
-                self.vote_matrix if sw else None, pq.rotation,
+                self.vote_matrix if sw else None, pq.rotation, mask,
                 k=scfg.k, depth=depth, qe_n=scfg.qe_n,
                 qe_alpha=scfg.qe_alpha, do_qe=scfg.qe_enabled,
                 do_rerank=do_rerank, int4=self.is_int4,
@@ -1494,7 +1568,8 @@ class Index:
         top_scores, top_ids = run_chunked(run, chunk, *args)
         return fetch(top_scores, top_ids)
 
-    def _search_ivfpq(self, q, scfg, query_regional, do_rerank: bool):
+    def _search_ivfpq(self, q, scfg, query_regional, do_rerank: bool,
+                      mask=None):
         """IVF-PQ cascade path (search/ivfpq.py): cluster-pruned residual
         ADC over bucketed 4-bit codes selects the candidates, exactly
         re-scored against the main store — QE / re-rank stages compose by
@@ -1517,7 +1592,7 @@ class Index:
                 self.regional if do_rerank else None,
                 self.regional_scales if do_rerank else None,
                 qreg[0] if do_rerank else None, qq, nv,
-                self.vote_matrix if sw else None, v.rotation,
+                self.vote_matrix if sw else None, v.rotation, mask,
                 k=scfg.k, depth=depth, qe_n=scfg.qe_n,
                 qe_alpha=scfg.qe_alpha, nprobe=nprobe,
                 do_qe=scfg.qe_enabled, do_rerank=do_rerank,
@@ -1535,7 +1610,8 @@ class Index:
         top_scores, top_ids = run_chunked(run, chunk, *args)
         return fetch(top_scores, top_ids)
 
-    def _search_ivf(self, q, scfg, query_regional, do_rerank: bool):
+    def _search_ivf(self, q, scfg, query_regional, do_rerank: bool,
+                    mask=None):
         """Cluster-pruned search path (search/ivf.py): same composite
         stages (QE -> re-rank -> top-k), candidate selection via the IVF
         buckets instead of the full scan. Chunked so the per-query
@@ -1556,7 +1632,7 @@ class Index:
                 self.regional if do_rerank else None,
                 self.regional_scales if do_rerank else None,
                 qreg[0] if do_rerank else None, qq,
-                self.vote_matrix if sw else None,
+                self.vote_matrix if sw else None, mask,
                 k=scfg.k, depth=depth, qe_n=scfg.qe_n,
                 qe_alpha=scfg.qe_alpha, nprobe=nprobe,
                 do_qe=scfg.qe_enabled, do_rerank=do_rerank,
@@ -1617,14 +1693,17 @@ class Index:
                               sharded_index=sidx)
 
     def query_images(self, images, search_cfg: Optional[SearchConfig] = None,
-                     sharded_index=None):
+                     sharded_index=None, subset=None):
         """Image-space search: uint8 batch -> extract -> search (computes
         regional query descriptors when re-ranking is enabled).
 
         ``sharded_index`` (a parallel.ShardedIndex, e.g. ``to_sharded()``)
         routes QE / search / re-rank through the distributed machinery —
         the multi-chip serving path; extraction stays on this process's
-        extractor (same routing as eval/evaluate.py's sharded protocol)."""
+        extractor (same routing as eval/evaluate.py's sharded protocol).
+        ``subset``: optional row filter (see :meth:`make_subset`); the
+        sharded route re-shards the mask over the mesh
+        (ShardedIndex.place_subset)."""
         assert self.extractor is not None, "index has no extractor attached"
         scfg = search_cfg or self.cfg.search
         # the sharded routing below would otherwise silently prefer the
@@ -1636,7 +1715,12 @@ class Index:
         if scfg.rerank_enabled and self.regional is not None:
             qreg = self.extractor.extract_regional(images)
         if sharded_index is None:
-            return self.search(q, scfg, query_regional=qreg)
+            return self.search(q, scfg, query_regional=qreg, subset=subset)
+        # sharded route: re-shard the filter mask row-aligned with the
+        # store (positions are global; the mask shards like the scales)
+        smask = None
+        if subset is not None:
+            smask = sharded_index.place_subset(self._resolve_subset(subset))
         from .utils import COUNTERS
         COUNTERS.add("queries_served", q.shape[0])
         # IVF-PQ on the mesh: same gating as the single-device router
@@ -1652,16 +1736,17 @@ class Index:
             s, i = sharded_index.search_ivfpq(
                 q, k=scfg.k, nprobe=scfg.ivfpq_nprobe,
                 qe_n=scfg.qe_n if scfg.qe_enabled else 0,
-                qe_alpha=scfg.qe_alpha)
+                qe_alpha=scfg.qe_alpha, mask=smask)
             return fetch(s, i)
         if scfg.qe_enabled:
             q = sharded_index.expand_queries(q, qe_n=scfg.qe_n,
-                                             alpha=scfg.qe_alpha)
+                                             alpha=scfg.qe_alpha,
+                                             mask=smask)
         if scfg.rerank_enabled and sharded_index.regional is not None \
                 and qreg is not None:
             s, i = sharded_index.search_rerank(
                 q, qreg, k=scfg.k, depth=scfg.rerank_depth,
-                spatial_weight=scfg.spatial_weight)
+                spatial_weight=scfg.spatial_weight, mask=smask)
         elif scfg.refine_enabled:
             # exact-refine on the mesh: 1-region store, the (expanded)
             # query as its own region, zero global-fusion weight. Pad the
@@ -1671,20 +1756,22 @@ class Index:
             q32 = self._match_query_dim(jnp.asarray(q, jnp.float32))
             s, i = sharded_index.search_rerank(
                 q32, q32[:, None, :], k=scfg.k, depth=scfg.rerank_depth,
-                fuse_weight=0.0)
+                fuse_weight=0.0, mask=smask)
         elif scfg.diffusion_enabled:
             s, i = sharded_index.search_diffusion(
                 q, k=scfg.k, depth=scfg.diffusion_depth,
                 knn=scfg.diffusion_knn, alpha=scfg.diffusion_alpha,
-                iters=scfg.diffusion_iters, seeds=scfg.diffusion_seeds)
+                iters=scfg.diffusion_iters, seeds=scfg.diffusion_seeds,
+                mask=smask)
         elif scfg.lw_enabled:
             # local-whitening re-scoring on the mesh (search_lw was dead
             # code from the serving path until r4 — the sharded route fell
             # through to the plain scan; VERDICT r3 missing-item 2)
             s, i = sharded_index.search_lw(q, k=scfg.k,
-                                           depth=scfg.rerank_depth)
+                                           depth=scfg.rerank_depth,
+                                           mask=smask)
         else:
-            s, i = sharded_index.search(q, k=scfg.k)
+            s, i = sharded_index.search(q, k=scfg.k, mask=smask)
         return fetch(s, i)
 
     def full_ranking(self, queries) -> np.ndarray:

@@ -79,9 +79,17 @@ def _onehot_half(codes32, *, groups: int, variant: str):
     return (rep == col16).astype(jnp.bfloat16)
 
 
-def _kernel_pq(num_valid_ref, packed_ref, lut_lo_ref, lut_hi_ref,
-               out_s_ref, out_i_ref, top_s, top_i,
-               *, k: int, tile_n: int, variant: str):
+def _kernel_pq(num_valid_ref, *refs, k: int, tile_n: int, variant: str,
+               masked: bool = False):
+    """``masked=True`` threads a [1, T] int8 subset-mask block
+    (search/subset.py) ANDed into the padding predicate — filtering at
+    ADC *selection*, so the depth budget is spent on allowed rows."""
+    if masked:
+        (packed_ref, mask_ref, lut_lo_ref, lut_hi_ref,
+         out_s_ref, out_i_ref, top_s, top_i) = refs
+    else:
+        (packed_ref, lut_lo_ref, lut_hi_ref,
+         out_s_ref, out_i_ref, top_s, top_i) = refs
     step = pl.program_id(0)
     num_steps = pl.num_programs(0)
 
@@ -110,6 +118,8 @@ def _kernel_pq(num_valid_ref, packed_ref, lut_lo_ref, lut_hi_ref,
     base = step * tile_n
     row_ids = base + jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
     valid = row_ids < num_valid_ref[0]
+    if masked:
+        valid = valid & (mask_ref[:].astype(jnp.int32) > 0)   # i8 cmpi fails to legalize in Mosaic (like the i8 shift, CLAUDE.md) — compare in i32
     scores = jnp.where(valid, scores, NEG_INF)
 
     tau = jnp.min(top_s[:], axis=1, keepdims=True)
@@ -165,18 +175,24 @@ def default_tile_n_pq(n: int, groups: int, b: int = 1, k: int = 10) -> int:
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret",
                                              "variant"))
-def _run_pq(packed, lut_lo, lut_hi, nv, *, k: int, tile_n: int,
+def _run_pq(packed, lut_lo, lut_hi, nv, mask=None, *, k: int, tile_n: int,
             interpret: bool, variant: str):
     n, groups = packed.shape
     b = lut_lo.shape[0]
+    in_specs = [
+        pl.BlockSpec((tile_n, groups), lambda i, nv_ref: (i, 0)),
+        pl.BlockSpec((b, groups * 16), lambda i, nv_ref: (0, 0)),
+        pl.BlockSpec((b, groups * 16), lambda i, nv_ref: (0, 0)),
+    ]
+    operands = [packed, lut_lo, lut_hi]
+    if mask is not None:
+        in_specs.insert(1, pl.BlockSpec((1, tile_n),
+                                        lambda i, nv_ref: (0, i)))
+        operands.insert(1, mask.astype(jnp.int8))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // tile_n,),
-        in_specs=[
-            pl.BlockSpec((tile_n, groups), lambda i, nv_ref: (i, 0)),
-            pl.BlockSpec((b, groups * 16), lambda i, nv_ref: (0, 0)),
-            pl.BlockSpec((b, groups * 16), lambda i, nv_ref: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((b, k), lambda i, nv_ref: (0, 0)),
             pl.BlockSpec((b, k), lambda i, nv_ref: (0, 0)),
@@ -187,7 +203,7 @@ def _run_pq(packed, lut_lo, lut_hi, nv, *, k: int, tile_n: int,
         ],
     )
     kernel = functools.partial(_kernel_pq, k=k, tile_n=tile_n,
-                               variant=variant)
+                               variant=variant, masked=mask is not None)
     return pl.pallas_call(
         kernel,
         out_shape=[
@@ -201,20 +217,21 @@ def _run_pq(packed, lut_lo, lut_hi, nv, *, k: int, tile_n: int,
             + 2 * b * k * 4,
             transcendentals=0),
         interpret=interpret,
-    )(nv, packed, lut_lo, lut_hi)
+    )(nv, *operands)
 
 
 def pq_topk(packed: jax.Array, q: jax.Array, codebook, k: int = 10,
             num_valid: "jax.Array | int | None" = None,
             tile_n: int | None = None, interpret: bool = False,
-            variant: str = "matmul"):
+            variant: str = "matmul", mask: "jax.Array | None" = None):
     """Fused ADC top-k over a PQ store: ``packed [N, M/2]`` int8 codes
     (ops/pq.encode_pq), ``q [B, D]`` float, ``codebook`` a PQCodebook →
     ``(scores [B, k] f32 desc-sorted, row_ids [B, k] int32)``.
 
     Scores equal ``q @ decode_pq(packed).T`` up to the bf16 rounding of
     the per-query LUT (the codes themselves contribute no further error
-    — the one-hot contraction is exact)."""
+    — the one-hot contraction is exact). ``mask`` ([1, N] int8, 1 =
+    allowed) restricts selection to a row subset (search/subset.py)."""
     from ..ops.pq import pq_lut
 
     n, groups = packed.shape
@@ -239,5 +256,5 @@ def pq_topk(packed: jax.Array, q: jax.Array, codebook, k: int = 10,
     lut = pq_lut(q, codebook)                       # [B, M, 16] f32
     lut_lo = lut[:, :groups].reshape(b, groups * 16).astype(jnp.bfloat16)
     lut_hi = lut[:, groups:].reshape(b, groups * 16).astype(jnp.bfloat16)
-    return _run_pq(packed, lut_lo, lut_hi, nv, k=k, tile_n=tile_n,
+    return _run_pq(packed, lut_lo, lut_hi, nv, mask, k=k, tile_n=tile_n,
                    interpret=interpret, variant=variant)

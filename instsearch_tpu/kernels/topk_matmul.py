@@ -221,8 +221,14 @@ def _fold_tile(scores, row_ids, tau, row_max, n_above, top_s, top_i,
         top_i[:] = new_i
 
 
-def _kernel(num_valid_ref, x_ref, q_ref, out_s_ref, out_i_ref,
-            top_s, top_i, *, k: int, tile_n: int):
+def _kernel(num_valid_ref, *refs, k: int, tile_n: int, masked: bool = False):
+    """``masked=True`` threads a [1, T] int8 subset-mask block (the
+    search/subset.py allow-list) that ANDs into the padding predicate —
+    one O(T) compare per tile, 1 byte/row of extra stream."""
+    if masked:
+        x_ref, mask_ref, q_ref, out_s_ref, out_i_ref, top_s, top_i = refs
+    else:
+        x_ref, q_ref, out_s_ref, out_i_ref, top_s, top_i = refs
     step = pl.program_id(0)
     num_steps = pl.num_programs(0)
 
@@ -243,6 +249,8 @@ def _kernel(num_valid_ref, x_ref, q_ref, out_s_ref, out_i_ref,
     # bottleneck — keep it O(T), not O(B*T)
     row_ids = base + jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
     valid = row_ids < num_valid_ref[0]
+    if masked:
+        valid = valid & (mask_ref[:].astype(jnp.int32) > 0)   # i8 cmpi fails to legalize in Mosaic (like the i8 shift, CLAUDE.md) — compare in i32
     scores = jnp.where(valid, scores, NEG_INF)
 
     # per-query threshold = current k-th best; a tile is interesting for
@@ -267,10 +275,17 @@ def _kernel(num_valid_ref, x_ref, q_ref, out_s_ref, out_i_ref,
         out_i_ref[:] = top_i[:]
 
 
-def _kernel_int8(num_valid_ref, x_ref, scales_ref, q_ref, qs_ref,
-                 out_s_ref, out_i_ref, top_s, top_i, *, k: int, tile_n: int):
+def _kernel_int8(num_valid_ref, *refs, k: int, tile_n: int,
+                 masked: bool = False):
     """int8 variant: int8 x int8 -> int32 on the MXU, dequantized by
-    per-row and per-query scales before the (shared) top-k merge."""
+    per-row and per-query scales before the (shared) top-k merge.
+    ``masked`` as in _kernel."""
+    if masked:
+        (x_ref, scales_ref, mask_ref, q_ref, qs_ref,
+         out_s_ref, out_i_ref, top_s, top_i) = refs
+    else:
+        (x_ref, scales_ref, q_ref, qs_ref,
+         out_s_ref, out_i_ref, top_s, top_i) = refs
     step = pl.program_id(0)
     num_steps = pl.num_programs(0)
 
@@ -288,6 +303,8 @@ def _kernel_int8(num_valid_ref, x_ref, scales_ref, q_ref, qs_ref,
     base = step * tile_n
     row_ids = base + jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
     valid = row_ids < num_valid_ref[0]       # [1, T], broadcasts (see _kernel)
+    if masked:
+        valid = valid & (mask_ref[:].astype(jnp.int32) > 0)   # i8 cmpi fails to legalize in Mosaic (like the i8 shift, CLAUDE.md) — compare in i32
     scores = jnp.where(valid, scores, NEG_INF)
 
     tau = jnp.min(top_s[:], axis=1, keepdims=True)
@@ -306,8 +323,8 @@ def _kernel_int8(num_valid_ref, x_ref, scales_ref, q_ref, qs_ref,
         out_i_ref[:] = top_i[:]
 
 
-def _kernel_int4(num_valid_ref, x_ref, scales_ref, q_ref, qoff_ref, qs_ref,
-                 out_s_ref, out_i_ref, top_s, top_i, *, k: int, tile_n: int):
+def _kernel_int4(num_valid_ref, *refs, k: int, tile_n: int,
+                 masked: bool = False):
     """int4 variant: the tile streams PACKED [T, D/2] bytes (half the int8
     bytes, quarter of bf16). The offset nibble layout
     (ops/quantize.quantize_rows_int4: byte = 16*hi + lo + 8) moves the
@@ -320,7 +337,14 @@ def _kernel_int4(num_valid_ref, x_ref, scales_ref, q_ref, qoff_ref, qs_ref,
     idles between tiles) and a per-query constant ``qoff = 8·Σq_lo``
     computed outside. Measured on-chip: the previous 7-pass VPU unpack
     erased the packed stream's bandwidth win over int8; this form keeps
-    it. Merge discipline is the shared _fold_tile."""
+    it. Merge discipline is the shared _fold_tile. ``masked`` as in
+    _kernel."""
+    if masked:
+        (x_ref, scales_ref, mask_ref, q_ref, qoff_ref, qs_ref,
+         out_s_ref, out_i_ref, top_s, top_i) = refs
+    else:
+        (x_ref, scales_ref, q_ref, qoff_ref, qs_ref,
+         out_s_ref, out_i_ref, top_s, top_i) = refs
     step = pl.program_id(0)
     num_steps = pl.num_programs(0)
 
@@ -349,6 +373,8 @@ def _kernel_int4(num_valid_ref, x_ref, scales_ref, q_ref, qoff_ref, qs_ref,
     base = step * tile_n
     row_ids = base + jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
     valid = row_ids < num_valid_ref[0]
+    if masked:
+        valid = valid & (mask_ref[:].astype(jnp.int32) > 0)   # i8 cmpi fails to legalize in Mosaic (like the i8 shift, CLAUDE.md) — compare in i32
     scores = jnp.where(valid, scores, NEG_INF)
 
     tau = jnp.min(top_s[:], axis=1, keepdims=True)
@@ -371,7 +397,8 @@ def _kernel_int4(num_valid_ref, x_ref, scales_ref, q_ref, qoff_ref, qs_ref,
 def topk_matmul_int4(x_packed: jax.Array, scales: jax.Array, q: jax.Array,
                      k: int = 10,
                      num_valid: "jax.Array | int | None" = None,
-                     tile_n: int | None = None, interpret: bool = False):
+                     tile_n: int | None = None, interpret: bool = False,
+                     mask: "jax.Array | None" = None):
     """Fused top-k over a per-row int4-quantized index
     (ops/quantize.quantize_rows_int4): ``x_packed [N, D//2]`` int8 nibble
     pairs, ``scales [1, N]``, ``q [B, D]`` float ->
@@ -380,7 +407,9 @@ def topk_matmul_int4(x_packed: jax.Array, scales: jax.Array, q: jax.Array,
     The HBM scan reads a QUARTER of bf16's bytes; the query is quantized
     to int8 on the fly (finer than the rows — costs nothing, halves the
     quantization noise of the product). ``qoff = 8·Σq_lo`` corrects the
-    stored low-nibble offset (see _kernel_int4)."""
+    stored low-nibble offset (see _kernel_int4). ``mask`` ([1, N] int8,
+    1 = allowed) restricts selection to a row subset
+    (search/subset.py)."""
     n, dp = x_packed.shape
     b, d = q.shape
     if d != 2 * dp:
@@ -399,16 +428,22 @@ def topk_matmul_int4(x_packed: jax.Array, scales: jax.Array, q: jax.Array,
     qoff = 8 * jnp.sum(q_int8[:, :dp].astype(jnp.int32), axis=1,
                        keepdims=True)                            # [B,1]
 
+    in_specs = [
+        pl.BlockSpec((tile_n, dp), lambda i, nv_ref: (i, 0)),
+        pl.BlockSpec((1, tile_n), lambda i, nv_ref: (0, i)),
+        pl.BlockSpec((b, d), lambda i, nv_ref: (0, 0)),
+        pl.BlockSpec((b, 1), lambda i, nv_ref: (0, 0)),
+        pl.BlockSpec((b, 1), lambda i, nv_ref: (0, 0)),
+    ]
+    operands = [x_packed, scales, q_int8, qoff, q_scale]
+    if mask is not None:
+        in_specs.insert(2, pl.BlockSpec((1, tile_n),
+                                        lambda i, nv_ref: (0, i)))
+        operands.insert(2, mask.astype(jnp.int8))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // tile_n,),
-        in_specs=[
-            pl.BlockSpec((tile_n, dp), lambda i, nv_ref: (i, 0)),
-            pl.BlockSpec((1, tile_n), lambda i, nv_ref: (0, i)),
-            pl.BlockSpec((b, d), lambda i, nv_ref: (0, 0)),
-            pl.BlockSpec((b, 1), lambda i, nv_ref: (0, 0)),
-            pl.BlockSpec((b, 1), lambda i, nv_ref: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((b, k), lambda i, nv_ref: (0, 0)),
             pl.BlockSpec((b, k), lambda i, nv_ref: (0, 0)),
@@ -418,7 +453,8 @@ def topk_matmul_int4(x_packed: jax.Array, scales: jax.Array, q: jax.Array,
             pltpu.VMEM((b, k), jnp.int32),
         ],
     )
-    kernel = functools.partial(_kernel_int4, k=k, tile_n=tile_n)
+    kernel = functools.partial(_kernel_int4, k=k, tile_n=tile_n,
+                               masked=mask is not None)
     out_s, out_i = pl.pallas_call(
         kernel,
         out_shape=[
@@ -431,7 +467,7 @@ def topk_matmul_int4(x_packed: jax.Array, scales: jax.Array, q: jax.Array,
             bytes_accessed=n * dp + n * 4 + b * d + 2 * b * k * 4,
             transcendentals=0),
         interpret=interpret,
-    )(nv, x_packed, scales, q_int8, qoff, q_scale)
+    )(nv, *operands)
     return out_s, out_i
 
 
@@ -439,14 +475,16 @@ def topk_matmul_int4(x_packed: jax.Array, scales: jax.Array, q: jax.Array,
 def topk_matmul_int8(x_int8: jax.Array, scales: jax.Array, q: jax.Array,
                      k: int = 10,
                      num_valid: "jax.Array | int | None" = None,
-                     tile_n: int | None = None, interpret: bool = False):
+                     tile_n: int | None = None, interpret: bool = False,
+                     mask: "jax.Array | None" = None):
     """Fused top-k over a per-row int8-quantized index
     (ops/quantize.quantize_rows): ``x_int8 [N, D]``, ``scales [1, N]``,
     ``q [B, D]`` float -> ``(scores [B,k] f32, row_ids [B,k] i32)``.
 
     The query block is quantized per-row on the fly; scoring is
     int8 x int8 -> int32 on the MXU (2x the bf16 throughput) and the HBM
-    scan reads half the bytes of bf16.
+    scan reads half the bytes of bf16. ``mask`` ([1, N] int8, 1 =
+    allowed) restricts selection to a row subset (search/subset.py).
     """
     n, d = x_int8.shape
     b = q.shape[0]
@@ -465,15 +503,21 @@ def topk_matmul_int8(x_int8: jax.Array, scales: jax.Array, q: jax.Array,
     q_qr = quantize_rows(q)
     q_int8, q_scale = q_qr.values, q_qr.scales.reshape(-1, 1)    # [B,1]
 
+    in_specs = [
+        pl.BlockSpec((tile_n, d), lambda i, nv_ref: (i, 0)),
+        pl.BlockSpec((1, tile_n), lambda i, nv_ref: (0, i)),
+        pl.BlockSpec((b, d), lambda i, nv_ref: (0, 0)),
+        pl.BlockSpec((b, 1), lambda i, nv_ref: (0, 0)),
+    ]
+    operands = [x_int8, scales, q_int8, q_scale]
+    if mask is not None:
+        in_specs.insert(2, pl.BlockSpec((1, tile_n),
+                                        lambda i, nv_ref: (0, i)))
+        operands.insert(2, mask.astype(jnp.int8))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // tile_n,),
-        in_specs=[
-            pl.BlockSpec((tile_n, d), lambda i, nv_ref: (i, 0)),
-            pl.BlockSpec((1, tile_n), lambda i, nv_ref: (0, i)),
-            pl.BlockSpec((b, d), lambda i, nv_ref: (0, 0)),
-            pl.BlockSpec((b, 1), lambda i, nv_ref: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((b, k), lambda i, nv_ref: (0, 0)),
             pl.BlockSpec((b, k), lambda i, nv_ref: (0, 0)),
@@ -483,7 +527,8 @@ def topk_matmul_int8(x_int8: jax.Array, scales: jax.Array, q: jax.Array,
             pltpu.VMEM((b, k), jnp.int32),
         ],
     )
-    kernel = functools.partial(_kernel_int8, k=k, tile_n=tile_n)
+    kernel = functools.partial(_kernel_int8, k=k, tile_n=tile_n,
+                               masked=mask is not None)
     out_s, out_i = pl.pallas_call(
         kernel,
         out_shape=[
@@ -496,12 +541,12 @@ def topk_matmul_int8(x_int8: jax.Array, scales: jax.Array, q: jax.Array,
             bytes_accessed=n * d + n * 4 + b * d + 2 * b * k * 4,
             transcendentals=0),
         interpret=interpret,
-    )(nv, x_int8, scales, q_int8, q_scale)
+    )(nv, *operands)
     return out_s, out_i
 
 
 def default_tile_n(n: int, d: int, dtype=jnp.bfloat16, b: int = 1,
-                   k: int = 10) -> int:
+                   k: int = 10, masked: bool = False) -> int:
     """Pick a row tile: big enough to amortize, small enough that the
     double-buffered tile pair PLUS the per-tile [B, T] score/merge buffers
     stay under the ~16 MB VMEM budget (the merge concatenates ~3 [B, T]
@@ -518,9 +563,12 @@ def default_tile_n(n: int, d: int, dtype=jnp.bfloat16, b: int = 1,
     block's LAST dim to be a multiple of 128 or the full array dim — so
     scaled dtypes only get 128-multiple tiles, falling back to ONE
     full-width block for small/odd N (found by running the example on
-    the real chip with a 56-row int8 index: tile 8 failed to lower)."""
+    the real chip with a 56-row int8 index: tile 8 failed to lower).
+    ``masked`` (a [1, N] subset-mask operand, search/subset.py) streams
+    the same (1, tile) block shape, so it inherits the identical
+    constraint for bf16/f32 stores too."""
     bytes_per = jnp.dtype(dtype).itemsize
-    int_scaled = jnp.dtype(dtype) == jnp.dtype(jnp.int8)
+    int_scaled = jnp.dtype(dtype) == jnp.dtype(jnp.int8) or masked
 
     def fits(tile):
         tiles = 2 * tile * d * bytes_per            # double-buffered stream
@@ -559,30 +607,40 @@ def default_tile_n_int4(n: int, dp: int, b: int = 1, k: int = 10) -> int:
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
 def topk_matmul(x: jax.Array, q: jax.Array, k: int = 10,
                 num_valid: "jax.Array | int | None" = None,
-                tile_n: int | None = None, interpret: bool = False):
+                tile_n: int | None = None, interpret: bool = False,
+                mask: "jax.Array | None" = None):
     """Fused brute-force top-k: ``x [N, D]``, ``q [B, D]`` ->
     ``(scores [B, k] f32 desc-sorted, row_ids [B, k] int32)``.
 
     ``num_valid`` masks padding rows (>= num_valid -> never returned);
     rows with id -1 come back only when fewer than k valid rows exist.
+    ``mask`` ([1, N] int8, 1 = allowed) restricts selection to a row
+    subset (search/subset.py) — rows outside it behave like padding.
     """
     n, d = x.shape
     b = q.shape[0]
     if tile_n is None:
-        tile_n = default_tile_n(n, d, x.dtype, b=b, k=k)
+        tile_n = default_tile_n(n, d, x.dtype, b=b, k=k,
+                                masked=mask is not None)
     if n % tile_n:
         raise ValueError(f"N={n} not a multiple of tile_n={tile_n}")
     if k > tile_n:
         raise ValueError(f"k={k} > tile_n={tile_n}")
     nv = jnp.asarray([n if num_valid is None else num_valid], jnp.int32)
 
+    in_specs = [
+        pl.BlockSpec((tile_n, d), lambda i, nv_ref: (i, 0)),
+        pl.BlockSpec((b, d), lambda i, nv_ref: (0, 0)),
+    ]
+    operands = [x, q.astype(x.dtype)]
+    if mask is not None:
+        in_specs.insert(1, pl.BlockSpec((1, tile_n),
+                                        lambda i, nv_ref: (0, i)))
+        operands.insert(1, mask.astype(jnp.int8))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // tile_n,),
-        in_specs=[
-            pl.BlockSpec((tile_n, d), lambda i, nv_ref: (i, 0)),
-            pl.BlockSpec((b, d), lambda i, nv_ref: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((b, k), lambda i, nv_ref: (0, 0)),
             pl.BlockSpec((b, k), lambda i, nv_ref: (0, 0)),
@@ -592,7 +650,8 @@ def topk_matmul(x: jax.Array, q: jax.Array, k: int = 10,
             pltpu.VMEM((b, k), jnp.int32),
         ],
     )
-    kernel = functools.partial(_kernel, k=k, tile_n=tile_n)
+    kernel = functools.partial(_kernel, k=k, tile_n=tile_n,
+                               masked=mask is not None)
     out_s, out_i = pl.pallas_call(
         kernel,
         out_shape=[
@@ -605,5 +664,5 @@ def topk_matmul(x: jax.Array, q: jax.Array, k: int = 10,
             bytes_accessed=n * d * x.dtype.itemsize + b * d * 4 + 2 * b * k * 4,
             transcendentals=0),
         interpret=interpret,
-    )(nv, x, q.astype(x.dtype))
+    )(nv, *operands)
     return out_s, out_i

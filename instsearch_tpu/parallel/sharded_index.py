@@ -28,7 +28,7 @@ from .mesh import make_mesh, place, replicate, shard_rows
 
 def _local_topk(X, ids_s, q, nv, kk, scales_s, *, axis: str,
                 use_pallas: bool, interpret: bool, int8: bool,
-                int4: bool = False):
+                int4: bool = False, mask_s=None):
     """Per-shard scoring + top-kk, shared by all three distributed stages.
 
     Returns ``(scores [Q,kk], pos [Q,kk], gids [Q,kk])`` where invalid
@@ -43,6 +43,8 @@ def _local_topk(X, ids_s, q, nv, kk, scales_s, *, axis: str,
 
     ``int4`` marks X as packed nibble pairs [C, D//2] (always with row
     scales — callers also set int8 so the scales operand binds).
+    ``mask_s`` ([1, C] int8, this shard's slice of a subset filter —
+    search/subset.py) restricts selection exactly like on one device.
     """
     c = X.shape[0]
     kk_req, kk = kk, min(kk, c)
@@ -52,15 +54,17 @@ def _local_topk(X, ids_s, q, nv, kk, scales_s, *, axis: str,
         if int4:
             from ..kernels import topk_matmul_int4
             s, pos = topk_matmul_int4(X, scales_s, q, k=kk,
-                                      num_valid=nv_local, interpret=interpret)
+                                      num_valid=nv_local, interpret=interpret,
+                                      mask=mask_s)
         elif int8:
             from ..kernels import topk_matmul_int8
             s, pos = topk_matmul_int8(X, scales_s, q, k=kk,
-                                      num_valid=nv_local, interpret=interpret)
+                                      num_valid=nv_local, interpret=interpret,
+                                      mask=mask_s)
         else:
             from ..kernels import topk_matmul
             s, pos = topk_matmul(X, q, k=kk, num_valid=nv_local,
-                                 interpret=interpret)
+                                 interpret=interpret, mask=mask_s)
     else:
         if int4:
             from ..ops.quantize import unpack_int4
@@ -73,7 +77,10 @@ def _local_topk(X, ids_s, q, nv, kk, scales_s, *, axis: str,
         else:
             scores = jnp.dot(q.astype(X.dtype), X.T,
                              preferred_element_type=jnp.float32)   # [Q, N/S]
-        scores = jnp.where(ids_s[None, :] >= 0, scores, -jnp.inf)
+        ok = ids_s[None, :] >= 0
+        if mask_s is not None:
+            ok = ok & (mask_s[0][None, :] > 0)
+        scores = jnp.where(ok, scores, -jnp.inf)
         s, pos = jax.lax.top_k(scores, kk)
     valid = (pos >= 0) & (s > -jnp.inf)
     gids = jnp.where(valid, jnp.take(ids_s, jnp.maximum(pos, 0)), -1)
@@ -100,7 +107,7 @@ def _gather_rows_f32(X, pos, scales_s, *, int8: bool, int4: bool = False):
 
 
 def _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw,
-                  include_query: bool = True):
+                  include_query: bool = True, mask_s=None):
     """Round-1 alpha-QE expansion inside a shard_map body: per-shard
     top-qe_n + dequantized row gather -> two allgathers -> replicated
     expanded queries [Q, D] f32 unit-norm (arXiv:1711.02512 §5). ONE
@@ -111,7 +118,8 @@ def _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw,
     query IS a stored row and appears in its own top-n at weight 1, so
     the separate ``+ q`` term would double-count it (search/dba.py)."""
     axis = kw["axis"]
-    s, pos, _ = _local_topk(X, ids_s, q, nv, qe_n, scales_s, **kw)
+    s, pos, _ = _local_topk(X, ids_s, q, nv, qe_n, scales_s, mask_s=mask_s,
+                            **kw)
     rows = _gather_rows_f32(X, pos, scales_s, int8=kw["int8"],
                             int4=kw.get("int4", False))         # [Q, n, D]
     s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)     # [Q, S*n]
@@ -125,19 +133,25 @@ def _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw,
 
 def sharded_topk_fn(mesh: Mesh, k: int, axis: str = "shard",
                     use_pallas: bool = False, interpret: bool = False,
-                    int8: bool = False, int4: bool = False):
+                    int8: bool = False, int4: bool = False,
+                    masked: bool = False):
     """Build the jitted sharded search: (descriptors, ids, queries, nv
-    [, scales]) -> (scores [Q,k], global_ids [Q,k]), all-replicated output.
+    [, scales][, mask]) -> (scores [Q,k], global_ids [Q,k]), all-replicated
+    output.
 
     ``use_pallas`` runs the fused topk_matmul kernel per shard (the
     production TPU path); otherwise the XLA oracle. ``int8`` adds a
-    row-scales operand (sharded alongside the rows).
+    row-scales operand (sharded alongside the rows); ``masked`` a [1, N]
+    int8 subset-filter operand sharded the same way (search/subset.py).
     """
 
-    def per_shard(X, ids_s, q, nv, scales_s=None):
+    def per_shard(X, ids_s, q, nv, *extras):
+        it = iter(extras)
+        scales_s = next(it) if int8 else None
+        mask_s = next(it) if masked else None
         s, pos, gids = _local_topk(X, ids_s, q, nv, k, scales_s, axis=axis,
                                    use_pallas=use_pallas, interpret=interpret,
-                                   int8=int8, int4=int4)
+                                   int8=int8, int4=int4, mask_s=mask_s)
         # ---- ICI boundary: gather S*k candidates per query ----
         s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)     # [Q, S*k]
         g_all = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
@@ -147,6 +161,8 @@ def sharded_topk_fn(mesh: Mesh, k: int, axis: str = "shard",
     in_specs = [P(axis, None), P(axis), P(None, None), P(None)]
     if int8:
         in_specs.append(P(None, axis))   # scales [1, N] sharded on rows
+    if masked:
+        in_specs.append(P(None, axis))   # subset mask, row-aligned
     mapped = shard_map(
         per_shard, mesh=mesh,
         in_specs=tuple(in_specs),
@@ -159,7 +175,7 @@ def sharded_topk_fn(mesh: Mesh, k: int, axis: str = "shard",
 def sharded_qe_topk_fn(mesh: Mesh, k: int, qe_n: int, alpha: float,
                        axis: str = "shard", use_pallas: bool = False,
                        interpret: bool = False, int8: bool = False,
-                       int4: bool = False):
+                       int4: bool = False, masked: bool = False):
     """Distributed search with alpha query expansion (SURVEY.md C12 on the
     sharded path), all inside ONE shard_map program:
 
@@ -173,14 +189,18 @@ def sharded_qe_topk_fn(mesh: Mesh, k: int, qe_n: int, alpha: float,
     (S*qe_n*(D+2) and S*k*2 elements per query).
     """
 
-    def per_shard(X, ids_s, q, nv, scales_s=None):
+    def per_shard(X, ids_s, q, nv, *extras):
+        it = iter(extras)
+        scales_s = next(it) if int8 else None
+        mask_s = next(it) if masked else None
         kw = dict(axis=axis, use_pallas=use_pallas, interpret=interpret,
                   int8=int8, int4=int4)
         # ---- round 1: expansion candidates (shared _local_expand) ----
-        q_exp = _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw
-                              ).astype(q.dtype)
+        q_exp = _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw,
+                              mask_s=mask_s).astype(q.dtype)
         # ---- round 2: final search with expanded query ----
-        s2, _, gids2 = _local_topk(X, ids_s, q_exp, nv, k, scales_s, **kw)
+        s2, _, gids2 = _local_topk(X, ids_s, q_exp, nv, k, scales_s,
+                                   mask_s=mask_s, **kw)
         s2_all = jax.lax.all_gather(s2, axis, axis=1, tiled=True)
         g2_all = jax.lax.all_gather(gids2, axis, axis=1, tiled=True)
         fs, fj = jax.lax.top_k(s2_all, k)
@@ -188,6 +208,8 @@ def sharded_qe_topk_fn(mesh: Mesh, k: int, qe_n: int, alpha: float,
 
     in_specs = [P(axis, None), P(axis), P(None, None), P(None)]
     if int8:
+        in_specs.append(P(None, axis))
+    if masked:
         in_specs.append(P(None, axis))
     mapped = shard_map(
         per_shard, mesh=mesh,
@@ -232,21 +254,27 @@ def sharded_scores_fn(mesh: Mesh, axis: str = "shard", int8: bool = False,
 def sharded_expand_fn(mesh: Mesh, qe_n: int, alpha: float,
                       axis: str = "shard", use_pallas: bool = False,
                       interpret: bool = False, int8: bool = False,
-                      int4: bool = False, include_query: bool = True):
+                      int4: bool = False, include_query: bool = True,
+                      masked: bool = False):
     """Alpha-QE expansion only (round 1 of sharded_qe_topk_fn): returns the
     expanded queries [Q, D] f32 replicated, for callers that need the
     expanded query itself (protocol evaluation ranks the FULL index with
     it rather than taking a top-k). ``include_query=False`` gives the
     αDBA database-side weighting (see _local_expand)."""
 
-    def per_shard(X, ids_s, q, nv, scales_s=None):
+    def per_shard(X, ids_s, q, nv, *extras):
+        it = iter(extras)
+        scales_s = next(it) if int8 else None
+        mask_s = next(it) if masked else None
         kw = dict(axis=axis, use_pallas=use_pallas, interpret=interpret,
                   int8=int8, int4=int4)
         return _local_expand(X, ids_s, q, nv, qe_n, alpha, scales_s, kw,
-                             include_query=include_query)
+                             include_query=include_query, mask_s=mask_s)
 
     in_specs = [P(axis, None), P(axis), P(None, None), P(None)]
     if int8:
+        in_specs.append(P(None, axis))
+    if masked:
         in_specs.append(P(None, axis))
     mapped = shard_map(per_shard, mesh=mesh, in_specs=tuple(in_specs),
                        out_specs=P(None, None), check_vma=False)
@@ -257,7 +285,8 @@ def sharded_rerank_fn(mesh: Mesh, k: int, depth: int, fuse_weight: float = 1.0,
                       axis: str = "shard", use_pallas: bool = False,
                       interpret: bool = False, int8: bool = False,
                       regional_int8: bool = False, int4: bool = False,
-                      spatial_weight: float = 0.0, vote_matrix=None):
+                      spatial_weight: float = 0.0, vote_matrix=None,
+                      masked: bool = False):
     """Distributed regional re-ranking (SURVEY.md C13 on the sharded path),
     exact vs the single-device stage:
 
@@ -282,6 +311,7 @@ def sharded_rerank_fn(mesh: Mesh, k: int, depth: int, fuse_weight: float = 1.0,
         it = iter(extras)
         scales_s = next(it) if int8 else None
         reg_scales_s = next(it) if regional_int8 else None
+        mask_s = next(it) if masked else None
         # per-shard candidates: min(depth, local rows) is always enough to
         # cover the global top-depth set (a shard can contribute at most
         # all of its rows)
@@ -289,7 +319,7 @@ def sharded_rerank_fn(mesh: Mesh, k: int, depth: int, fuse_weight: float = 1.0,
         s, pos, gids = _local_topk(X, ids_s, q, nv, local_k, scales_s,
                                    axis=axis, use_pallas=use_pallas,
                                    interpret=interpret, int8=int8,
-                                   int4=int4)
+                                   int4=int4, mask_s=mask_s)
         # ---- global top-depth membership ----
         s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)   # [Q, S*lk]
         g_all = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
@@ -330,6 +360,8 @@ def sharded_rerank_fn(mesh: Mesh, k: int, depth: int, fuse_weight: float = 1.0,
         in_specs.append(P(None, axis))
     if regional_int8:
         in_specs.append(P(axis, None))   # [N, R] per-(row, region) scales
+    if masked:
+        in_specs.append(P(None, axis))   # subset mask, row-aligned
     mapped = shard_map(
         per_shard, mesh=mesh,
         in_specs=tuple(in_specs),
@@ -341,7 +373,8 @@ def sharded_rerank_fn(mesh: Mesh, k: int, depth: int, fuse_weight: float = 1.0,
 
 def sharded_lw_fn(mesh: Mesh, k: int, depth: int, axis: str = "shard",
                   use_pallas: bool = False, interpret: bool = False,
-                  int8: bool = False, int4: bool = False):
+                  int8: bool = False, int4: bool = False,
+                  masked: bool = False):
     """Distributed local-whitening re-ranking (search/lw_rerank.py on the
     sharded path), exact vs the single-device composite:
 
@@ -360,11 +393,15 @@ def sharded_lw_fn(mesh: Mesh, k: int, depth: int, axis: str = "shard",
     """
 
     def per_shard(X, store_s, assign_s, ids_s, q, p_bank, mu, nv,
-                  scales_s=None):
+                  *extras):
+        it = iter(extras)
+        scales_s = next(it) if int8 else None
+        mask_s = next(it) if masked else None
         local_k = min(depth, X.shape[0])
         s, pos, gids = _local_topk(X, ids_s, q, nv, local_k, scales_s,
                                    axis=axis, use_pallas=use_pallas,
-                                   interpret=interpret, int8=int8, int4=int4)
+                                   interpret=interpret, int8=int8, int4=int4,
+                                   mask_s=mask_s)
         s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)
         g_all = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
         dd = min(depth, s_all.shape[1])
@@ -395,6 +432,8 @@ def sharded_lw_fn(mesh: Mesh, k: int, depth: int, axis: str = "shard",
                 P(None, None), P(None, None, None), P(None, None), P(None)]
     if int8:
         in_specs.append(P(None, axis))
+    if masked:
+        in_specs.append(P(None, axis))
     mapped = shard_map(per_shard, mesh=mesh, in_specs=tuple(in_specs),
                        out_specs=(P(None, None), P(None, None)),
                        check_vma=False)
@@ -405,7 +444,8 @@ def sharded_diffusion_fn(mesh: Mesh, k: int, depth: int, knn: int = 10,
                          alpha: float = 0.99, iters: int = 20,
                          seeds: int = 10, axis: str = "shard",
                          use_pallas: bool = False, interpret: bool = False,
-                         int8: bool = False, int4: bool = False):
+                         int8: bool = False, int4: bool = False,
+                         masked: bool = False):
     """Distributed diffusion re-ranking (search/diffusion.py on the
     sharded path), exact vs the single-device stage:
 
@@ -418,11 +458,15 @@ def sharded_diffusion_fn(mesh: Mesh, k: int, depth: int, knn: int = 10,
          solve is tiny next to the scan)
     """
 
-    def per_shard(X, ids_s, q, nv, scales_s=None):
+    def per_shard(X, ids_s, q, nv, *extras):
+        it = iter(extras)
+        scales_s = next(it) if int8 else None
+        mask_s = next(it) if masked else None
         local_k = min(depth, X.shape[0])
         s, pos, gids = _local_topk(X, ids_s, q, nv, local_k, scales_s,
                                    axis=axis, use_pallas=use_pallas,
-                                   interpret=interpret, int8=int8, int4=int4)
+                                   interpret=interpret, int8=int8, int4=int4,
+                                   mask_s=mask_s)
         rows = _gather_rows_f32(X, pos, scales_s, int8=int8,
                                 int4=int4)                    # [Q, lk, D]
         s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)
@@ -448,6 +492,8 @@ def sharded_diffusion_fn(mesh: Mesh, k: int, depth: int, knn: int = 10,
     in_specs = [P(axis, None), P(axis), P(None, None), P(None)]
     if int8:
         in_specs.append(P(None, axis))
+    if masked:
+        in_specs.append(P(None, axis))
     mapped = shard_map(per_shard, mesh=mesh, in_specs=tuple(in_specs),
                        out_specs=(P(None, None), P(None, None)),
                        check_vma=False)
@@ -458,7 +504,7 @@ def sharded_ivfpq_fn(mesh: Mesh, k: int, depth: int, nprobe: int,
                      axis: str = "shard", int8: bool = False,
                      int4: bool = False, do_qe: bool = False,
                      qe_n: int = 10, qe_alpha: float = 3.0,
-                     has_rotation: bool = False):
+                     has_rotation: bool = False, masked: bool = False):
     """Distributed IVF-PQ cascade (search/ivfpq.py on the sharded path) —
     the multi-chip capacity tier: S chips hold S× the 32 B/row code store
     (e.g. 8 × v5e = ~512M rows of codes), exact vs the single-device
@@ -494,13 +540,19 @@ def sharded_ivfpq_fn(mesh: Mesh, k: int, depth: int, nprobe: int,
         it = iter(extras)
         scales_s = next(it) if int8 else None
         rot = next(it) if has_rotation else None   # OPQ residual [D, D]
+        # subset mask REPLICATES here (unlike the exact stages): capacity-
+        # axis bucket slots point at global row positions owned by any
+        # chip, so a row-sharded slice cannot cover a chip's candidates.
+        # N bytes per chip — 64 MB at 64M rows, the accepted trade for
+        # filtering at ADC selection instead of post-filtering the depth.
+        mask_rep = next(it) if masked else None
         c = X.shape[0]
         lo = jax.lax.axis_index(axis) * c
 
         def cascade(qq):
             adc_s, pos = _adc_select(cents, codes_s, bpos_s, sc_s, sp_s,
-                                     scl_s, pqc, qq, rot, depth=depth,
-                                     nprobe=nprobe)
+                                     scl_s, pqc, qq, rot, mask_rep,
+                                     depth=depth, nprobe=nprobe)
             s_all = jax.lax.all_gather(adc_s, axis, axis=1, tiled=True)
             p_all = jax.lax.all_gather(pos, axis, axis=1, tiled=True)
             dd = min(depth, s_all.shape[1])
@@ -556,6 +608,9 @@ def sharded_ivfpq_fn(mesh: Mesh, k: int, depth: int, nprobe: int,
         in_specs.append(P(None, axis))  # [1, N] row scales
     if has_rotation:
         in_specs.append(P(None, None))  # OPQ rotation (replicated)
+    if masked:
+        in_specs.append(P(None, None))  # subset mask (REPLICATED — see
+        #                                 per_shard; positions are global)
     mapped = shard_map(per_shard, mesh=mesh, in_specs=tuple(in_specs),
                        out_specs=(P(None, None), P(None, None)),
                        check_vma=False)
@@ -655,26 +710,50 @@ class ShardedIndex:
         from ..utils.chunking import run_chunked
         return run_chunked(run, self.query_chunk, *per_query)
 
-    def search(self, queries: jax.Array, k: int | None = None):
+    def place_subset(self, subset):
+        """Place a subset filter's [1, N_pad] mask onto the mesh,
+        row-aligned with the sharded store (the same P(None, 'shard')
+        placement as the int8 row scales) — reusable across queries, so
+        serving places each registered collection once. Accepts a
+        SubsetFilter (Index.make_subset) or a raw [1, N_pad] int8 array.
+        The IVF-PQ stage re-places it replicated internally
+        (sharded_ivfpq_fn: capacity-axis slots carry global positions)."""
+        if subset is None:
+            return None
+        mask = getattr(subset, "mask", subset)
+        if mask.shape != (1, self.descriptors.shape[0]):
+            raise ValueError(
+                f"subset mask shape {tuple(mask.shape)} != "
+                f"[1, {self.descriptors.shape[0]}] — the filter was built "
+                f"against a different store (rebuild with make_subset)")
+        return place(self.mesh, jnp.asarray(mask, jnp.int8),
+                     P(None, self.axis))
+
+    def search(self, queries: jax.Array, k: int | None = None, mask=None):
         k = k or self.default_k
-        if k not in self._fns:
-            self._fns[k] = sharded_topk_fn(self.mesh, k, axis=self.axis,
-                                           use_pallas=self.use_pallas,
-                                           interpret=self.interpret,
-                                           int8=self.int8, int4=self.int4)
+        key = (k, mask is not None)
+        if key not in self._fns:
+            self._fns[key] = sharded_topk_fn(self.mesh, k, axis=self.axis,
+                                             use_pallas=self.use_pallas,
+                                             interpret=self.interpret,
+                                             int8=self.int8, int4=self.int4,
+                                             masked=mask is not None)
 
         def run(qq):
             q, nv = self._common_operands(qq)
+            operands = [self.descriptors, self.ids, q, nv]
             if self.int8:
-                return self._fns[k](self.descriptors, self.ids, q, nv,
-                                    self.scales)
-            return self._fns[k](self.descriptors, self.ids, q, nv)
+                operands.append(self.scales)
+            if mask is not None:
+                operands.append(mask)
+            return self._fns[key](*operands)
 
         return self._run_chunked(run, queries)
 
     def search_rerank(self, queries: jax.Array, query_regional: jax.Array,
                       k: int | None = None, depth: int = 100,
-                      fuse_weight: float = 1.0, spatial_weight: float = 0.0):
+                      fuse_weight: float = 1.0, spatial_weight: float = 0.0,
+                      mask=None):
         """Distributed regional re-ranking over the sharded regional store.
         ``spatial_weight`` > 0 fuses the Hough-vote spatial-consistency
         score (search/spatial.py); needs ``regional_geom`` at
@@ -685,7 +764,8 @@ class ShardedIndex:
                              "(pass it to ShardedIndex or use to_sharded)")
         k = k or self.default_k
         depth = min(depth, self.descriptors.shape[0])
-        key = ("rerank", k, depth, fuse_weight, spatial_weight)
+        key = ("rerank", k, depth, fuse_weight, spatial_weight,
+               mask is not None)
         if key not in self._fns:
             vote = None
             if spatial_weight:
@@ -697,7 +777,7 @@ class ShardedIndex:
                 use_pallas=self.use_pallas, interpret=self.interpret,
                 int8=self.int8, regional_int8=self.regional_int8,
                 int4=self.int4, spatial_weight=spatial_weight,
-                vote_matrix=vote)
+                vote_matrix=vote, masked=mask is not None)
         def run(qq, qqreg):
             q, nv = self._common_operands(qq)
             qreg = replicate(self.mesh, qqreg)
@@ -707,6 +787,8 @@ class ShardedIndex:
                 operands.append(self.scales)
             if self.regional_int8:
                 operands.append(self.regional_scales)
+            if mask is not None:
+                operands.append(mask)
             return self._fns[key](*operands)
 
         return self._run_chunked(run, queries, query_regional)
@@ -757,7 +839,7 @@ class ShardedIndex:
 
     def search_ivfpq(self, queries: jax.Array, k: int | None = None,
                      nprobe: int | None = None, depth: int | None = None,
-                     qe_n: int = 0, qe_alpha: float = 3.0):
+                     qe_n: int = 0, qe_alpha: float = 3.0, mask=None):
         """Distributed IVF-PQ cascade over the capacity-sharded code
         store (equals Index.search with ivfpq_nprobe armed; ``qe_n > 0``
         mirrors the composite's αQE — expansion candidates come from the
@@ -768,13 +850,17 @@ class ShardedIndex:
         k = k or self.default_k
         nprobe = min(nprobe or v.nprobe, v.centroids.shape[0])
         depth = min(depth or v.depth, self.descriptors.shape[0])
-        key = ("ivfpq", k, depth, nprobe, qe_n, qe_alpha)
+        key = ("ivfpq", k, depth, nprobe, qe_n, qe_alpha, mask is not None)
         if key not in self._fns:
             self._fns[key] = sharded_ivfpq_fn(
                 self.mesh, k, depth, nprobe, axis=self.axis,
                 int8=self.int8, int4=self.int4, do_qe=qe_n > 0,
                 qe_n=qe_n, qe_alpha=qe_alpha,
-                has_rotation=v.rotation is not None)
+                has_rotation=v.rotation is not None,
+                masked=mask is not None)
+        # the cascade needs the mask against GLOBAL positions on every
+        # chip (capacity-axis bucket slots; sharded_ivfpq_fn docstring)
+        mask_rep = replicate(self.mesh, mask) if mask is not None else None
 
         def run(qq):
             q, _ = self._common_operands(qq)
@@ -785,23 +871,25 @@ class ShardedIndex:
                 operands.append(self.scales)
             if v.rotation is not None:
                 operands.append(v.rotation)
+            if mask_rep is not None:
+                operands.append(mask_rep)
             return self._fns[key](*operands)
 
         return self._run_chunked(run, queries)
 
     def search_lw(self, queries: jax.Array, k: int | None = None,
-                  depth: int = 100):
+                  depth: int = 100, mask=None):
         """Distributed local-whitening re-ranking over the row-sharded
         whitened store (equals Index.search with lw_enabled)."""
         assert self.lw_store is not None, "no local-whitening view attached"
         k = k or self.default_k
         depth = min(depth, self.descriptors.shape[0])
-        key = ("lw", k, depth)
+        key = ("lw", k, depth, mask is not None)
         if key not in self._fns:
             self._fns[key] = sharded_lw_fn(
                 self.mesh, k, depth, axis=self.axis,
                 use_pallas=self.use_pallas, interpret=self.interpret,
-                int8=self.int8, int4=self.int4)
+                int8=self.int8, int4=self.int4, masked=mask is not None)
 
         def run(qq):
             q, nv = self._common_operands(qq)
@@ -810,6 +898,8 @@ class ShardedIndex:
                         nv]
             if self.int8:
                 operands.append(self.scales)
+            if mask is not None:
+                operands.append(mask)
             return self._fns[key](*operands)
 
         return self._run_chunked(run, queries)
@@ -817,67 +907,77 @@ class ShardedIndex:
     def search_diffusion(self, queries: jax.Array, k: int | None = None,
                          depth: int = 200, knn: int = 10,
                          alpha: float = 0.99, iters: int = 20,
-                         seeds: int = 10):
+                         seeds: int = 10, mask=None):
         """Distributed diffusion re-ranking (one program, three ICI
         allgathers; equals Index.search with diffusion_enabled)."""
         k = k or self.default_k
         depth = min(depth, self.descriptors.shape[0])
-        key = ("diffusion", k, depth, knn, alpha, iters, seeds)
+        key = ("diffusion", k, depth, knn, alpha, iters, seeds,
+               mask is not None)
         if key not in self._fns:
             self._fns[key] = sharded_diffusion_fn(
                 self.mesh, k, depth, knn, alpha, iters, seeds,
                 axis=self.axis, use_pallas=self.use_pallas,
-                interpret=self.interpret, int8=self.int8, int4=self.int4)
+                interpret=self.interpret, int8=self.int8, int4=self.int4,
+                masked=mask is not None)
 
         def run(qq):
             q, nv = self._common_operands(qq)
+            operands = [self.descriptors, self.ids, q, nv]
             if self.int8:
-                return self._fns[key](self.descriptors, self.ids, q, nv,
-                                      self.scales)
-            return self._fns[key](self.descriptors, self.ids, q, nv)
+                operands.append(self.scales)
+            if mask is not None:
+                operands.append(mask)
+            return self._fns[key](*operands)
 
         return self._run_chunked(run, queries)
 
     def search_qe(self, queries: jax.Array, k: int | None = None,
-                  qe_n: int = 10, alpha: float = 3.0):
+                  qe_n: int = 10, alpha: float = 3.0, mask=None):
         """Distributed search with alpha query expansion (one program,
         two ICI allgathers)."""
         k = k or self.default_k
-        key = ("qe", k, qe_n, alpha)
+        key = ("qe", k, qe_n, alpha, mask is not None)
         if key not in self._fns:
             self._fns[key] = sharded_qe_topk_fn(
                 self.mesh, k, qe_n, alpha, axis=self.axis,
                 use_pallas=self.use_pallas, interpret=self.interpret,
-                int8=self.int8, int4=self.int4)
+                int8=self.int8, int4=self.int4, masked=mask is not None)
         def run(qq):
             q, nv = self._common_operands(qq)
+            operands = [self.descriptors, self.ids, q, nv]
             if self.int8:
-                return self._fns[key](self.descriptors, self.ids, q, nv,
-                                      self.scales)
-            return self._fns[key](self.descriptors, self.ids, q, nv)
+                operands.append(self.scales)
+            if mask is not None:
+                operands.append(mask)
+            return self._fns[key](*operands)
 
         return self._run_chunked(run, queries)
 
     def expand_queries(self, queries: jax.Array, qe_n: int = 10,
                        alpha: float = 3.0,
-                       include_query: bool = True) -> jax.Array:
+                       include_query: bool = True, mask=None) -> jax.Array:
         """Distributed alpha-QE expansion -> expanded queries [Q, D] f32
         (equals search/qe.alpha_query_expansion on the gathered matrix).
         ``include_query=False`` = αDBA database-side weighting (the
-        offline augmentation path, Index.augment_database(mesh=...))."""
-        key = ("expand", qe_n, alpha, include_query)
+        offline augmentation path, Index.augment_database(mesh=...)).
+        ``mask`` restricts the expansion neighbors to a row subset —
+        filtered serving must expand within the collection it serves."""
+        key = ("expand", qe_n, alpha, include_query, mask is not None)
         if key not in self._fns:
             self._fns[key] = sharded_expand_fn(
                 self.mesh, qe_n, alpha, axis=self.axis,
                 use_pallas=self.use_pallas, interpret=self.interpret,
                 int8=self.int8, int4=self.int4,
-                include_query=include_query)
+                include_query=include_query, masked=mask is not None)
         def run(qq):
             q, nv = self._common_operands(qq)
+            operands = [self.descriptors, self.ids, q, nv]
             if self.int8:
-                return self._fns[key](self.descriptors, self.ids, q, nv,
-                                      self.scales)
-            return self._fns[key](self.descriptors, self.ids, q, nv)
+                operands.append(self.scales)
+            if mask is not None:
+                operands.append(mask)
+            return self._fns[key](*operands)
 
         return self._run_chunked(run, queries)
 

@@ -116,7 +116,7 @@ def _score_rows(rows, row_scales, q):
 
 @partial(jax.jit, static_argnames=("k", "nprobe"))
 def _ivf_candidates_jit(centroids, buckets, bucket_scales, bucket_pos,
-                        spill, spill_scales, spill_pos, q,
+                        spill, spill_scales, spill_pos, q, mask=None,
                         *, k: int, nprobe: int):
     """ONE jitted candidate selection: returns ``(scores [B, k] f32 desc,
     pos [B, k] int32 row positions, -1 for empty slots)``.
@@ -124,7 +124,9 @@ def _ivf_candidates_jit(centroids, buckets, bucket_scales, bucket_pos,
     The pruned scan: centroid matmul [B, C] -> top-nprobe -> gather
     [B, nprobe, M, D] -> batched matvec -> merge with the (always-scanned)
     spill block. Positions, not ids — callers compose QE row gathers and
-    regional re-rank lookups against the main store.
+    regional re-rank lookups against the main store. ``mask`` ([1, N]
+    int8, search/subset.py) gathers by candidate position and folds into
+    the padding -inf mask — filtering is exact within probed buckets.
     """
     b = q.shape[0]
     cq = jax.lax.dot_general(
@@ -151,6 +153,13 @@ def _ivf_candidates_jit(centroids, buckets, bucket_scales, bucket_pos,
             [flat_p, jnp.broadcast_to(spill_pos[None, :],
                                       (b, spill_pos.shape[0]))], axis=1)
 
+    if mask is not None:
+        # subset filter (search/subset.py): candidates carry positions,
+        # so one tiny gather marks the disallowed ones (-1 padding maps
+        # to slot 0 but is already -inf)
+        allowed = jnp.take(mask[0], jnp.maximum(flat_p, 0)) > 0
+        flat_s = jnp.where(allowed, flat_s, NEG_INF)
+
     top_s, idx = jax.lax.top_k(flat_s, k)
     top_p = jnp.take_along_axis(flat_p, idx, axis=1)
     return top_s, jnp.where(top_s > NEG_INF, top_p, -1)
@@ -162,7 +171,7 @@ def _ivf_candidates_jit(centroids, buckets, bucket_scales, bucket_pos,
 def _ivf_composite_jit(centroids, buckets, bucket_scales, bucket_pos,
                        spill, spill_scales, spill_pos,
                        descriptors, ids, scales, regional, regional_scales,
-                       query_regional, q, vote_matrix=None,
+                       query_regional, q, vote_matrix=None, mask=None,
                        *, k: int, depth: int, qe_n: int,
                        qe_alpha: float, nprobe: int, do_qe: bool,
                        do_rerank: bool, spatial_weight: float = 0.0):
@@ -176,7 +185,7 @@ def _ivf_composite_jit(centroids, buckets, bucket_scales, bucket_pos,
            spill, spill_scales, spill_pos)
     q = jnp.asarray(q, jnp.float32)
     if do_qe:
-        s, pos = _ivf_candidates_jit(*ivf, q, k=qe_n, nprobe=nprobe)
+        s, pos = _ivf_candidates_jit(*ivf, q, mask, k=qe_n, nprobe=nprobe)
         rows = jnp.take(descriptors, jnp.maximum(pos, 0),
                         axis=0).astype(jnp.float32)          # [Q, n, D]
         if descriptors.dtype == jnp.int8:
@@ -185,13 +194,13 @@ def _ivf_composite_jit(centroids, buckets, bucket_scales, bucket_pos,
         from .qe import expand_from_candidates
         q = expand_from_candidates(q, s, rows, qe_alpha)
     if do_rerank:
-        g, pos = _ivf_candidates_jit(*ivf, q, k=depth, nprobe=nprobe)
+        g, pos = _ivf_candidates_jit(*ivf, q, mask, k=depth, nprobe=nprobe)
         from .rerank import rerank_from_candidates
         return rerank_from_candidates(
             regional, ids, g, pos, query_regional, k=k,
             regional_scales=regional_scales,
             spatial_weight=spatial_weight, vote_matrix=vote_matrix)
-    s, pos = _ivf_candidates_jit(*ivf, q, k=k, nprobe=nprobe)
+    s, pos = _ivf_candidates_jit(*ivf, q, mask, k=k, nprobe=nprobe)
     out_ids = jnp.where(pos >= 0, jnp.take(ids, jnp.maximum(pos, 0)), -1)
     return s, out_ids
 
@@ -389,8 +398,9 @@ class IVFIndex:
 
     # ------------------------------------------------------------------
     def candidates(self, queries: jax.Array, k: int,
-                   nprobe: int | None = None):
-        """(scores [B, k], row POSITIONS [B, k]) — the composable form."""
+                   nprobe: int | None = None, mask=None):
+        """(scores [B, k], row POSITIONS [B, k]) — the composable form.
+        ``mask``: optional [1, N] int8 subset filter (search/subset.py)."""
         p = min(nprobe or self.nprobe, self.n_clusters)
         q = jnp.asarray(queries, jnp.float32)
         if q.ndim == 1:
@@ -405,15 +415,15 @@ class IVFIndex:
         run = lambda qq: _ivf_candidates_jit(
             self.centroids, self.buckets, self.bucket_scales,
             self.bucket_pos, self.spill, self.spill_scales, self.spill_pos,
-            qq, k=k, nprobe=p)
+            qq, mask, k=k, nprobe=p)
         return run_chunked(run, chunk, q)
 
     def search(self, index, queries, k: int = 10,
-               nprobe: int | None = None):
+               nprobe: int | None = None, mask=None):
         """Descriptor-space ANN search -> ``(scores [B,k], dataset ids)``;
         mirrors ``Index.search`` output. ``index`` supplies the position ->
         dataset-id mapping (the IVF view stores positions only)."""
-        s, pos = self.candidates(queries, k, nprobe)
+        s, pos = self.candidates(queries, k, nprobe, mask=mask)
         ids = jnp.where(pos >= 0, jnp.take(index.ids, jnp.maximum(pos, 0)),
                         -1)
         from ..utils.chunking import fetch

@@ -62,7 +62,7 @@ def _adc_block(codes_packed: jax.Array, lut: jax.Array) -> jax.Array:
 
 
 def _adc_select(centroids, codes, bucket_pos, spill_codes, spill_pos,
-                spill_cluster, pq_centroids, q, rotation=None, *,
+                spill_cluster, pq_centroids, q, rotation=None, mask=None, *,
                 depth: int, nprobe: int):
     """The pruned residual-ADC selection (trace-time stage, no exact
     re-score): centroid matmul → top-``nprobe`` → bucket-code gather →
@@ -75,7 +75,11 @@ def _adc_select(centroids, codes, bucket_pos, spill_codes, spill_pos,
     ``rotation`` (OPQ in residual space, ops/pq.fit_opq): codes quantize
     ``(x − c)·R``, and since R is orthogonal ``q·r = (q·R)·(r·R)`` — the
     LUT side rotates the QUERY once; the centroid-offset term ``q·c`` is
-    untouched (the rotation lives entirely inside the residual factor)."""
+    untouched (the rotation lives entirely inside the residual factor).
+
+    ``mask`` (search/subset.py): applied HERE, at ADC selection — the
+    depth budget is spent entirely on allowed rows, so selective subset
+    filters keep the cascade's recall model."""
     b = q.shape[0]
     qf = q.astype(jnp.float32)
     cq = jax.lax.dot_general(
@@ -127,6 +131,12 @@ def _adc_select(centroids, codes, bucket_pos, spill_codes, spill_pos,
             [flat_p, jnp.broadcast_to(spill_pos[None, :],
                                       (b, spill_pos.shape[0]))], axis=1)
 
+    if mask is not None:
+        # subset filter: candidates carry positions, one tiny gather
+        # (-1 padding maps to slot 0 but is already -inf)
+        allowed = jnp.take(mask[0], jnp.maximum(flat_p, 0)) > 0
+        flat_s = jnp.where(allowed, flat_s, NEG_INF)
+
     dd = min(depth, flat_s.shape[1])
     adc_s, idx = jax.lax.top_k(flat_s, dd)
     pos = jnp.where(adc_s > NEG_INF,
@@ -160,19 +170,19 @@ def _assign_residual_jit(x, cent, nv_local, *, chunk: int):
 
 @partial(jax.jit, static_argnames=("depth", "nprobe"))
 def _adc_select_jit(centroids, codes, bucket_pos, spill_codes, spill_pos,
-                    spill_cluster, pq_centroids, q, rotation=None, *,
-                    depth: int, nprobe: int):
+                    spill_cluster, pq_centroids, q, rotation=None,
+                    mask=None, *, depth: int, nprobe: int):
     return _adc_select(centroids, codes, bucket_pos, spill_codes,
                        spill_pos, spill_cluster, pq_centroids, q,
-                       rotation, depth=depth, nprobe=nprobe)
+                       rotation, mask, depth=depth, nprobe=nprobe)
 
 
 @partial(jax.jit, static_argnames=("depth", "nprobe", "int4"))
 def _ivfpq_candidates_jit(centroids, codes, bucket_pos,
                           spill_codes, spill_pos, spill_cluster,
                           pq_centroids, descriptors, scales, q, nv,
-                          rotation=None, *, depth: int, nprobe: int,
-                          int4: bool):
+                          rotation=None, mask=None, *, depth: int,
+                          nprobe: int, int4: bool):
     """ONE jitted cascade stage: the pruned ADC selection (_adc_select)
     followed by the EXACT re-score from the main store (the ORIGINAL
     query against unrotated rows — an OPQ rotation changes only
@@ -181,7 +191,7 @@ def _ivfpq_candidates_jit(centroids, codes, bucket_pos,
     qf = q.astype(jnp.float32)
     adc_s, pos = _adc_select(centroids, codes, bucket_pos, spill_codes,
                              spill_pos, spill_cluster, pq_centroids, qf,
-                             rotation, depth=depth, nprobe=nprobe)
+                             rotation, mask, depth=depth, nprobe=nprobe)
     dd = adc_s.shape[1]
 
     # exact re-score from the main store (the cascade's quality anchor)
@@ -207,8 +217,8 @@ def _ivfpq_composite_jit(centroids, codes, bucket_pos,
                          spill_codes, spill_pos, spill_cluster,
                          pq_centroids, descriptors, ids, scales,
                          regional, regional_scales, query_regional, q, nv,
-                         vote_matrix=None, rotation=None, *, k: int,
-                         depth: int, qe_n: int, qe_alpha: float,
+                         vote_matrix=None, rotation=None, mask=None, *,
+                         k: int, depth: int, qe_n: int, qe_alpha: float,
                          nprobe: int, do_qe: bool, do_rerank: bool,
                          int4: bool, spatial_weight: float = 0.0,
                          rerank_depth: int = 0):
@@ -222,7 +232,7 @@ def _ivfpq_composite_jit(centroids, codes, bucket_pos,
         return _ivfpq_candidates_jit(
             centroids, codes, bucket_pos, spill_codes, spill_pos,
             spill_cluster, pq_centroids, descriptors, scales, qq, nvv,
-            rotation, depth=depth, nprobe=nprobe, int4=int4)
+            rotation, mask, depth=depth, nprobe=nprobe, int4=int4)
     if do_qe:
         s, pos = sel(q, nv)
         s_n, pos_n = s[:, :qe_n], pos[:, :qe_n]
@@ -627,7 +637,7 @@ class IVFPQView:
 
     def search_adc(self, queries, k: int = 10,
                    depth: int | None = None, nprobe: int | None = None,
-                   ids: "np.ndarray | None" = None):
+                   ids: "np.ndarray | None" = None, mask=None):
         """Raw-ADC search: ranking straight from the pruned
         compressed-domain scan — NO exact re-score, NO row gather. The
         serving mode for capacity deployments where the exact rows live
@@ -639,7 +649,9 @@ class IVFPQView:
         ``anisotropic_t`` (score-aware codes, ops/pq.py) to hold top-1 —
         measured profile in ops/pq.py and tests/unit/test_apq.py.
         ``ids``: optional [N] id array (``Index.ids`` / ``store.ids``);
-        row POSITIONS are returned when omitted."""
+        row POSITIONS are returned when omitted. ``mask``: optional
+        [1, N] int8 subset filter over row positions
+        (search/subset.py)."""
         p = min(nprobe or self.nprobe, self.n_clusters)
         depth = max(k, depth or self.depth)
         q = jnp.asarray(queries, jnp.float32)
@@ -648,7 +660,7 @@ class IVFPQView:
         s, pos = _adc_select_jit(
             self.centroids, self.codes, self.bucket_pos,
             self.spill_codes, self.spill_pos, self.spill_cluster,
-            self.codebook.centroids, q, self.rotation,
+            self.codebook.centroids, q, self.rotation, mask,
             depth=depth, nprobe=p)
         from ..utils.chunking import fetch
         s, pos = fetch(s[:, :k], pos[:, :k])
@@ -662,7 +674,8 @@ class IVFPQView:
         return s, pos.astype(np.int32)
 
     def search_host(self, store: "HostRowStore", queries, k: int = 10,
-                    depth: int | None = None, nprobe: int | None = None):
+                    depth: int | None = None, nprobe: int | None = None,
+                    mask=None):
         """The capacity-scale cascade: pruned residual ADC ON CHIP over
         the resident codes (``_adc_select_jit``), then the exact re-score
         ON HOST against the memory-mapped row store — only ``depth`` rows
@@ -679,7 +692,7 @@ class IVFPQView:
         _, pos = _adc_select_jit(
             self.centroids, self.codes, self.bucket_pos,
             self.spill_codes, self.spill_pos, self.spill_cluster,
-            self.codebook.centroids, jnp.asarray(q), self.rotation,
+            self.codebook.centroids, jnp.asarray(q), self.rotation, mask,
             depth=depth, nprobe=p)
         pos = np.asarray(pos)                                # [B, dd]
         rows = store.gather(pos)                             # [B, dd, D]

@@ -45,7 +45,7 @@ NEG_INF = np.float32(-np.inf)
 
 
 def _pq_candidates(codes, centroids, descriptors, scales, q, nv,
-                   rotation=None, *, depth: int, int4: bool,
+                   rotation=None, mask=None, *, depth: int, int4: bool,
                    use_pallas: bool):
     """Trace-time candidate stage: ADC coarse top-``depth`` scan over the
     code stream, then EXACT f32 re-score of those rows from the main
@@ -56,12 +56,17 @@ def _pq_candidates(codes, centroids, descriptors, scales, q, nv,
     side scores with the rotated query — ``(q·R)·(x·R) = q·x`` up to the
     (reduced) quantization error; the exact re-score keeps the ORIGINAL
     query against the unrotated main store, so only candidate recall
-    changes, never the re-scored ordering."""
+    changes, never the re-scored ordering.
+
+    ``mask`` (search/subset.py): applied at ADC SELECTION — the depth
+    budget is spent entirely on allowed rows, so a selective filter
+    keeps the cascade's recall model instead of post-filtering it."""
     cb = PQCodebook(centroids)
     q_adc = q if rotation is None else (q @ rotation).astype(q.dtype)
     if use_pallas:
         from ..kernels.pq_scan import pq_topk
-        _, pos = pq_topk(codes, q_adc, cb, k=depth, num_valid=nv)
+        _, pos = pq_topk(codes, q_adc, cb, k=depth, num_valid=nv,
+                         mask=mask)
     else:
         # XLA oracle (CPU rigs / tiny stores): same ADC quantity via the
         # LUT identity, full [B, N] materialized — test-scale only
@@ -71,8 +76,14 @@ def _pq_candidates(codes, centroids, descriptors, scales, q, nv,
         oh = jax.nn.one_hot(c, 16, dtype=jnp.float32)        # [N, M, 16]
         s = jnp.einsum("bmk,nmk->bn", lut, oh)
         rows_ok = jnp.arange(codes.shape[0]) < nv
+        if mask is not None:
+            rows_ok = rows_ok & (mask[0] > 0)
         s = jnp.where(rows_ok[None, :], s, NEG_INF)
-        _, pos = jax.lax.top_k(s, depth)
+        s_sel, pos = jax.lax.top_k(s, depth)
+        # -inf selections (padding / masked-out rows filling the depth)
+        # must NOT reach the exact re-score, which would hand them real
+        # scores again — tombstone to -1 like the kernel does
+        pos = jnp.where(s_sel > NEG_INF, pos, -1)
     from ..index import _gather_rows_f32
     safe = jnp.maximum(pos, 0)
     rows = _gather_rows_f32(descriptors, safe, scales, int4=int4)
@@ -91,7 +102,7 @@ def _pq_candidates(codes, centroids, descriptors, scales, q, nv,
                                    "rerank_depth"))
 def _pq_composite_jit(codes, centroids, descriptors, ids, scales,
                       regional, regional_scales, query_regional, q, nv,
-                      vote_matrix=None, rotation=None, *, k: int,
+                      vote_matrix=None, rotation=None, mask=None, *, k: int,
                       depth: int, qe_n: int,
                       qe_alpha: float, do_qe: bool, do_rerank: bool,
                       int4: bool, use_pallas: bool,
@@ -102,7 +113,7 @@ def _pq_composite_jit(codes, centroids, descriptors, ids, scales,
     store by position, sharing the quality math with the exact path."""
     q = jnp.asarray(q, jnp.float32)
     sel = partial(_pq_candidates, codes, centroids, descriptors, scales,
-                  rotation=rotation,
+                  rotation=rotation, mask=mask,
                   depth=depth, int4=int4, use_pallas=use_pallas)
     if do_qe:
         s, pos = sel(q, nv)

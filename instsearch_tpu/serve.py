@@ -48,14 +48,17 @@ def serve_buckets(query_chunk: int) -> list[int]:
     return buckets
 
 
-def serve_batch(idx, sidx, batch, scfg, buckets):
+def serve_batch(idx, sidx, batch, scfg, buckets, subset=None):
     """Serve an image batch of ANY size through warm bucket shapes only:
     oversized requests are SPLIT into largest-bucket chunks (remainder
     padded up to the smallest covering bucket), so no request length can
     trigger an XLA recompile mid-request — ~90-110 s per cold program
     through the axon tunnel, the exact stall the buckets exist to prevent
     (review r2: padding only covered lengths <= max(buckets); 9..chunk
-    ran a cold shape)."""
+    ran a cold shape). ``subset``: an optional SubsetFilter restricting
+    results (search/subset.py) — filter PRESENCE toggles the compiled
+    program, filter VALUES do not, so all registered subsets share the
+    same warm programs."""
     n = batch.shape[0]
     out_s, out_i = [], []
     pos = 0
@@ -67,7 +70,8 @@ def serve_batch(idx, sidx, batch, scfg, buckets):
         if take < b:                       # pad up to the warm bucket
             piece = np.concatenate(
                 [piece, np.repeat(piece[-1:], b - take, axis=0)])
-        s, i = idx.query_images(piece, scfg, sharded_index=sidx)
+        s, i = idx.query_images(piece, scfg, sharded_index=sidx,
+                                subset=subset)
         out_s.append(s[:take])
         out_i.append(i[:take])
         pos += take
@@ -81,6 +85,13 @@ class _Job:
     images: Optional[np.ndarray]     # decoded [B, S, S, 3] uint8 (query)
     reply: Callable[[dict], None]
     enqueued: float = field(default_factory=time.perf_counter)
+
+    @property
+    def batch_key(self):
+        """Micro-batching compatibility: jobs co-batch only when they run
+        the SAME device program against the same filter — one mask per
+        device batch (the mask is a per-batch operand, not per-query)."""
+        return self.req.get("subset")
 
 
 class ServeCore:
@@ -97,6 +108,11 @@ class ServeCore:
         self.size = idx.cfg.extract.image_size
         self.warm_k = idx.cfg.search.k
         self.buckets = serve_buckets(idx.cfg.search.query_chunk)
+        # named subset filters (search/subset.py): defined by clients
+        # ({"define_subset": ...}), referenced per query ({"subset": nm}).
+        # Kept by member NAMES so index mutations can rebuild them.
+        self.subsets: dict = {}
+        self._subset_warmed = False
         # pre-grow attached views' spill arrays: search-program trace
         # shapes include them, and a well-balanced build ships an EMPTY
         # spill — without the reservation the FIRST live add grows the
@@ -141,26 +157,71 @@ class ServeCore:
         return np.stack(imgs), int(req.get("k", self.warm_k))
 
     # ---- device side (single thread) ---------------------------------
+    def define_subset(self, name: str, members) -> dict:
+        """Register a named collection filter. The FIRST definition warms
+        the masked program variants for every bucket (mask PRESENCE
+        toggles the program; mask VALUES don't — later subsets reuse
+        them), so steady-state filtered queries never compile."""
+        sub = self.idx.make_subset(names=list(members))
+        self.subsets[name] = sub
+        if not self._subset_warmed:
+            for b in self.buckets:
+                self.idx.query_images(
+                    np.zeros((b, self.size, self.size, 3), np.uint8),
+                    sharded_index=self.sidx, subset=sub)
+            self._subset_warmed = True
+        return {"subset": name, "count": sub.count,
+                "subsets": sorted(self.subsets)}
+
+    def _refresh_subsets(self) -> None:
+        """Rebuild registered filters after an index mutation moved row
+        positions (remove / capacity-growing add): surviving member names
+        re-resolve; removed members drop out of their collections."""
+        alive = set(self.idx.names)
+        for nm, sub in list(self.subsets.items()):
+            if (sub.layout_gen == self.idx._layout_gen
+                    and sub.n_pad == self.idx.descriptors.shape[0]):
+                continue
+            members = [m for m in (sub.names or ()) if m in alive]
+            self.subsets[nm] = self.idx.make_subset(names=members)
+
     def mutate(self, req: dict) -> dict:
         t0 = time.perf_counter()
-        if "add" in req:
+        if "define_subset" in req:
+            spec = req["define_subset"]
+            resp = self.define_subset(spec["name"], spec["members"])
+        elif "drop_subset" in req:
+            self.subsets.pop(req["drop_subset"], None)
+            resp = {"dropped": req["drop_subset"],
+                    "subsets": sorted(self.subsets)}
+        elif "add" in req:
             n = self.idx.add(paths=list(req["add"]))
+            self._refresh_subsets()
             resp = {"added": n}
         else:
             n = self.idx.remove(list(req["remove"]))
+            self._refresh_subsets()
             resp = {"removed": n}
-        if self.sidx is not None:          # re-place mutated rows on mesh
-            self.sidx = self.idx.to_sharded()
+        if self.sidx is not None and ("add" in req or "remove" in req):
+            self.sidx = self.idx.to_sharded()  # re-place mutated rows
         resp["rows"] = self.idx.num_valid
         resp["latency_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
         return resp
 
-    def run_queries(self, jobs: "list[tuple[np.ndarray, int]]"
-                    ) -> list[dict]:
+    def run_queries(self, jobs: "list[tuple[np.ndarray, int]]",
+                    subset: "str | None" = None) -> list[dict]:
         """One device pass for a list of (images, req_k) query jobs —
         possibly from different clients (TCP micro-batching). Runs at the
         warm top-k width when every request fits inside it; only a
-        k > warm_k compiles a new width (once, then cached)."""
+        k > warm_k compiles a new width (once, then cached). ``subset``:
+        registered filter name shared by every job in the batch (the
+        dispatcher only co-batches jobs with equal batch_key)."""
+        sub = None
+        if subset is not None:
+            sub = self.subsets.get(subset)
+            if sub is None:
+                raise KeyError(f"unknown subset {subset!r} — define it "
+                               f"first ({{'define_subset': ...}})")
         ks = [k for _, k in jobs]
         k_run = self.warm_k if max(ks) <= self.warm_k else max(ks)
         scfg = self.idx.cfg.search.replace(k=k_run)
@@ -168,7 +229,7 @@ class ServeCore:
                  else np.concatenate([im for im, _ in jobs]))
         t0 = time.perf_counter()
         scores, ids = serve_batch(self.idx, self.sidx, batch, scfg,
-                                  self.buckets)
+                                  self.buckets, subset=sub)
         latency = round((time.perf_counter() - t0) * 1e3, 3)
         out, pos = [], 0
         for images, req_k in jobs:
@@ -193,12 +254,18 @@ class ServeCore:
         answer bad requests with an error line, not die mid-stream."""
         try:
             req = json.loads(line)
-            if "add" in req or "remove" in req:
+            if _is_mutation(req):
                 return self.mutate(req)
             images, req_k = self.decode(req)
-            return self.run_queries([(images, req_k)])[0]
+            return self.run_queries([(images, req_k)],
+                                    subset=req.get("subset"))[0]
         except Exception as e:    # noqa: BLE001
             return {"error": f"{type(e).__name__}: {e}"}
+
+
+def _is_mutation(req: dict) -> bool:
+    return ("add" in req or "remove" in req or "define_subset" in req
+            or "drop_subset" in req)
 
 
 class VectorServeCore:
@@ -214,7 +281,10 @@ class VectorServeCore:
     included) drive it unchanged.
 
       request:  {"vector": [f32 × D]} | {"vectors": [[...], ...]}
-                [+ "k": int]
+                [+ "k": int] [+ "subset": NAME]
+                | {"define_subset": {"name": N, "ids": [...]}}
+                |                   {... "positions": [...]}}
+                | {"drop_subset": N}
       response: {"results": [[{rank, id, score}, ...] per vector], ...}
 
     ``id`` is the store's id (row position when the store carries none);
@@ -238,12 +308,42 @@ class VectorServeCore:
         self.adc_only = adc_only
         self._cap = query_chunk or 128
         self.buckets = serve_buckets(self._cap)
+        # named subset filters over store rows: {"define_subset":
+        # {"name": ..., "ids": [...store ids...]}} (or "positions").
+        # Each is a device-resident [1, N] int8 mask — N bytes on chip
+        # per registered collection (64 MB at 64M rows); the corpus is
+        # read-only, so filters never go stale.
+        self.subsets: dict = {}
         if view.codebook.dim != store.d:
             raise ValueError(f"view dim {view.codebook.dim} != store "
                              f"dim {store.d}")
 
     def query_cap(self) -> int:
         return self._cap
+
+    def define_subset(self, name: str, ids=None, positions=None) -> dict:
+        import jax.numpy as jnp
+        if (ids is None) == (positions is None):
+            raise ValueError("define_subset needs exactly one of "
+                             "ids= / positions=")
+        allow = np.zeros(self.store.n, bool)
+        if positions is not None:
+            p = np.asarray(list(positions), np.int64)
+            if p.size and (p.min() < 0 or p.max() >= self.store.n):
+                raise ValueError("subset positions out of range")
+            allow[p] = True
+        elif self.store.ids is None:       # ids ARE positions then
+            return self.define_subset(name, positions=ids)
+        else:
+            want = np.asarray(list(ids))
+            hit = np.isin(self.store.ids, want)
+            if hit.sum() < len(np.unique(want)):
+                raise KeyError("some subset ids are not in the store")
+            allow = hit
+        mask = jnp.asarray(allow[None, :].astype(np.int8))
+        self.subsets[name] = mask
+        return {"subset": name, "count": int(allow.sum()),
+                "subsets": sorted(self.subsets)}
 
     # ---- host side (any thread) --------------------------------------
     def decode(self, req: dict) -> tuple[np.ndarray, int]:
@@ -259,13 +359,22 @@ class VectorServeCore:
 
     # ---- device side (single thread) ---------------------------------
     def mutate(self, req: dict) -> dict:
+        if "define_subset" in req:
+            spec = req["define_subset"]
+            return self.define_subset(spec["name"], ids=spec.get("ids"),
+                                      positions=spec.get("positions"))
+        if "drop_subset" in req:
+            self.subsets.pop(req["drop_subset"], None)
+            return {"dropped": req["drop_subset"],
+                    "subsets": sorted(self.subsets)}
         raise ValueError("host-store serving is read-only; rebuild the "
                          "store/view offline and restart")
 
-    def _search(self, q: np.ndarray, k: int):
+    def _search(self, q: np.ndarray, k: int, mask=None):
         if self.adc_only:
-            return self.view.search_adc(q, k=k, ids=self.store.ids)
-        return self.view.search_host(self.store, q, k=k)
+            return self.view.search_adc(q, k=k, ids=self.store.ids,
+                                        mask=mask)
+        return self.view.search_host(self.store, q, k=k, mask=mask)
 
     def warmup(self) -> None:
         for b in self.buckets:
@@ -277,11 +386,18 @@ class VectorServeCore:
                 "mode": "adc" if self.adc_only else "cascade",
                 "nprobe": self.view.nprobe, "depth": self.view.depth}
 
-    def run_queries(self, jobs: "list[tuple[np.ndarray, int]]"
-                    ) -> list[dict]:
+    def run_queries(self, jobs: "list[tuple[np.ndarray, int]]",
+                    subset: "str | None" = None) -> list[dict]:
         """One device pass per micro-batch, padded up to the nearest warm
         bucket so steady-state requests never compile (the ADC select is
-        a static-[B] program)."""
+        a static-[B] program; filter PRESENCE adds one more program per
+        bucket, shared by every registered subset)."""
+        mask = None
+        if subset is not None:
+            mask = self.subsets.get(subset)
+            if mask is None:
+                raise KeyError(f"unknown subset {subset!r} — define it "
+                               f"first ({{'define_subset': ...}})")
         ks = [k for _, k in jobs]
         k_run = self.warm_k if max(ks) <= self.warm_k else max(ks)
         batch = (jobs[0][0] if len(jobs) == 1
@@ -293,7 +409,7 @@ class VectorServeCore:
         t0 = time.perf_counter()
         qb = (batch if bucket == b else np.concatenate(
             [batch, np.zeros((bucket - b, batch.shape[1]), np.float32)]))
-        scores, ids = self._search(qb, k_run)
+        scores, ids = self._search(qb, k_run, mask=mask)
         latency = round((time.perf_counter() - t0) * 1e3, 3)
         out, pos = [], 0
         for vecs, req_k in jobs:
@@ -312,10 +428,11 @@ class VectorServeCore:
     def handle_line(self, line: str) -> dict:
         try:
             req = json.loads(line)
-            if "add" in req or "remove" in req:
+            if _is_mutation(req):
                 return self.mutate(req)
             vecs, req_k = self.decode(req)
-            return self.run_queries([(vecs, req_k)])[0]
+            return self.run_queries([(vecs, req_k)],
+                                    subset=req.get("subset"))[0]
         except Exception as e:    # noqa: BLE001
             return {"error": f"{type(e).__name__}: {e}"}
 
@@ -365,14 +482,19 @@ def serve_tcp(core: ServeCore, host: str = "127.0.0.1", port: int = 0,
                         else q.get_nowait()
                 except queue.Empty:
                     break
-                if nxt.kind == "mutate":   # barrier: run after this batch
+                if nxt.kind == "mutate" or \
+                        nxt.batch_key != job.batch_key:
+                    # barrier: mutations preserve global order; a job
+                    # against a DIFFERENT subset filter needs its own
+                    # device batch (one mask per batch) — run it next
                     pending = nxt
                     break
                 jobs.append(nxt)
                 rows += nxt.images.shape[0]
             try:
                 responses = core.run_queries(
-                    [(j.images, j.req["k"]) for j in jobs])
+                    [(j.images, j.req["k"]) for j in jobs],
+                    subset=job.batch_key)
             except Exception as e:         # noqa: BLE001 — answer, don't die
                 err = {"error": f"{type(e).__name__}: {e}"}
                 responses = [err] * len(jobs)
@@ -410,11 +532,14 @@ def serve_tcp(core: ServeCore, host: str = "127.0.0.1", port: int = 0,
                     req = json.loads(line)
                     if not isinstance(req, dict):
                         raise ValueError("request must be a JSON object")
-                    if "add" in req or "remove" in req:
+                    if _is_mutation(req):
                         q.put(_Job("mutate", req, None, reply))
                     else:
                         images, req_k = core.decode(req)
-                        q.put(_Job("query", {"k": req_k}, images, reply))
+                        q.put(_Job("query",
+                                   {"k": req_k,
+                                    "subset": req.get("subset")},
+                                   images, reply))
                 except Exception as e:     # noqa: BLE001
                     try:
                         reply({"error": f"{type(e).__name__}: {e}"})
