@@ -51,6 +51,14 @@ def main() -> int:
     print("query results:", [(index.name_of(int(i)), round(float(s), 4))
                              for s, i in zip(scores[0], ids[0]) if i >= 0])
 
+    # filtered search (search/subset.py): restrict any query to a named
+    # collection — a reusable device-resident mask, free at scan time
+    # (0.993x the unfiltered kernel on chip, BASELINE.md r5)
+    collection = index.make_subset(names=index.names[::2])
+    s_f, i_f = index.query(img, k=5, subset=collection)
+    print("filtered results:", [(index.name_of(int(i)), round(float(s), 4))
+                                for s, i in zip(s_f[0], i_f[0]) if i >= 0])
+
     # ---- 4. protocol evaluation: the quality ladder ------------------------
     for scfg, tag in ((SearchConfig(), "base"),
                       (SearchConfig(qe_enabled=True, qe_n=5), "alpha-QE"),

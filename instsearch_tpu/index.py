@@ -1671,7 +1671,11 @@ class Index:
                         f"float image batch has values in [{lo:g}, {hi:g}]; "
                         f"query() expects uint8 pixels [0, 255] or float "
                         f"images pre-scaled to [0, 1]")
-            return self.query_images(q if q.ndim == 4 else q[None], scfg)
+            # **kw (subset=, sharded_index=) must reach the image route
+            # too — dropping it here silently served UNFILTERED results
+            # for image queries with subset= (caught by the r5 example)
+            return self.query_images(q if q.ndim == 4 else q[None], scfg,
+                                     **kw)
         if q.ndim in (1, 2) and q.dtype != np.uint8:
             return self.search(q, scfg, **kw)
         raise ValueError(

@@ -48,6 +48,20 @@ assert np.array_equal(gids, oracle), (gids, oracle)
 _, gq = sidx.search_qe(Q, k=k, qe_n=3)
 assert (np.asarray(gq)[:, 0] == np.arange(7)).all()
 
+# subset-filtered search across processes (r5, search/subset.py): the
+# [1, N] allow-mask places row-aligned on the cross-process mesh like
+# the int8 scales and must equal the masked host oracle exactly
+import jax.numpy as jnp
+
+allow = np.zeros(N, bool)
+allow[::2] = True
+smask = sidx.place_subset(jnp.asarray(allow[None, :].astype(np.int8)))
+_, gf = sidx.search(Q, k=k, mask=smask)
+gf = np.asarray(gf)
+oracle_f = np.argsort(-np.where(allow[None, :], Q @ X.T, -np.inf),
+                      axis=1)[:, :k]
+assert np.array_equal(gf, oracle_f), (gf, oracle_f)
+
 # full protocol ranking through the cross-process scorer
 ranks = sidx.full_ranking(Q[:2])
 assert np.array_equal(ranks[:, 0], np.arange(2))

@@ -18,11 +18,11 @@ def test_global_shard_mesh_covers_all_devices():
 def test_two_process_distributed_search():
     """REAL multi-host: 2 processes x 4 virtual CPU devices, Gloo-backed
     collectives over loopback. Each process commits only its own row slice
-    (build_multihost_index / shard_local_rows); search + QE + full_ranking
-    + int8/int4 storage + regional rerank + diffusion + local-whitening +
-    IVF-PQ run through the cross-process shard_map programs and must match
-    the host oracle / single-device composite (asserted inside
-    mh_worker.py)."""
+    (build_multihost_index / shard_local_rows); search + subset-filtered
+    search + QE + full_ranking + int8/int4 storage + regional rerank +
+    diffusion + local-whitening + IVF-PQ run through the cross-process
+    shard_map programs and must match the host oracle / single-device
+    composite (asserted inside mh_worker.py)."""
     import os
     import socket
     import subprocess

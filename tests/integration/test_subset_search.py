@@ -170,6 +170,31 @@ def test_selective_filter_keeps_depth_budget(rng):
     _assert_members_only(idx, i, members)
 
 
+def test_query_image_route_threads_subset(rng):
+    """Index.query() with an IMAGE batch must forward subset= through
+    query_images — the image branch used to drop **kw, silently serving
+    unfiltered results for filtered image queries."""
+    from instsearch_tpu.extractor import Extractor
+
+    cfg = PipelineConfig(
+        extract=ExtractConfig(backbone="vgg16", pooling="mac",
+                              image_size=32, batch_size=4,
+                              dtype="float32"),
+        index=IndexConfig(dtype="float32", row_tile=8),
+        search=SearchConfig(k=4, use_pallas=False))
+    ex = Extractor(cfg.extract, seed=0)
+    imgs = (rng.random((12, 32, 32, 3)) * 255).astype(np.uint8)
+    descs = np.asarray(ex(imgs))
+    idx = Index.from_descriptors(descs, [f"im{i}" for i in range(12)], cfg)
+    idx.extractor = ex
+    members = [f"im{i}" for i in range(6, 12)]
+    # query with image 0: unfiltered self-matches im0; filtered must not
+    _, i_all = idx.query(imgs[0], k=4)
+    assert idx.name_of(int(np.asarray(i_all)[0, 0])) == "im0"
+    _, i_f = idx.query(imgs[0], k=4, subset=idx.make_subset(names=members))
+    _assert_members_only(idx, i_f, members)
+
+
 def test_search_adc_and_host_respect_mask(rng, tmp_path):
     """Capacity serving: the on-chip ADC-only mode and the host-gather
     cascade both honor a position mask."""
