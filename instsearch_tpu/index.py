@@ -312,6 +312,35 @@ def _compact_rows_jit(state, src, dst, new_valid):
     return X, ids, scales, regional, regional_scales
 
 
+@partial(jax.jit, static_argnames=("chunk", "int4"))
+def _range_count_jit(descriptors, ids, queries, scales, tau, mask=None,
+                     *, chunk: int, int4: bool = False):
+    """Exact per-query count of rows scoring >= ``tau`` — the counting
+    half of range search (Index.search_range). Streams the store in
+    ``chunk``-row blocks inside ONE jitted fori_loop (never a [Q, N]
+    matrix; ``chunk`` must divide the padded row count), scoring at f32
+    after dequantization. ``mask``: optional [1, N] subset filter
+    (search/subset.py)."""
+    q = jnp.asarray(queries, jnp.float32)
+    steps = descriptors.shape[0] // chunk
+
+    def body(i, acc):
+        rows = _slice_rows_f32(descriptors, scales, i * chunk, chunk,
+                               int4=int4)                    # [chunk, D]
+        s = jax.lax.dot_general(
+            q, rows, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [Q, chunk]
+        ids_c = jax.lax.dynamic_slice(ids, (i * chunk,), (chunk,))
+        ok = ids_c[None, :] >= 0
+        if mask is not None:
+            mk = jax.lax.dynamic_slice(mask[0], (i * chunk,), (chunk,))
+            ok = ok & (mk[None, :] > 0)
+        return acc + jnp.sum(((s >= tau) & ok).astype(jnp.int32), axis=1)
+
+    return jax.lax.fori_loop(
+        0, steps, body, jnp.zeros((q.shape[0],), jnp.int32))
+
+
 @partial(jax.jit, static_argnames=("int4",))
 def _all_scores_jit(descriptors, ids, queries, scales, *,
                     int4: bool = False):
@@ -1777,6 +1806,52 @@ class Index:
         else:
             s, i = sharded_index.search(q, k=scfg.k, mask=smask)
         return fetch(s, i)
+
+    def search_range(self, queries, tau: float, max_results: int = 1024,
+                     subset=None):
+        """Range search: every row scoring ``>= tau`` (FAISS
+        ``range_search`` analog) -> ``(scores [Q, m], ids [Q, m],
+        counts [Q])`` with ``m = max_results``.
+
+        A dynamic result set cannot compile on TPU, so the output is the
+        static-shape compromise production range queries actually want:
+        the top ``max_results`` matches above the threshold, score-sorted
+        (slots past a query's count carry ``(-inf, -1)`` like padding),
+        plus the EXACT per-query count from a streamed threshold-count
+        pass (``_range_count_jit`` — chunked fori_loop, no [Q, N] matrix,
+        ~one extra scan at stream speed). ``counts[i] > max_results``
+        flags truncation — re-issue with a larger ``max_results`` for the
+        full set. ``subset`` filters exactly like :meth:`search`.
+
+        Precision note: members come from the fused top-k scan (bf16/int8
+        storage scores at storage precision, f32 accumulation); counts
+        re-score at f32 after dequantization — identical for f32 stores,
+        and within one quantization ulp around ``tau`` otherwise (a
+        near-tie row can land on the other side of the threshold in one
+        of the two passes)."""
+        q = jnp.asarray(queries)
+        if q.ndim == 1:
+            q = q[None]
+        q = self._match_query_dim(q)
+        subset = self._resolve_subset(subset)
+        mask = subset.mask if subset is not None else None
+        from .utils import COUNTERS
+        COUNTERS.add("queries_served", q.shape[0])
+        m = min(max_results, self.descriptors.shape[0])
+        s, i = self._topk(q, m, mask=mask)
+        keep = s >= tau                          # -inf never passes
+        s = jnp.where(keep, s, -jnp.inf)
+        i = jnp.where(keep, i, -1)
+        n_pad = self.descriptors.shape[0]
+        chunk = next(c for c in (65_536, 32_768, 16_384, 8_192, 4_096,
+                                 2_048, 1_024, 512, 256, 128, 64, 32, 16, 8)
+                     if n_pad % c == 0)
+        chunk = min(chunk, n_pad)
+        counts = _range_count_jit(self.descriptors, self.ids, q,
+                                  self.scales, jnp.float32(tau), mask,
+                                  chunk=chunk, int4=self.is_int4)
+        s, i = fetch(s, i)
+        return s, i, np.asarray(counts)
 
     def full_ranking(self, queries) -> np.ndarray:
         """[Q, N] ranked original dataset ids best-first (valid rows only),
