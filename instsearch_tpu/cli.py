@@ -307,6 +307,35 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_dedupe(args) -> int:
+    """Near-duplicate sweep over a saved index (Index.find_duplicates):
+    prints one JSON object with the score-sorted pair list and the
+    transitive groups. Pure offline corpus analytics — no extractor
+    needed, runs off the stored descriptors."""
+    from .index import Index
+    idx = Index.load(args.index)
+    subset = None
+    if args.subset:
+        if args.subset.startswith("@"):
+            with open(args.subset[1:]) as f:
+                members = [ln.strip() for ln in f if ln.strip()]
+        else:
+            members = [s for s in args.subset.split(",") if s]
+        subset = idx.make_subset(names=members)
+    pairs, scores = idx.find_duplicates(tau=args.tau, k=args.k,
+                                        subset=subset)
+    groups = idx.find_duplicates(tau=args.tau, k=args.k, subset=subset,
+                                 group=True)
+    print(json.dumps({
+        "tau": args.tau, "n_pairs": len(pairs), "n_groups": len(groups),
+        "pairs": [{"a": idx.name_of(a), "b": idx.name_of(b),
+                   "score": float(s)}
+                  for (a, b), s in zip(pairs.tolist(), scores)],
+        "groups": groups,
+    }))
+    return 0
+
+
 # serving internals live in serve.py (ServeCore, TCP transport with
 # cross-client micro-batching); re-exported here because serve_batch /
 # serve_buckets started life in this module and tests/docs address them so
@@ -724,6 +753,19 @@ def main(argv=None) -> int:
                         "regional re-rank at this weight (needs a "
                         "rerank-enabled index built by this version)")
     q.set_defaults(fn=cmd_query)
+
+    dd = sub.add_parser("dedupe", help="near-duplicate sweep over an "
+                        "index (pairs >= tau + transitive groups; "
+                        "Index.find_duplicates)")
+    dd.add_argument("--index", required=True)
+    dd.add_argument("--tau", type=float, default=0.97,
+                    help="cosine threshold for a duplicate pair")
+    dd.add_argument("-k", type=int, default=16,
+                    help="kNN-graph degree: max pairs contributed per "
+                         "image (groups are transitive regardless)")
+    dd.add_argument("--subset", default=None, metavar="NAMES|@FILE",
+                    help="restrict the neighbor side to these image names")
+    dd.set_defaults(fn=cmd_dedupe)
 
     e = sub.add_parser("evaluate", help="protocol evaluation on a dataset")
     # None defaults fall back to the preset's eval block (see cmd_evaluate)

@@ -268,6 +268,40 @@ def _dba_chunk_jit(descriptors, ids, num_valid, scales, start,
     return jnp.where((row_ids >= 0)[:, None], out, 0.0)
 
 
+@partial(jax.jit, static_argnames=("k", "use_pallas", "chunk", "int4"))
+def _knn_chunk_jit(descriptors, ids, num_valid, scales, start, mask=None,
+                   *, k: int, use_pallas: bool, chunk: int,
+                   int4: bool = False):
+    """One kNN-graph chunk (Index.knn_graph): rows [start, start+chunk)
+    of the store act as queries against the whole store through the same
+    fused top-k kernel as serving. The self-match is struck by row
+    POSITION (exact even when distinct images share identical
+    descriptors), then the remaining top-k re-selected — so the program
+    asks the kernel for k+1. ``mask``: optional [1, N] subset filter
+    restricting the NEIGHBOR side (search/subset.py)."""
+    rows_q = _slice_rows_f32(descriptors, scales, start, chunk, int4=int4)
+    s, pos = _topk_raw(descriptors, ids, rows_q, num_valid, scales,
+                       k=k + 1, use_pallas=use_pallas, int4=int4, mask=mask)
+    own = start + jnp.arange(chunk, dtype=pos.dtype)
+    s = jnp.where(pos == own[:, None], -jnp.inf, s)
+    s, sel = jax.lax.top_k(s, k)            # struck slot falls off the end
+    pos = jnp.take_along_axis(pos, sel, axis=1)
+    row_ids = jax.lax.dynamic_slice(ids, (start,), (chunk,))
+    s = jnp.where((row_ids >= 0)[:, None], s, -jnp.inf)
+    return s, _pos_to_ids(ids, s, pos)
+
+
+@partial(jax.jit, static_argnames=("int4",))
+def _reconstruct_jit(descriptors, scales, pos, *, int4: bool = False):
+    """Dequantized f32 rows at padded positions ``pos`` — the
+    Index.reconstruct gather (the one row-materialization definition,
+    _gather_rows_f32). Callers pad ``pos`` to a power of two so repeated
+    lookups of varying sizes reuse ~log2 many compiled programs
+    (compiles cost ~90-110 s through this box's tunnel, CLAUDE.md)."""
+    return _gather_rows_f32(descriptors, jnp.maximum(pos, 0), scales,
+                            int4=int4)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _write_rows_jit(buf, rows, start):
     return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
@@ -1852,6 +1886,152 @@ class Index:
                                   chunk=chunk, int4=self.is_int4)
         s, i = fetch(s, i)
         return s, i, np.asarray(counts)
+
+    def reconstruct(self, names: "Sequence[str] | None" = None,
+                    ids: "Sequence[int] | None" = None) -> np.ndarray:
+        """Stored descriptor rows back out of the index (FAISS
+        ``reconstruct``/``reconstruct_n`` analog) -> ``[n, dim]`` f32
+        numpy, row-aligned with the request. Exactly one of image
+        ``names`` or dataset ``ids`` (the values ``search`` returns);
+        unknown members raise ``KeyError``.
+
+        Returns what the scoring kernels actually see: f32 stores round-
+        trip exactly; int8/int4 stores decode through the same
+        dequantization as every search path (``_gather_rows_f32``), so
+        the result is the stored approximation, not the pre-quantization
+        original. Positions are padded to a power of two before the
+        jitted gather so repeated lookups of varying sizes reuse ~log2
+        many compiled programs (tunnel compiles cost ~90-110 s,
+        CLAUDE.md)."""
+        if (names is None) == (ids is None):
+            raise ValueError("pass exactly one of names=, ids=")
+        if names is not None:
+            pos_by_name = {nm: p for p, nm in enumerate(self.names)}
+            missing = [nm for nm in names if nm not in pos_by_name]
+            if missing:
+                raise KeyError(f"{len(missing)} names not in the index "
+                               f"(e.g. {missing[:3]})")
+            pos = np.array([pos_by_name[nm] for nm in names], np.int32)
+        else:
+            ids_np = np.asarray(self.ids)[:self.num_valid]
+            pos_by_id = {int(v): p for p, v in enumerate(ids_np)}
+            want = [int(i) for i in ids]
+            missing = [i for i in want if i not in pos_by_id]
+            if missing:
+                raise KeyError(f"{len(missing)} ids not in the index "
+                               f"(e.g. {missing[:3]})")
+            pos = np.array([pos_by_id[i] for i in want], np.int32)
+        n = len(pos)
+        if n == 0:
+            return np.zeros((0, self.dim), np.float32)
+        P = max(8, 1 << (n - 1).bit_length())
+        padded = np.zeros((P,), np.int32)
+        padded[:n] = pos
+        rows = _reconstruct_jit(self.descriptors, self.scales,
+                                jnp.asarray(padded), int4=self.is_int4)
+        return np.asarray(rows)[:n]
+
+    def knn_graph(self, k: int = 10, chunk: int | None = None,
+                  subset=None):
+        """Offline all-pairs kNN over the indexed corpus (FAISS ``knn``
+        utility analog) -> ``(scores [num_valid, k] f32, ids [num_valid,
+        k] int32)`` numpy, row ``p`` = neighbors of ``names[p]``,
+        best-first, SELF EXCLUDED (struck by row position, so exact even
+        for byte-identical duplicates). The substrate for deduplication
+        (:meth:`find_duplicates`), offline diffusion graphs, and
+        cluster post-analysis.
+
+        One batched self-search: every ``chunk`` rows of the store query
+        the whole store through the same fused top-k kernel as serving
+        (the αDBA scan pattern, ``_knn_chunk_jit``) — never a [N, N]
+        matrix. ``subset`` restricts the NEIGHBOR side exactly like
+        :meth:`search`; rows with fewer than ``k`` valid neighbors pad
+        with ``(-inf, -1)``. Chunks stay small (default 128) because the
+        kernel's scoped-VMEM budget holds b·tile merge temporaries
+        (CLAUDE.md)."""
+        nv = self.num_valid
+        out_s = np.full((nv, k), -np.inf, np.float32)
+        out_i = np.full((nv, k), -1, np.int32)
+        if nv == 0:
+            return out_s, out_i
+        n_pad = self.descriptors.shape[0]
+        k = min(k, max(1, n_pad - 1))
+        chunk = min(chunk or self.cfg.search.query_chunk or 128, n_pad)
+        subset = self._resolve_subset(subset)
+        mask = subset.mask if subset is not None else None
+        use_pallas = (self.cfg.search.use_pallas
+                      and jax.devices()[0].platform == "tpu")
+        nv_dev = jnp.asarray(nv, jnp.int32)
+        for start in range(0, nv, chunk):
+            s0 = min(start, n_pad - chunk)   # slide back near the end
+            off = start - s0
+            s, i = _knn_chunk_jit(self.descriptors, self.ids, nv_dev,
+                                  self.scales, jnp.asarray(s0, jnp.int32),
+                                  mask, k=k, use_pallas=use_pallas,
+                                  chunk=chunk, int4=self.is_int4)
+            s, i = fetch(s, i)
+            take = min(chunk - off, nv - start)
+            out_s[start:start + take] = s[off:off + take]
+            out_i[start:start + take] = i[off:off + take]
+        return out_s, out_i
+
+    def find_duplicates(self, tau: float = 0.97, k: int = 16,
+                        chunk: int | None = None, subset=None,
+                        group: bool = False):
+        """Near-duplicate detection over the indexed corpus — the classic
+        instance-search production application (dedup before training,
+        copyright/provenance sweeps). Default: ``(pairs [P, 2] int32
+        dataset ids, scores [P] f32)``, each unordered pair once
+        (``id_a < id_b``), score ≥ ``tau``, sorted best-first. With
+        ``group=True``: connected components of the pair graph as
+        ``list[list[str]]`` image-name groups (size ≥ 2), largest first
+        — transitive closure, so a chain a~b~c lands in one group even
+        when a·c < tau.
+
+        Built on :meth:`knn_graph`, so each row contributes at most its
+        ``k`` nearest neighbors as edges: a row with more than ``k``
+        matches above ``tau`` still groups transitively through its
+        neighbors' own edges, but the PAIR list caps at k per row —
+        raise ``k`` for exhaustive pair enumeration at high duplicate
+        density. ``subset`` restricts the neighbor side."""
+        s, i = self.knn_graph(k=k, chunk=chunk, subset=subset)
+        row_ids = np.asarray(self.ids)[:self.num_valid]
+        qa = np.repeat(row_ids, k).reshape(-1)
+        qb = i.reshape(-1)
+        sc = s.reshape(-1)
+        keep = (qb >= 0) & (sc >= tau) & (qa != qb)
+        qa, qb, sc = qa[keep], qb[keep], sc[keep]
+        lo, hi = np.minimum(qa, qb), np.maximum(qa, qb)
+        # dedupe symmetric edges, keeping each pair's best score
+        order = np.lexsort((-sc, hi, lo))
+        lo, hi, sc = lo[order], hi[order], sc[order]
+        first = np.ones(len(lo), bool)
+        first[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        lo, hi, sc = lo[first], hi[first], sc[first]
+        best = np.argsort(-sc, kind="stable")
+        pairs = np.stack([lo[best], hi[best]], axis=1).astype(np.int32)
+        sc = sc[best].astype(np.float32)
+        if not group:
+            return pairs, sc
+        parent = {}                          # union-find over dataset ids
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:     # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in pairs:
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[ra] = rb
+        comps = {}
+        for a in set(pairs.reshape(-1).tolist()):
+            comps.setdefault(find(a), []).append(a)
+        groups = sorted(comps.values(), key=len, reverse=True)
+        return [[self.name_of(a) for a in sorted(g)] for g in groups]
 
     def full_ranking(self, queries) -> np.ndarray:
         """[Q, N] ranked original dataset ids best-first (valid rows only),
