@@ -1932,7 +1932,7 @@ class Index:
         return np.asarray(rows)[:n]
 
     def knn_graph(self, k: int = 10, chunk: int | None = None,
-                  subset=None):
+                  subset=None, mesh=None):
         """Offline all-pairs kNN over the indexed corpus (FAISS ``knn``
         utility analog) -> ``(scores [num_valid, k] f32, ids [num_valid,
         k] int32)`` numpy, row ``p`` = neighbors of ``names[p]``,
@@ -1948,7 +1948,14 @@ class Index:
         :meth:`search`; rows with fewer than ``k`` valid neighbors pad
         with ``(-inf, -1)``. Chunks stay small (default 128) because the
         kernel's scoped-VMEM budget holds b·tile merge temporaries
-        (CLAUDE.md)."""
+        (CLAUDE.md).
+
+        ``mesh`` routes neighbor selection through the row-sharded
+        distributed machinery (the αDBA pattern) for corpora bigger than
+        one chip's HBM: per-shard fused top-(k+1) + one ICI allgather
+        merge per chunk, self struck host-side by dataset id (row ids
+        are unique, so id-strike == position-strike) — exact-equal to
+        the single-device path (tested)."""
         nv = self.num_valid
         out_s = np.full((nv, k), -np.inf, np.float32)
         out_i = np.full((nv, k), -1, np.int32)
@@ -1961,15 +1968,34 @@ class Index:
         mask = subset.mask if subset is not None else None
         use_pallas = (self.cfg.search.use_pallas
                       and jax.devices()[0].platform == "tpu")
+        sidx = self.to_sharded(mesh=mesh) if mesh is not None else None
+        smask = sidx.place_subset(subset) if (sidx is not None
+                                              and subset is not None) else None
+        ids_np = np.asarray(self.ids)
         nv_dev = jnp.asarray(nv, jnp.int32)
         for start in range(0, nv, chunk):
             s0 = min(start, n_pad - chunk)   # slide back near the end
             off = start - s0
-            s, i = _knn_chunk_jit(self.descriptors, self.ids, nv_dev,
-                                  self.scales, jnp.asarray(s0, jnp.int32),
-                                  mask, k=k, use_pallas=use_pallas,
-                                  chunk=chunk, int4=self.is_int4)
-            s, i = fetch(s, i)
+            if sidx is not None:
+                rows_q = self._rows_f32_chunk(jnp.asarray(s0, jnp.int32),
+                                              chunk)
+                s, i = sidx.search(rows_q, k=k + 1, mask=smask)
+                s, i = np.asarray(s), np.asarray(i)
+                own = ids_np[s0:s0 + chunk]
+                s = np.where(i == own[:, None], -np.inf, s)
+                i = np.where(i == own[:, None], -1, i)
+                order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+                s = np.take_along_axis(s, order, axis=1)
+                i = np.take_along_axis(i, order, axis=1)
+                s = np.where(own[:, None] >= 0, s, -np.inf)
+                i = np.where((own[:, None] >= 0) & (s > -np.inf), i, -1)
+            else:
+                s, i = _knn_chunk_jit(self.descriptors, self.ids, nv_dev,
+                                      self.scales,
+                                      jnp.asarray(s0, jnp.int32),
+                                      mask, k=k, use_pallas=use_pallas,
+                                      chunk=chunk, int4=self.is_int4)
+                s, i = fetch(s, i)
             take = min(chunk - off, nv - start)
             out_s[start:start + take] = s[off:off + take]
             out_i[start:start + take] = i[off:off + take]
@@ -1977,7 +2003,7 @@ class Index:
 
     def find_duplicates(self, tau: float = 0.97, k: int = 16,
                         chunk: int | None = None, subset=None,
-                        group: bool = False):
+                        group: bool = False, mesh=None):
         """Near-duplicate detection over the indexed corpus — the classic
         instance-search production application (dedup before training,
         copyright/provenance sweeps). Default: ``(pairs [P, 2] int32
@@ -1993,8 +2019,9 @@ class Index:
         matches above ``tau`` still groups transitively through its
         neighbors' own edges, but the PAIR list caps at k per row —
         raise ``k`` for exhaustive pair enumeration at high duplicate
-        density. ``subset`` restricts the neighbor side."""
-        s, i = self.knn_graph(k=k, chunk=chunk, subset=subset)
+        density. ``subset`` restricts the neighbor side; ``mesh`` routes
+        the underlying kNN graph through the row-sharded machinery."""
+        s, i = self.knn_graph(k=k, chunk=chunk, subset=subset, mesh=mesh)
         row_ids = np.asarray(self.ids)[:self.num_valid]
         qa = np.repeat(row_ids, k).reshape(-1)
         qb = i.reshape(-1)

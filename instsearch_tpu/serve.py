@@ -256,6 +256,15 @@ class ServeCore:
             req = json.loads(line)
             if _is_mutation(req):
                 return self.mutate(req)
+            if "reconstruct" in req:
+                # stored-row readback ({"reconstruct": {"names": [...]}}
+                # or {"ids": [...]}): Index.reconstruct pads positions to
+                # a power of two, so request sizes share ~log2 compiled
+                # gather programs (first size in a bucket compiles once)
+                spec = req["reconstruct"]
+                rows = self.idx.reconstruct(names=spec.get("names"),
+                                            ids=spec.get("ids"))
+                return {"vectors": rows.tolist(), "dim": int(rows.shape[1])}
             images, req_k = self.decode(req)
             return self.run_queries([(images, req_k)],
                                     subset=req.get("subset"))[0]

@@ -226,3 +226,31 @@ def test_serve_ivfpq_index_no_recompile(tmp_path):
         assert s.shape == (9, scfg.k) and (np.asarray(i) >= 0).all()
 
     assert _count_compiles(run) == 0
+
+
+def test_serve_reconstruct_request():
+    """{"reconstruct": {"names"|"ids": [...]}} returns the stored rows
+    through Index.reconstruct — in-process against ServeCore.handle_line
+    (the stdin path); works on a descriptor-only index (no extractor)."""
+    import numpy as np
+    from instsearch_tpu import IndexConfig
+    from instsearch_tpu.serve import ServeCore
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((32, 16)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    cfg = PipelineConfig(extract=ExtractConfig(dtype="float32"),
+                         index=IndexConfig(dtype="float32", row_tile=8),
+                         search=SearchConfig(k=3, use_pallas=False))
+    idx = Index.from_descriptors(X, [f"im{i}" for i in range(32)], cfg)
+    sc = ServeCore(idx)
+    r = sc.handle_line(json.dumps({"reconstruct": {"names": ["im5", "im0"]}}))
+    assert r["dim"] == 16
+    np.testing.assert_allclose(np.asarray(r["vectors"], np.float32),
+                               X[[5, 0]], rtol=1e-6)
+    ids_np = np.asarray(idx.ids)[:32]
+    r = sc.handle_line(json.dumps({"reconstruct": {"ids": [int(ids_np[7])]}}))
+    np.testing.assert_allclose(np.asarray(r["vectors"], np.float32),
+                               X[[7]], rtol=1e-6)
+    r = sc.handle_line(json.dumps({"reconstruct": {"names": ["nope"]}}))
+    assert "error" in r
