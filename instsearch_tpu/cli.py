@@ -307,6 +307,16 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_info(args) -> int:
+    """Operator introspection for a saved index: Index.stats() as one
+    JSON object (rows/dim/dtype, device bytes per store, attached views
+    with their scan economics)."""
+    from .index import Index
+    idx = Index.load(args.index)
+    print(json.dumps(idx.stats()))
+    return 0
+
+
 def cmd_dedupe(args) -> int:
     """Near-duplicate sweep over a saved index (Index.find_duplicates):
     prints one JSON object with the score-sorted pair list and the
@@ -753,6 +763,11 @@ def main(argv=None) -> int:
                         "regional re-rank at this weight (needs a "
                         "rerank-enabled index built by this version)")
     q.set_defaults(fn=cmd_query)
+
+    nf = sub.add_parser("info", help="print a saved index's stats "
+                        "(rows, dtype, bytes, attached views) as JSON")
+    nf.add_argument("--index", required=True)
+    nf.set_defaults(fn=cmd_info)
 
     dd = sub.add_parser("dedupe", help="near-duplicate sweep over an "
                         "index (pairs >= tau + transitive groups; "

@@ -2060,6 +2060,69 @@ class Index:
         groups = sorted(comps.values(), key=len, reverse=True)
         return [[self.name_of(a) for a in sorted(g)] for g in groups]
 
+    def stats(self) -> dict:
+        """Introspection snapshot for operators (`cli info` prints it):
+        row/capacity/dim/dtype, device-resident bytes per store, and the
+        parameters + scan economics of every attached view. Host-only —
+        reads array metadata, never fetches device data."""
+        def nbytes(a):
+            return 0 if a is None else int(a.size * a.dtype.itemsize)
+
+        out = {
+            "rows": self.num_valid,
+            "capacity": int(self.descriptors.shape[0]),
+            "dim": self.dim,
+            "dtype": self.cfg.index.dtype,
+            "layout_gen": self._layout_gen,
+            "has_extractor": self.extractor is not None,
+            "bytes": {
+                "descriptors": nbytes(self.descriptors),
+                "scales": nbytes(self.scales),
+                "regional": nbytes(self.regional)
+                + nbytes(self.regional_scales),
+            },
+        }
+        if self.regional is not None:
+            out["regional_kind"] = ("refine" if self.has_refine_store
+                                    else "rmac")
+            out["regions_per_image"] = int(self.regional.shape[1])
+        if self.ivf is not None:
+            v = self.ivf
+            out["ivf"] = {
+                "n_clusters": v.n_clusters, "nprobe": v.nprobe,
+                "bucket_capacity": v.bucket_capacity,
+                "spill_rows": int(v.spill.shape[0]),
+                "scan_fraction": round(v.scan_fraction(), 4),
+            }
+            out["bytes"]["ivf"] = (nbytes(v.centroids) + nbytes(v.buckets)
+                                   + nbytes(v.spill))
+        if self.pq is not None:
+            v = self.pq
+            out["pq"] = {"m": v.m, "depth": v.depth,
+                         "bytes_per_row": v.bytes_per_row,
+                         "opq": v.rotation is not None,
+                         "anisotropic_t": v.anisotropic_t}
+            out["bytes"]["pq"] = nbytes(v.codes)
+        if self.ivfpq is not None:
+            v = self.ivfpq
+            out["ivfpq"] = {
+                "n_clusters": v.n_clusters, "nprobe": v.nprobe,
+                "m": v.m, "depth": v.depth,
+                "bucket_capacity": v.bucket_capacity,
+                "spill_rows": int(v.spill_codes.shape[0]),
+                "scan_fraction": round(v.scan_fraction(), 4),
+                "opq": v.rotation is not None,
+                "anisotropic_t": v.anisotropic_t,
+            }
+            out["bytes"]["ivfpq"] = (nbytes(v.centroids) + nbytes(v.codes)
+                                     + nbytes(v.spill_codes))
+        if self.lw is not None:
+            out["lw"] = {"n_clusters": self.lw.n_clusters}
+            out["bytes"]["lw"] = (nbytes(self.lw.store)
+                                  + nbytes(self.lw.params.P))
+        out["bytes"]["total"] = sum(out["bytes"].values())
+        return out
+
     def full_ranking(self, queries) -> np.ndarray:
         """[Q, N] ranked original dataset ids best-first (valid rows only),
         for protocol evaluation. Padding (-inf) sorts last and is cut."""
