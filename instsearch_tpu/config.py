@@ -117,6 +117,19 @@ class IndexConfig(_JsonMixin):
     # Meant for dtype="int4": int4-speed scan, int8-grade top-k, 1.5
     # bytes/component total. "" = off; "int8" is the only option.
     refine_dtype: str = ""
+    # similarity metric for RAW-VECTOR indexes (Index.from_descriptors):
+    # "ip" (inner product; == cosine on unit rows — the image pipeline's
+    # descriptors are always unit) or "l2" (exact Euclidean NN, FAISS
+    # IndexFlatL2 analog). "l2" stores rows augmented with one
+    # ||x||^2/2 column and queries gain a -1 column, so the UNCHANGED
+    # fused IP kernels rank by -L2 exactly (argmax x.q - ||x||^2/2 ==
+    # argmin ||x-q||); returned scores are -||x-q||^2. Exact tiers only
+    # (search/search_range/knn_graph/sharded search); the cosine-space
+    # quality stack (QE/re-rank/diffusion/lw/IVF/PQ) rejects l2 indexes.
+    # int8 + l2 is reduced precision: the norm column dominates the
+    # per-row scale, so near-tie rankings can flip — prefer f32/bf16
+    # (int4 is rejected outright).
+    metric: str = "ip"
 
 
 @dataclass(frozen=True)

@@ -268,18 +268,27 @@ def _dba_chunk_jit(descriptors, ids, num_valid, scales, start,
     return jnp.where((row_ids >= 0)[:, None], out, 0.0)
 
 
-@partial(jax.jit, static_argnames=("k", "use_pallas", "chunk", "int4"))
+@partial(jax.jit, static_argnames=("k", "use_pallas", "chunk", "int4",
+                                   "l2"))
 def _knn_chunk_jit(descriptors, ids, num_valid, scales, start, mask=None,
                    *, k: int, use_pallas: bool, chunk: int,
-                   int4: bool = False):
+                   int4: bool = False, l2: bool = False):
     """One kNN-graph chunk (Index.knn_graph): rows [start, start+chunk)
     of the store act as queries against the whole store through the same
     fused top-k kernel as serving. The self-match is struck by row
     POSITION (exact even when distinct images share identical
     descriptors), then the remaining top-k re-selected — so the program
     asks the kernel for k+1. ``mask``: optional [1, N] subset filter
-    restricting the NEIGHBOR side (search/subset.py)."""
+    restricting the NEIGHBOR side (search/subset.py). ``l2``: the store
+    carries the norm-augmentation column (Index.is_l2) — query rows get
+    it swapped for the -1 query column, and returned scores are
+    converted to ``-||x - q||^2``."""
     rows_q = _slice_rows_f32(descriptors, scales, start, chunk, int4=int4)
+    if l2:
+        qnorm2 = 2.0 * rows_q[:, -1]             # aug col = ||x||^2 / 2
+        rows_q = jnp.concatenate(
+            [rows_q[:, :-1],
+             jnp.full((chunk, 1), -1.0, jnp.float32)], axis=1)
     s, pos = _topk_raw(descriptors, ids, rows_q, num_valid, scales,
                        k=k + 1, use_pallas=use_pallas, int4=int4, mask=mask)
     own = start + jnp.arange(chunk, dtype=pos.dtype)
@@ -288,7 +297,10 @@ def _knn_chunk_jit(descriptors, ids, num_valid, scales, start, mask=None,
     pos = jnp.take_along_axis(pos, sel, axis=1)
     row_ids = jax.lax.dynamic_slice(ids, (start,), (chunk,))
     s = jnp.where((row_ids >= 0)[:, None], s, -jnp.inf)
-    return s, _pos_to_ids(ids, s, pos)
+    out_ids = _pos_to_ids(ids, s, pos)
+    if l2:                                   # -inf stays -inf
+        s = jnp.where(out_ids >= 0, 2.0 * s - qnorm2[:, None], -jnp.inf)
+    return s, out_ids
 
 
 @partial(jax.jit, static_argnames=("int4",))
@@ -357,6 +369,9 @@ def _range_count_jit(descriptors, ids, queries, scales, tau, mask=None,
     (search/subset.py)."""
     q = jnp.asarray(queries, jnp.float32)
     steps = descriptors.shape[0] // chunk
+    # scalar tau (ip metric) or per-query [Q] thresholds (l2 metric:
+    # radius -> (||q||^2 - r^2)/2 varies with the query)
+    thr = tau if jnp.ndim(tau) == 0 else tau[:, None]
 
     def body(i, acc):
         rows = _slice_rows_f32(descriptors, scales, i * chunk, chunk,
@@ -369,7 +384,7 @@ def _range_count_jit(descriptors, ids, queries, scales, tau, mask=None,
         if mask is not None:
             mk = jax.lax.dynamic_slice(mask[0], (i * chunk,), (chunk,))
             ok = ok & (mk[None, :] > 0)
-        return acc + jnp.sum(((s >= tau) & ok).astype(jnp.int32), axis=1)
+        return acc + jnp.sum(((s >= thr) & ok).astype(jnp.int32), axis=1)
 
     return jax.lax.fori_loop(
         0, steps, body, jnp.zeros((q.shape[0],), jnp.int32))
@@ -537,6 +552,16 @@ class Index:
             raise ValueError(
                 f"{' and '.join(armed_tiers)} all armed — one candidate-"
                 f"selection tier per query (disable the others)")
+        if self.is_l2:
+            wrong = list(enabled) + armed_tiers
+            if scfg.qe_enabled:
+                wrong.append("qe_enabled")
+            if wrong:
+                raise ValueError(
+                    f"metric='l2' indexes support exact search only — "
+                    f"disable {wrong} (QE/re-rank/diffusion/lw and the "
+                    f"ANN tiers are cosine-space stages; see "
+                    f"IndexConfig.metric)")
         if (scfg.spatial_weight and scfg.rerank_enabled
                 and self.regional is not None and self.regional_geom is None):
             raise ValueError(
@@ -563,6 +588,16 @@ class Index:
             self._vote_m = jnp.asarray(build_vote_matrix(
                 self.regional_geom, self.regional_geom))
         return self._vote_m
+
+    @property
+    def is_l2(self) -> bool:
+        """Euclidean-metric index (IndexConfig.metric="l2"): rows are
+        stored augmented with one ``||x||^2/2`` column and queries gain a
+        ``-1`` column (_match_query_dim), so the UNCHANGED IP kernels
+        rank by -L2 exactly; returned scores are ``-||x - q||^2``.
+        ``self.dim`` is the INTERNAL (augmented) width then — user-facing
+        boundaries (reconstruct, stats) strip the extra column."""
+        return self.cfg.index.metric == "l2"
 
     @property
     def is_int4(self) -> bool:
@@ -638,9 +673,24 @@ class Index:
     def from_descriptors(cls, descriptors: np.ndarray, names: Sequence[str],
                          cfg: PipelineConfig,
                          extractor: Optional[Extractor] = None,
-                         original_ids: np.ndarray | None = None) -> "Index":
+                         original_ids: np.ndarray | None = None,
+                         _augmented: bool = False) -> "Index":
         """``original_ids`` maps descriptor rows back to dataset positions
-        (differs from arange when images were quarantined during build)."""
+        (differs from arange when images were quarantined during build).
+        ``_augmented``: the rows already carry the l2 norm column
+        (internal re-pad path) — never set by users."""
+        if cfg.index.metric not in ("ip", "l2"):
+            raise ValueError(f"metric={cfg.index.metric!r}: 'ip' or 'l2'")
+        if cfg.index.metric == "l2":
+            if cfg.index.dtype == "int4":
+                raise ValueError(
+                    "metric='l2' does not support int4 storage (the "
+                    "norm-augmentation column and nibble packing "
+                    "interact; use int8/bfloat16/float32)")
+            if not _augmented:
+                x = np.asarray(descriptors, np.float32)
+                descriptors = np.concatenate(
+                    [x, 0.5 * (x * x).sum(1, keepdims=True)], axis=1)
         n, d = descriptors.shape
         tile = max(cfg.index.row_tile, 8) * max(cfg.index.num_shards, 1)
         # capacity pre-sizes the padded matrix so rows can be appended later
@@ -706,6 +756,12 @@ class Index:
         ``mesh`` enables data-parallel extraction over its first axis
         (SURVEY.md §2.2 DP row); defaults to all local devices when more
         than one is visible."""
+        if cfg.index.metric == "l2":
+            raise ValueError(
+                "metric='l2' is for RAW-VECTOR indexes "
+                "(Index.from_descriptors); the image pipeline's "
+                "descriptors are unit-normalized, where inner product IS "
+                "the L2 ranking — keep metric='ip'")
         if mesh is None:
             from .parallel.mesh import default_data_mesh
             mesh = default_data_mesh()
@@ -788,6 +844,12 @@ class Index:
         else:
             assert descriptors is not None and names is not None
             descriptors = np.asarray(descriptors, np.float32)
+        if self.is_l2 and np.shape(descriptors)[-1] == self.dim - 1:
+            # user-width rows gain the norm column (internal-width rows —
+            # merge_from's dequantized donors — pass through unchanged)
+            x = np.asarray(descriptors, np.float32)
+            descriptors = np.concatenate(
+                [x, 0.5 * (x * x).sum(1, keepdims=True)], axis=1)
         if self.is_int4 and np.shape(descriptors)[-1] == self.dim - 1:
             # odd-dim store was zero-padded at build (nibble pairs)
             descriptors = np.concatenate(
@@ -848,7 +910,8 @@ class Index:
                              start + n_new)))
             rebuilt = Index.from_descriptors(
                 merged, list(self.names) + list(names), grown,
-                extractor=self.extractor, original_ids=new_ids)
+                extractor=self.extractor, original_ids=new_ids,
+                _augmented=self.is_l2)  # merged rows carry the norm col
             self.cfg = grown
             self.descriptors, self.ids = rebuilt.descriptors, rebuilt.ids
             self.scales, self.names = rebuilt.scales, rebuilt.names
@@ -936,6 +999,17 @@ class Index:
                 (start, 0, 0))
 
     # ------------------------------------------------------------------
+    def _reject_l2(self, stage: str) -> None:
+        """The quality/ANN stack is cosine-space (unit-row assumptions in
+        k-means routing, QE averaging, PQ codebooks); an l2-metric index
+        keeps the exact tiers only. One error site so the wording cannot
+        drift."""
+        if self.is_l2:
+            raise ValueError(
+                f"{stage} is a cosine-space stage — metric='l2' indexes "
+                f"support exact search/search_range/knn_graph only "
+                f"(IndexConfig.metric)")
+
     def merge_from(self, other: "Index") -> int:
         """FAISS-``merge_from``-style index union: append every valid row
         of ``other`` into this index (the production shape: per-machine /
@@ -961,6 +1035,11 @@ class Index:
         union instead). Returns #rows merged."""
         if other is self:
             raise ValueError("cannot merge an index into itself")
+        if other.cfg.index.metric != self.cfg.index.metric:
+            raise ValueError(
+                f"metric mismatch: {self.cfg.index.metric!r} vs "
+                f"{other.cfg.index.metric!r} — an l2 store carries a norm "
+                f"column an ip store does not")
         if other.dim != self.dim:
             raise ValueError(f"descriptor dim mismatch: {self.dim} vs "
                              f"{other.dim}")
@@ -1053,6 +1132,7 @@ class Index:
         tombstone positions — IVFIndex.absorb_remove),
         ``augment_database()`` invalidates the view — rebuild after it. Returns the
         IVFIndex."""
+        self._reject_l2("build_ivf")
         if self.is_int4:
             raise ValueError(
                 "IVF views are not supported on int4 storage (the bucket "
@@ -1105,6 +1185,7 @@ class Index:
         replay the compaction moves — PQView.absorb_remove),
         ``augment_database()`` invalidates the view — rebuild after it. Single-device view (the sharded path keeps the exact
         fused scan). Returns the PQView."""
+        self._reject_l2("build_pq")
         if self.ivfpq is not None:
             raise ValueError(
                 "an IVF-PQ view is attached — mutually exclusive "
@@ -1158,6 +1239,7 @@ class Index:
         codes appended to the spill — IVFPQView.absorb_add; removals
         remap/tombstone positions — IVFPQView.absorb_remove),
         ``augment_database()`` invalidates the view — rebuild after it. Returns the IVFPQView."""
+        self._reject_l2("build_ivfpq")
         if self.ivf is not None or self.pq is not None:
             raise ValueError(
                 "IVF-PQ is mutually exclusive with the IVF and PQ views "
@@ -1209,6 +1291,7 @@ class Index:
         view — refit after it.
         Single-device view (the sharded path keeps the exact stages).
         Returns the LocalWhiteningView."""
+        self._reject_l2("fit_local_whitening")
         from .search.lw_rerank import LocalWhiteningView
         self.lw = LocalWhiteningView.from_index(
             self, n_clusters=n_clusters, dim=dim, tau=tau, iters=iters,
@@ -1280,6 +1363,7 @@ class Index:
         than one chip's HBM — exact-equal to the single-device path
         (tested); the augmented matrix still lands back in THIS index's
         single-device storage."""
+        self._reject_l2("augment_database")
         n = n if n is not None else (self.cfg.index.dba_n or 10)
         alpha = self.cfg.index.dba_alpha if alpha is None else alpha
         if self.num_valid == 0:
@@ -1435,10 +1519,27 @@ class Index:
     def _match_query_dim(self, q: jax.Array) -> jax.Array:
         """int4 stores pad an odd descriptor dim with one zero column
         (nibbles pack in pairs); queries must match that width. The zero
-        column never changes a dot product."""
+        column never changes a dot product. l2-metric stores carry a
+        ``||x||^2/2`` column instead; queries gain a ``-1`` there, so
+        ``x'.q' = x.q - ||x||^2/2`` and IP top-k == L2 top-k (is_l2)."""
         if self.is_int4 and q.shape[-1] == self.dim - 1:
             q = jnp.pad(jnp.asarray(q), ((0, 0), (0, 1)))
+        elif self.is_l2 and q.shape[-1] == self.dim - 1:
+            q = jnp.concatenate(
+                [jnp.asarray(q, jnp.float32),
+                 jnp.full((q.shape[0], 1), -1.0, jnp.float32)], axis=-1)
         return q
+
+    def _l2_query_norms(self, q) -> "np.ndarray | None":
+        """``||q||^2 [Q]`` for the l2 score conversion (-L2^2 = 2*s_aug
+        - ||q||^2), or None on ip indexes. Accepts user-width or
+        already-augmented queries (the -1 column is dropped first)."""
+        if not self.is_l2:
+            return None
+        qn = np.asarray(q, np.float32)
+        if qn.shape[-1] == self.dim:
+            qn = qn[..., :-1]
+        return (qn * qn).sum(-1)
 
     def _masked_scores(self, queries: jax.Array) -> jax.Array:
         queries = self._match_query_dim(jnp.asarray(queries))
@@ -1480,11 +1581,13 @@ class Index:
         automatically by :meth:`query_images`). ``subset`` (a
         :meth:`make_subset` filter, or a sequence of names/ids built ad
         hoc) restricts results to those rows — every tier honors it
-        (search/subset.py)."""
+        (search/subset.py). l2-metric indexes (IndexConfig.metric="l2")
+        return scores of ``-||x - q||^2`` (higher = closer), exact."""
         scfg = search_cfg or self.cfg.search
         q = jnp.asarray(queries)
         if q.ndim == 1:
             q = q[None]
+        qn2 = self._l2_query_norms(q)        # None unless metric='l2'
         q = self._match_query_dim(q)
         from .utils import COUNTERS
         COUNTERS.add("queries_served", q.shape[0])
@@ -1563,7 +1666,10 @@ class Index:
         from .utils.chunking import run_chunked
         args = (q, jnp.asarray(query_regional)) if do_rerank else (q,)
         top_scores, top_ids = run_chunked(run, scfg.query_chunk, *args)
-        return fetch(top_scores, top_ids)
+        s, i = fetch(top_scores, top_ids)
+        if qn2 is not None:                  # augmented IP -> -||x - q||^2
+            s = np.where(i >= 0, 2.0 * s - qn2[:, None], -np.inf)
+        return s, i
 
     def _search_lw(self, q, scfg, mask=None):
         """Local-whitening re-ranking path (search/lw_rerank.py): optional
@@ -1862,10 +1968,17 @@ class Index:
         re-score at f32 after dequantization — identical for f32 stores,
         and within one quantization ulp around ``tau`` otherwise (a
         near-tie row can land on the other side of the threshold in one
-        of the two passes)."""
+        of the two passes).
+
+        l2-metric indexes (IndexConfig.metric="l2"): ``tau`` is the
+        Euclidean RADIUS — every row with ``||x - q|| <= tau`` counts
+        (converted internally to per-query augmented-score thresholds
+        ``(||q||^2 - tau^2)/2``), and returned scores are ``-||x-q||^2``
+        best-first like :meth:`search`."""
         q = jnp.asarray(queries)
         if q.ndim == 1:
             q = q[None]
+        qn2 = self._l2_query_norms(q)
         q = self._match_query_dim(q)
         subset = self._resolve_subset(subset)
         mask = subset.mask if subset is not None else None
@@ -1873,7 +1986,12 @@ class Index:
         COUNTERS.add("queries_served", q.shape[0])
         m = min(max_results, self.descriptors.shape[0])
         s, i = self._topk(q, m, mask=mask)
-        keep = s >= tau                          # -inf never passes
+        if qn2 is not None:                      # radius -> per-query thr
+            thr = jnp.asarray((qn2 - float(tau) ** 2) / 2.0, jnp.float32)
+            keep = s >= thr[:, None]
+        else:
+            thr = jnp.float32(tau)
+            keep = s >= tau                      # -inf never passes
         s = jnp.where(keep, s, -jnp.inf)
         i = jnp.where(keep, i, -1)
         n_pad = self.descriptors.shape[0]
@@ -1882,9 +2000,11 @@ class Index:
                      if n_pad % c == 0)
         chunk = min(chunk, n_pad)
         counts = _range_count_jit(self.descriptors, self.ids, q,
-                                  self.scales, jnp.float32(tau), mask,
+                                  self.scales, thr, mask,
                                   chunk=chunk, int4=self.is_int4)
         s, i = fetch(s, i)
+        if qn2 is not None:
+            s = np.where(i >= 0, 2.0 * s - qn2[:, None], -np.inf)
         return s, i, np.asarray(counts)
 
     def reconstruct(self, names: "Sequence[str] | None" = None,
@@ -1923,13 +2043,15 @@ class Index:
             pos = np.array([pos_by_id[i] for i in want], np.int32)
         n = len(pos)
         if n == 0:
-            return np.zeros((0, self.dim), np.float32)
+            return np.zeros((0, self.dim - (1 if self.is_l2 else 0)),
+                            np.float32)
         P = max(8, 1 << (n - 1).bit_length())
         padded = np.zeros((P,), np.int32)
         padded[:n] = pos
         rows = _reconstruct_jit(self.descriptors, self.scales,
                                 jnp.asarray(padded), int4=self.is_int4)
-        return np.asarray(rows)[:n]
+        rows = np.asarray(rows)[:n]
+        return rows[:, :-1] if self.is_l2 else rows   # strip the norm col
 
     def knn_graph(self, k: int = 10, chunk: int | None = None,
                   subset=None, mesh=None):
@@ -1955,7 +2077,8 @@ class Index:
         one chip's HBM: per-shard fused top-(k+1) + one ICI allgather
         merge per chunk, self struck host-side by dataset id (row ids
         are unique, so id-strike == position-strike) — exact-equal to
-        the single-device path (tested)."""
+        the single-device path (tested). l2-metric indexes return
+        ``-||x - q||^2`` scores like :meth:`search`."""
         nv = self.num_valid
         out_s = np.full((nv, k), -np.inf, np.float32)
         out_i = np.full((nv, k), -1, np.int32)
@@ -1979,6 +2102,12 @@ class Index:
             if sidx is not None:
                 rows_q = self._rows_f32_chunk(jnp.asarray(s0, jnp.int32),
                                               chunk)
+                qnorm2 = None
+                if self.is_l2:               # swap norm col -> query col
+                    qnorm2 = 2.0 * np.asarray(rows_q[:, -1], np.float32)
+                    rows_q = jnp.concatenate(
+                        [rows_q[:, :-1],
+                         jnp.full((chunk, 1), -1.0, jnp.float32)], axis=1)
                 s, i = sidx.search(rows_q, k=k + 1, mask=smask)
                 s, i = np.asarray(s), np.asarray(i)
                 own = ids_np[s0:s0 + chunk]
@@ -1989,12 +2118,15 @@ class Index:
                 i = np.take_along_axis(i, order, axis=1)
                 s = np.where(own[:, None] >= 0, s, -np.inf)
                 i = np.where((own[:, None] >= 0) & (s > -np.inf), i, -1)
+                if qnorm2 is not None:
+                    s = np.where(i >= 0, 2.0 * s - qnorm2[:, None], -np.inf)
             else:
                 s, i = _knn_chunk_jit(self.descriptors, self.ids, nv_dev,
                                       self.scales,
                                       jnp.asarray(s0, jnp.int32),
                                       mask, k=k, use_pallas=use_pallas,
-                                      chunk=chunk, int4=self.is_int4)
+                                      chunk=chunk, int4=self.is_int4,
+                                      l2=self.is_l2)
                 s, i = fetch(s, i)
             take = min(chunk - off, nv - start)
             out_s[start:start + take] = s[off:off + take]
@@ -2020,13 +2152,16 @@ class Index:
         neighbors' own edges, but the PAIR list caps at k per row —
         raise ``k`` for exhaustive pair enumeration at high duplicate
         density. ``subset`` restricts the neighbor side; ``mesh`` routes
-        the underlying kNN graph through the row-sharded machinery."""
+        the underlying kNN graph through the row-sharded machinery.
+        l2-metric indexes: ``tau`` is the Euclidean RADIUS (pairs within
+        distance tau; reported pair scores are ``-||a - b||^2``)."""
         s, i = self.knn_graph(k=k, chunk=chunk, subset=subset, mesh=mesh)
+        thr = -(float(tau) ** 2) if self.is_l2 else tau
         row_ids = np.asarray(self.ids)[:self.num_valid]
         qa = np.repeat(row_ids, k).reshape(-1)
         qb = i.reshape(-1)
         sc = s.reshape(-1)
-        keep = (qb >= 0) & (sc >= tau) & (qa != qb)
+        keep = (qb >= 0) & (sc >= thr) & (qa != qb)
         qa, qb, sc = qa[keep], qb[keep], sc[keep]
         lo, hi = np.minimum(qa, qb), np.maximum(qa, qb)
         # dedupe symmetric edges, keeping each pair's best score
@@ -2071,7 +2206,8 @@ class Index:
         out = {
             "rows": self.num_valid,
             "capacity": int(self.descriptors.shape[0]),
-            "dim": self.dim,
+            "dim": self.dim - (1 if self.is_l2 else 0),  # user width
+            "metric": self.cfg.index.metric,
             "dtype": self.cfg.index.dtype,
             "layout_gen": self._layout_gen,
             "has_extractor": self.extractor is not None,
@@ -2162,7 +2298,8 @@ class Index:
                             else self.lw.assign,
                             lw_params=None if self.lw is None
                             else self.lw.params,
-                            regional_geom=self.regional_geom)
+                            regional_geom=self.regional_geom,
+                            l2=self.is_l2)
         if self.ivfpq is not None:
             sidx.attach_ivfpq(self.ivfpq)
         return sidx

@@ -634,7 +634,7 @@ class ShardedIndex:
                  query_chunk: int = 128, int4: bool = False,
                  lw_store: "jax.Array | None" = None,
                  lw_assign: "jax.Array | None" = None,
-                 lw_params=None, regional_geom=None):
+                 lw_params=None, regional_geom=None, l2: bool = False):
         self.mesh = mesh or make_mesh()
         # on a 2-D (data x shard) mesh, rows shard over the 'shard' axis
         # and every stage replicates over the others
@@ -684,6 +684,7 @@ class ShardedIndex:
             mu=replicate(self.mesh, lw_params.mu)))
         self.regional_geom = regional_geom   # [R, 3] grid geometry for
         #                                      spatial verification
+        self.l2 = l2                         # l2-metric store (norm col)
         self.ivfpq = None                    # attach_ivfpq namespace
         self._fns: dict[int, callable] = {}
         self.default_k = k
@@ -693,10 +694,19 @@ class ShardedIndex:
 
     def _match_query_dim(self, q: jax.Array) -> jax.Array:
         """Odd-dim int4 stores carry one zero pad column (nibble pairs);
-        match the query width — a zero column never changes a dot."""
+        match the query width — a zero column never changes a dot.
+        l2-metric stores (Index.is_l2) carry the ||x||^2/2 norm column —
+        user-width queries gain the -1 column, so the sharded scan ranks
+        by -L2 exactly (returned scores stay in AUGMENTED-IP space: a
+        per-query monotone transform of -L2^2; Index-level callers
+        convert)."""
         q = jnp.asarray(q)
         if self.int4 and q.shape[-1] == 2 * self.descriptors.shape[1] - 1:
             q = jnp.pad(q, ((0, 0), (0, 1)))
+        elif self.l2 and q.shape[-1] == self.descriptors.shape[1] - 1:
+            q = jnp.concatenate(
+                [jnp.asarray(q, jnp.float32),
+                 jnp.full((q.shape[0], 1), -1.0, jnp.float32)], axis=-1)
         return q
 
     def _common_operands(self, queries):
