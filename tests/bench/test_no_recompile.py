@@ -106,3 +106,29 @@ def test_int4_and_diffusion_no_recompile(rng):
             idx.search(X[2 * i:2 * i + 2])
 
     assert _count_compiles(run) == 0
+
+
+def test_range_and_knn_no_recompile(rng):
+    """search_range and knn_graph reuse their compiled programs across
+    calls (fixed query widths / the one chunk shape)."""
+    from instsearch_tpu import IndexConfig
+
+    X = rng.standard_normal((256, 32)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    cfg = PipelineConfig(extract=ExtractConfig(dtype="float32"),
+                         index=IndexConfig(dtype="float32", row_tile=8),
+                         search=SearchConfig(k=5, use_pallas=False,
+                                             query_chunk=64))
+    idx = Index.from_descriptors(X, [f"im{i}" for i in range(256)], cfg)
+    idx.search_range(X[:4], 0.3, max_results=32)          # warm
+    idx.knn_graph(k=3)                                    # warm
+    idx.reconstruct(names=["im0", "im1"])                 # warm (pow2=8)
+
+    def run():
+        for q0 in (4, 8, 12):
+            s, i, c = idx.search_range(X[q0:q0 + 4], 0.25, max_results=32)
+            assert c.shape == (4,)
+        idx.knn_graph(k=3)
+        idx.reconstruct(names=["im5", "im6", "im7"])      # same pow2 bucket
+
+    assert _count_compiles(run) == 0
