@@ -1948,7 +1948,7 @@ class Index:
         return fetch(s, i)
 
     def search_range(self, queries, tau: float, max_results: int = 1024,
-                     subset=None):
+                     subset=None, mesh=None):
         """Range search: every row scoring ``>= tau`` (FAISS
         ``range_search`` analog) -> ``(scores [Q, m], ids [Q, m],
         counts [Q])`` with ``m = max_results``.
@@ -1974,38 +1974,52 @@ class Index:
         Euclidean RADIUS — every row with ``||x - q|| <= tau`` counts
         (converted internally to per-query augmented-score thresholds
         ``(||q||^2 - tau^2)/2``), and returned scores are ``-||x-q||^2``
-        best-first like :meth:`search`."""
+        best-first like :meth:`search`.
+
+        ``mesh`` routes both halves through the row-sharded machinery
+        (ShardedIndex.search_range: sharded merge for the members, a
+        per-shard streamed threshold pass + one psum for the counts) —
+        exact-equal to the single-device path (tested)."""
         q = jnp.asarray(queries)
         if q.ndim == 1:
             q = q[None]
         qn2 = self._l2_query_norms(q)
         q = self._match_query_dim(q)
         subset = self._resolve_subset(subset)
-        mask = subset.mask if subset is not None else None
         from .utils import COUNTERS
         COUNTERS.add("queries_served", q.shape[0])
-        m = min(max_results, self.descriptors.shape[0])
-        s, i = self._topk(q, m, mask=mask)
         if qn2 is not None:                      # radius -> per-query thr
             thr = jnp.asarray((qn2 - float(tau) ** 2) / 2.0, jnp.float32)
-            keep = s >= thr[:, None]
         else:
             thr = jnp.float32(tau)
-            keep = s >= tau                      # -inf never passes
-        s = jnp.where(keep, s, -jnp.inf)
-        i = jnp.where(keep, i, -1)
-        n_pad = self.descriptors.shape[0]
-        chunk = next(c for c in (65_536, 32_768, 16_384, 8_192, 4_096,
-                                 2_048, 1_024, 512, 256, 128, 64, 32, 16, 8)
-                     if n_pad % c == 0)
-        chunk = min(chunk, n_pad)
-        counts = _range_count_jit(self.descriptors, self.ids, q,
-                                  self.scales, thr, mask,
-                                  chunk=chunk, int4=self.is_int4)
+        if mesh is not None:
+            sidx = self.to_sharded(mesh=mesh)
+            smask = (sidx.place_subset(subset) if subset is not None
+                     else None)
+            s, i, counts = sidx.search_range(q, thr,
+                                             max_results=max_results,
+                                             mask=smask)
+            counts = np.asarray(counts)
+        else:
+            mask = subset.mask if subset is not None else None
+            m = min(max_results, self.descriptors.shape[0])
+            s, i = self._topk(q, m, mask=mask)
+            keep = s >= (thr[:, None] if thr.ndim else thr)
+            s = jnp.where(keep, s, -jnp.inf)
+            i = jnp.where(keep, i, -1)
+            n_pad = self.descriptors.shape[0]
+            chunk = next(c for c in (65_536, 32_768, 16_384, 8_192,
+                                     4_096, 2_048, 1_024, 512, 256, 128,
+                                     64, 32, 16, 8)
+                         if n_pad % c == 0)
+            chunk = min(chunk, n_pad)
+            counts = np.asarray(_range_count_jit(
+                self.descriptors, self.ids, q, self.scales, thr, mask,
+                chunk=chunk, int4=self.is_int4))
         s, i = fetch(s, i)
         if qn2 is not None:
             s = np.where(i >= 0, 2.0 * s - qn2[:, None], -np.inf)
-        return s, i, np.asarray(counts)
+        return s, i, counts
 
     def reconstruct(self, names: "Sequence[str] | None" = None,
                     ids: "Sequence[int] | None" = None) -> np.ndarray:

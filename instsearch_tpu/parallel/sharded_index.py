@@ -172,6 +172,62 @@ def sharded_topk_fn(mesh: Mesh, k: int, axis: str = "shard",
     return jax.jit(mapped)
 
 
+def sharded_range_count_fn(mesh: Mesh, chunk: int, axis: str = "shard",
+                           int8: bool = False, int4: bool = False,
+                           masked: bool = False,
+                           per_query_thr: bool = False):
+    """Build the jitted sharded threshold-count pass of range search
+    (Index.search_range's counting half on the mesh): (descriptors, ids,
+    queries, thr[, scales][, mask]) -> counts [Q] int32, replicated.
+
+    Per shard: the single-device ``_range_count_jit`` body (index.py)
+    over this shard's rows — a chunked fori_loop, never a [Q, C]
+    resident matrix — then ONE psum over the shard axis merges the
+    partial counts (the only cross-chip traffic: Q int32 per query
+    batch). ``thr`` is a scalar (ip metric) or [Q] per-query thresholds
+    (the l2 radius form — Index converts); ``per_query_thr`` picks the
+    compiled variant. Row padding carries id -1 per shard slice, so no
+    num_valid clamp is needed here."""
+    from ..index import _slice_rows_f32    # the one dequant-slice def
+
+    def per_shard(X, ids_s, q, thr, *extras):
+        it = iter(extras)
+        scales_s = next(it) if int8 else None
+        mask_s = next(it) if masked else None
+        steps = X.shape[0] // chunk
+        thr_b = thr[:, None] if per_query_thr else thr
+        qf = q.astype(jnp.float32)
+
+        def body(i, acc):
+            rows = _slice_rows_f32(X, scales_s, i * chunk, chunk,
+                                   int4=int4)                 # [chunk, D]
+            s = jax.lax.dot_general(
+                qf, rows, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [Q, chunk]
+            ids_c = jax.lax.dynamic_slice(ids_s, (i * chunk,), (chunk,))
+            ok = ids_c[None, :] >= 0
+            if mask_s is not None:
+                mk = jax.lax.dynamic_slice(mask_s[0], (i * chunk,),
+                                           (chunk,))
+                ok = ok & (mk[None, :] > 0)
+            return acc + jnp.sum(((s >= thr_b) & ok).astype(jnp.int32),
+                                 axis=1)
+
+        local = jax.lax.fori_loop(
+            0, steps, body, jnp.zeros((q.shape[0],), jnp.int32))
+        return jax.lax.psum(local, axis)
+
+    in_specs = [P(axis, None), P(axis), P(None, None),
+                P(None) if per_query_thr else P()]
+    if int8:
+        in_specs.append(P(None, axis))
+    if masked:
+        in_specs.append(P(None, axis))
+    mapped = shard_map(per_shard, mesh=mesh, in_specs=tuple(in_specs),
+                       out_specs=P(None), check_vma=False)
+    return jax.jit(mapped)
+
+
 def sharded_qe_topk_fn(mesh: Mesh, k: int, qe_n: int, alpha: float,
                        axis: str = "shard", use_pallas: bool = False,
                        interpret: bool = False, int8: bool = False,
@@ -759,6 +815,41 @@ class ShardedIndex:
             return self._fns[key](*operands)
 
         return self._run_chunked(run, queries)
+
+    def search_range(self, queries, thr, max_results: int = 1024,
+                     mask=None):
+        """Distributed range search: top-``max_results`` rows scoring
+        >= ``thr`` (the sharded merge of :meth:`search`, thresholded)
+        plus EXACT per-query counts from a per-shard streamed threshold
+        pass merged by one psum (``sharded_range_count_fn``) ->
+        ``(scores [Q, m], ids [Q, m], counts [Q])``, all replicated.
+        ``thr``: scalar, or [Q] per-query thresholds (the l2-metric
+        radius form — ``Index.search_range`` converts both ways; scores
+        here stay in scan space)."""
+        q = self._match_query_dim(jnp.asarray(queries))
+        m = max(1, min(max_results, self.num_valid))
+        s, i = self.search(q, k=m, mask=mask)
+        thr_a = jnp.asarray(thr, jnp.float32)
+        keep = s >= (thr_a[:, None] if thr_a.ndim else thr_a)
+        s = jnp.where(keep, s, -jnp.inf)
+        i = jnp.where(keep, i, -1)
+        c = self.descriptors.shape[0] // self.mesh.shape[self.axis]
+        chunk = next(x for x in (65_536, 32_768, 16_384, 8_192, 4_096,
+                                 2_048, 1_024, 512, 256, 128, 64, 32, 16,
+                                 8, 4, 2, 1) if c % x == 0)
+        key = ("range", chunk, int(thr_a.ndim), mask is not None)
+        if key not in self._fns:
+            self._fns[key] = sharded_range_count_fn(
+                self.mesh, chunk, axis=self.axis, int8=self.int8,
+                int4=self.int4, masked=mask is not None,
+                per_query_thr=bool(thr_a.ndim))
+        operands = [self.descriptors, self.ids, q, thr_a]
+        if self.int8:
+            operands.append(self.scales)
+        if mask is not None:
+            operands.append(mask)
+        counts = self._fns[key](*operands)
+        return s, i, counts
 
     def search_rerank(self, queries: jax.Array, query_regional: jax.Array,
                       k: int | None = None, depth: int = 100,
