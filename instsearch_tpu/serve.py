@@ -256,6 +256,32 @@ class ServeCore:
             req = json.loads(line)
             if _is_mutation(req):
                 return self.mutate(req)
+            if "range" in req:
+                # {"range": {"image": P, "tau": T[, "max_results": M]
+                #            [, "subset": name]}} -> every match scoring
+                # >= tau + the EXACT count (Index.search_range). Single
+                # image only: the b=1 extraction is already warm; the
+                # top-M/count programs compile once per distinct M
+                # (default 256), then cache.
+                spec = req["range"]
+                images, _ = self.decode({"image": spec["image"]})
+                sub = None
+                if spec.get("subset") is not None:
+                    sub = self.subsets.get(spec["subset"])
+                    if sub is None:
+                        raise KeyError(f"unknown subset {spec['subset']!r}")
+                q = self.idx.extractor(images)
+                s, i, counts = self.idx.search_range(
+                    q, float(spec["tau"]),
+                    max_results=int(spec.get("max_results", 256)),
+                    subset=sub)
+                n = int(counts[0])
+                results = [{"rank": r, "name": self.idx.name_of(ii),
+                            "id": int(ii), "score": float(ss)}
+                           for r, (ss, ii) in enumerate(zip(s[0], i[0]))
+                           if ii >= 0]
+                return {"results": results, "count": n,
+                        "truncated": n > len(results)}
             if "reconstruct" in req:
                 # stored-row readback ({"reconstruct": {"names": [...]}}
                 # or {"ids": [...]}): Index.reconstruct pads positions to

@@ -254,3 +254,36 @@ def test_serve_reconstruct_request():
                                X[[7]], rtol=1e-6)
     r = sc.handle_line(json.dumps({"reconstruct": {"names": ["nope"]}}))
     assert "error" in r
+
+
+def test_serve_range_request(tmp_path):
+    """{"range": {"image": ..., "tau": ...}} returns every match above
+    the threshold plus the exact count through Index.search_range."""
+    import numpy as np
+    from instsearch_tpu.serve import ServeCore
+
+    mini = make_mini_dataset(str(tmp_path / "mini"), seed=13)
+    cfg = PipelineConfig(
+        extract=ExtractConfig(backbone="vgg16", pooling="gem", image_size=64,
+                              batch_size=8, dtype="float32"),
+        search=SearchConfig(k=3, use_pallas=False))
+    idx = Index.build(mini.db_paths, cfg, seed=0)
+    sc = ServeCore(idx)
+    r = sc.handle_line(json.dumps(
+        {"range": {"image": mini.db_paths[0], "tau": 0.999,
+                   "max_results": 8}}))
+    # the image itself scores ~1.0; count agrees with the result list
+    assert r["count"] >= 1 and not r["truncated"]
+    assert r["results"][0]["name"] == mini.imlist[0]
+    assert len(r["results"]) == r["count"]
+    assert all(e["score"] >= 0.999 - 1e-3 for e in r["results"])
+    # oracle cross-check: count == number of rows >= tau for this query
+    img = sc.decode({"image": mini.db_paths[0]})[0]
+    q = np.asarray(idx.extractor(img))
+    exact = int((np.asarray(idx._masked_scores(q))[0] >= 0.999).sum())
+    assert r["count"] == exact
+    # unknown subset -> error line, not a crash
+    r = sc.handle_line(json.dumps(
+        {"range": {"image": mini.db_paths[0], "tau": 0.5,
+                   "subset": "nope"}}))
+    assert "error" in r
